@@ -1,0 +1,24 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding/collective
+paths run in CI without TPU hardware (the analog of the reference's
+simd/nosimd CI matrix, .github/workflows/ci.yml:29-51)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xB17)
+
+
+def random_seq(rng, n: int) -> bytes:
+    return bytes(rng.choice(np.frombuffer(b"ACGTacgt", dtype=np.uint8), size=n))
