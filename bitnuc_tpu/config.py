@@ -1,0 +1,60 @@
+"""Backend configuration.
+
+The reference selects SIMD vs scalar back-ends at runtime per call
+(src/utils/packing/mod.rs:81-110) and offers a `nosimd` compile-time escape
+hatch (Cargo.toml:13-14). The TPU analog is a trace-time choice between the
+pure-XLA lowering (always correct, runs on any JAX backend) and Pallas kernels
+(the throughput path on real TPUs). Both produce bit-identical outputs;
+parity is enforced directly by tests rather than by a CI matrix.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+_VALID = ("auto", "xla", "pallas")
+_backend = os.environ.get("BITNUC_BACKEND", "auto")
+if _backend not in _VALID:
+    raise ValueError(f"BITNUC_BACKEND must be one of {_VALID}, got {_backend!r}")
+
+
+def get_backend() -> str:
+    return _backend
+
+
+def set_backend(name: str) -> None:
+    global _backend
+    if name not in _VALID:
+        raise ValueError(f"backend must be one of {_VALID}, got {name!r}")
+    _backend = name
+
+
+@contextlib.contextmanager
+def backend(name: str):
+    """Temporarily select a backend: with bitnuc_tpu.config.backend('xla'): ..."""
+    old = get_backend()
+    set_backend(name)
+    try:
+        yield
+    finally:
+        set_backend(old)
+
+
+def use_pallas() -> bool:
+    """True when kernels should lower via Pallas for the current backend.
+
+    'auto' resolves to Pallas on TPU, XLA elsewhere (mirrors the reference's
+    runtime CPU-feature dispatch, src/utils/packing/mod.rs:83-93).
+    """
+    b = get_backend()
+    if b == "pallas":
+        return True
+    if b == "xla":
+        return False
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

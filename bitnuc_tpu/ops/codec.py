@@ -1,0 +1,143 @@
+"""Batched encode/decode between ASCII nucleotides and packed 2-bit words.
+
+This is the TPU-native analog of the reference's codec tier
+(encode: src/utils/mod.rs:22, decode: src/utils/mod.rs:60, single-word
+as_2bit/from_2bit: src/utils/packing/mod.rs:81 / src/utils/unpacking/mod.rs:119).
+Where the reference packs one sequence per call with the caller looping, we
+pack [batch, length] arrays of reads in one jitted call — per-call dispatch is
+the enemy on an accelerator.
+
+Error semantics: device code cannot raise, so encode returns a per-read
+``first_bad`` index (-1 = valid). Host wrappers (bitnuc_tpu/api.py) translate
+that into the reference's typed errors (InvalidBase, src/error.rs:5).
+
+Outputs are bit-exact with the reference: viewing each read's uint32 word pairs
+as little-endian u64 reproduces the reference word stream, including the
+zero-padded final word (src/utils/packing/naive.rs:39-42).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..utils import bitops
+
+
+def _pad_minor(x: jax.Array, target: int) -> jax.Array:
+    """Zero-pad the last axis to `target` columns."""
+    L = x.shape[-1]
+    if L == target:
+        return x
+    assert L < target
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, target - L)]
+    return jnp.pad(x, pad)
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def encode_reads_xla(
+    ascii_u8: jax.Array,
+    lengths: jax.Array,
+    n_words: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pure-XLA encode of a batch of reads.
+
+    Args:
+      ascii_u8: [..., L] uint8 ASCII bases, padded arbitrarily past each
+        read's length (padding bytes are ignored).
+      lengths: [...] int32 per-read base counts (<= L).
+      n_words: output words per read; defaults to the u64-pair-padded count
+        for L. Must be even so the u64 view is exact.
+
+    Returns:
+      words: [..., n_words] uint32, bit-exact reference layout.
+      first_bad: [...] int32 index of the first invalid base, or -1.
+    """
+    L = ascii_u8.shape[-1]
+    W = bitops.n_words_for(L) if n_words is None else int(n_words)
+    assert W % 2 == 0, "word count must pair into u64s"
+    lengths = lengths.astype(jnp.int32)
+
+    pos = jnp.arange(L, dtype=jnp.int32)
+    in_range = pos < lengths[..., None]
+
+    invalid = jnp.logical_and(~bitops.ascii_is_valid(ascii_u8), in_range)
+    any_bad = jnp.any(invalid, axis=-1)
+    first_bad = jnp.where(
+        any_bad, jnp.argmax(invalid, axis=-1).astype(jnp.int32), jnp.int32(-1)
+    )
+
+    codes = jnp.where(in_range, bitops.ascii_to_code(ascii_u8), 0)
+    codes = _pad_minor(codes, W * bitops.BASES_PER_WORD)
+    return bitops.pack_codes(codes), first_bad
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def decode_reads_xla(
+    words: jax.Array,
+    lengths: jax.Array,
+    max_len: Optional[int] = None,
+) -> jax.Array:
+    """Pure-XLA decode: [..., W] uint32 words -> [..., max_len] uint8 ASCII.
+
+    Positions past each read's length are 0. Mirrors from_2bit_multi
+    (src/utils/unpacking/mod.rs:10-48) batched.
+    """
+    W = words.shape[-1]
+    L = W * bitops.BASES_PER_WORD if max_len is None else int(max_len)
+    lengths = lengths.astype(jnp.int32)
+
+    codes = bitops.unpack_words(words)[..., :L]
+    ascii_out = bitops.code_to_ascii(codes)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    return jnp.where(pos < lengths[..., None], ascii_out, jnp.uint8(0))
+
+
+def encode_reads(
+    ascii_u8: jax.Array,
+    lengths: jax.Array,
+    n_words: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Backend-dispatching batched encode (Pallas on TPU, XLA elsewhere)."""
+    if config.use_pallas() and ascii_u8.ndim == 2:
+        from .pallas import pack as pallas_pack
+
+        try:
+            return pallas_pack.encode_reads_pallas(ascii_u8, lengths, n_words)
+        except NotImplementedError:
+            pass
+    return encode_reads_xla(ascii_u8, lengths, n_words)
+
+
+def decode_reads(
+    words: jax.Array,
+    lengths: jax.Array,
+    max_len: Optional[int] = None,
+) -> jax.Array:
+    """Backend-dispatching batched decode."""
+    if config.use_pallas() and words.ndim == 2:
+        from .pallas import unpack as pallas_unpack
+
+        try:
+            return pallas_unpack.decode_reads_pallas(words, lengths, max_len)
+        except NotImplementedError:
+            pass
+    return decode_reads_xla(words, lengths, max_len)
+
+
+@jax.jit
+def pack_kmers(ascii_u8: jax.Array, lengths: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batched as_2bit (src/utils/packing/mod.rs:81): [..., k<=32] ASCII ->
+    [..., 2] uint32 (one u64 pair per k-mer) + first_bad."""
+    assert ascii_u8.shape[-1] <= 32
+    return encode_reads_xla(ascii_u8, lengths, n_words=2)
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def unpack_kmers(words: jax.Array, lengths: jax.Array, max_len: int = 32) -> jax.Array:
+    """Batched from_2bit (src/utils/unpacking/mod.rs:119)."""
+    return decode_reads_xla(words, lengths, max_len)
