@@ -1,0 +1,67 @@
+"""bitnuc_tpu — a TPU-native nucleotide-packing and k-mer engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference bitnuc crate (2-bit nucleotide codec, packed-domain ops) re-designed
+batch-first for TPU: thousands of reads per jitted call, uint32 device lanes
+(bit-exact with the reference's u64 layout via pair view), Pallas kernels on
+the throughput paths, and jax.sharding collectives for multi-chip scale.
+
+API tiers (mirroring the reference's layering, src/lib.rs:210-220):
+  * host functional API: as_2bit, from_2bit, encode, decode, hdist,
+    hdist_scalar, split_packed, count_kmers (native C++ or numpy backend)
+  * host sequence type: PackedSequence (get/slice/to_vec/gc_content/...)
+  * device batch tier: PackedReads + bitnuc_tpu.ops (codec, hamming,
+    analysis, split, kmer)
+  * distributed tier: bitnuc_tpu.parallel (mesh sharding, collective
+    histograms, sharded hdist search)
+"""
+
+from . import config  # noqa: F401
+from .api import (  # noqa: F401
+    as_2bit,
+    count_kmers,
+    decode,
+    encode,
+    encode_alloc,
+    from_2bit,
+    from_2bit_alloc,
+    hdist,
+    hdist_scalar,
+    split_packed,
+)
+from .errors import (  # noqa: F401
+    IndexOutOfBounds,
+    InvalidBase,
+    InvalidLength,
+    InvalidRange,
+    NucleotideError,
+    SequenceTooLong,
+    Unsupported,
+)
+from .sequence import PackedReads, PackedSequence, stack_sequences  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "as_2bit",
+    "from_2bit",
+    "from_2bit_alloc",
+    "encode",
+    "encode_alloc",
+    "decode",
+    "hdist",
+    "hdist_scalar",
+    "split_packed",
+    "count_kmers",
+    "PackedSequence",
+    "PackedReads",
+    "stack_sequences",
+    "NucleotideError",
+    "InvalidBase",
+    "SequenceTooLong",
+    "InvalidLength",
+    "IndexOutOfBounds",
+    "InvalidRange",
+    "Unsupported",
+    "config",
+]

@@ -1,0 +1,223 @@
+"""Native C++ host library loader (ctypes).
+
+The reference is native end-to-end (Rust + SIMD intrinsics); in this framework
+the device compute path is JAX/XLA/Pallas, and this module provides the native
+host-side runtime: fast single-call codec/hdist/split for the PackedSequence
+tier and host staging (pack-on-host halves PCIe/DCN bytes vs shipping ASCII).
+
+Build with `make -C bitnuc_tpu/native`. When the shared library is absent,
+`available()` returns False and callers fall back to the numpy oracle —
+the same graceful-degradation shape as the reference's runtime SIMD dispatch
+(src/utils/packing/mod.rs:81-110).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import oracle
+from ..errors import IndexOutOfBounds, InvalidBase, InvalidLength, SequenceTooLong
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libbitnuc_host.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+# status codes shared with bitnuc_host.cpp
+_OK = 0
+_ERR_INVALID_BASE = 1
+_ERR_TOO_LONG = 2
+_ERR_INVALID_LENGTH = 3
+_ERR_OOB = 4
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bn_encode.restype = ctypes.c_int
+    lib.bn_encode.argtypes = [u8p, ctypes.c_size_t, u64p, ctypes.POINTER(ctypes.c_uint8)]
+    lib.bn_decode.restype = ctypes.c_int
+    lib.bn_decode.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t, u8p]
+    lib.bn_hdist.restype = ctypes.c_int
+    lib.bn_hdist.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_size_t,
+                             ctypes.POINTER(ctypes.c_uint64)]
+    lib.bn_split.restype = ctypes.c_int
+    lib.bn_split.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
+                             ctypes.c_size_t, u64p, u64p]
+    lib.bn_encode_batch.restype = ctypes.c_int
+    lib.bn_encode_batch.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t,
+                                    u64p, ctypes.c_size_t]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(quiet: bool = True) -> bool:
+    """Invoke make to build the shared library; returns availability."""
+    global _tried
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__)],
+            check=True,
+            capture_output=quiet,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    _tried = False
+    return available()
+
+
+def _as_u8(seq) -> np.ndarray:
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray)):
+        return np.frombuffer(bytes(seq), dtype=np.uint8)
+    return np.ascontiguousarray(np.asarray(seq, dtype=np.uint8))
+
+
+def encode(seq) -> np.ndarray:
+    lib = _load()
+    s = _as_u8(seq)
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.zeros(-(-n // 32), dtype=np.uint64)
+    bad = ctypes.c_uint8(0)
+    rc = lib.bn_encode(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.byref(bad),
+    )
+    if rc == _ERR_INVALID_BASE:
+        raise InvalidBase(bad.value)
+    return out
+
+
+def as_2bit(seq) -> int:
+    s = _as_u8(seq)
+    if len(s) > 32:
+        raise SequenceTooLong(len(s))
+    if len(s) == 0:
+        return 0
+    return int(encode(s)[0])
+
+
+def decode(ebuf, n_bases: int) -> bytes:
+    lib = _load()
+    words = np.ascontiguousarray(np.asarray(ebuf, dtype=np.uint64))
+    if n_bases > 32 * len(words):
+        raise InvalidLength(n_bases)
+    out = np.zeros(n_bases, dtype=np.uint8)
+    rc = lib.bn_decode(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(words),
+        n_bases,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != _OK:
+        raise InvalidLength(n_bases)
+    return bytes(out)
+
+
+def from_2bit(packed: int, n_bases: int) -> bytes:
+    if n_bases > 32:
+        raise InvalidLength(n_bases)
+    return decode(np.array([packed], dtype=np.uint64), n_bases)
+
+
+def hdist(ebuf1, ebuf2, n_bases: int) -> int:
+    lib = _load()
+    e1 = np.ascontiguousarray(np.asarray(ebuf1, dtype=np.uint64))
+    e2 = np.ascontiguousarray(np.asarray(ebuf2, dtype=np.uint64))
+    expected = -(-n_bases // 32)
+    if len(e1) < expected or len(e2) < expected:
+        raise InvalidLength(n_bases)
+    out = ctypes.c_uint64(0)
+    rc = lib.bn_hdist(
+        e1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        e2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        min(len(e1), len(e2)),
+        n_bases,
+        ctypes.byref(out),
+    )
+    if rc != _OK:
+        raise InvalidLength(n_bases)
+    return int(out.value)
+
+
+def hdist_scalar(u: int, v: int, length: int) -> int:
+    if length > 32:
+        raise InvalidLength(length)
+    return hdist(
+        np.array([u], dtype=np.uint64), np.array([v], dtype=np.uint64), length
+    )
+
+
+def split_packed(ebuf, slen: int, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    words = np.ascontiguousarray(np.asarray(ebuf, dtype=np.uint64))
+    if idx > slen:
+        raise IndexOutOfBounds(idx, slen)
+    if idx == 0:
+        return np.zeros(0, dtype=np.uint64), words.copy()
+    if idx == slen:
+        return words.copy(), np.zeros(0, dtype=np.uint64)
+    if len(words) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
+    n_left = idx // 32 + 1
+    n_right = -(-(slen - idx) // 32)
+    lbuf = np.zeros(n_left, dtype=np.uint64)
+    rbuf = np.zeros(n_right, dtype=np.uint64)
+    rc = lib.bn_split(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(words),
+        slen,
+        idx,
+        lbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        rbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != _OK:
+        raise IndexOutOfBounds(idx, slen)
+    return lbuf, rbuf
+
+
+def encode_batch(ascii_rect: np.ndarray, out_words_per_read: int) -> np.ndarray:
+    """Host staging path: rectangular uint8 [B, L] -> u64 words [B, Wp]
+    (no validation; invalid bytes produce garbage codes). Used to feed the
+    device with packed words instead of ASCII, 4x fewer transfer bytes."""
+    lib = _load()
+    a = np.ascontiguousarray(ascii_rect, dtype=np.uint8)
+    B, L = a.shape
+    out = np.zeros((B, out_words_per_read), dtype=np.uint64)
+    lib.bn_encode_batch(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        B,
+        L,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_words_per_read,
+    )
+    return out
+
+
+def count_kmers(seq, k: int) -> dict:
+    # host kmer counting reuses encode + a numpy rolling window
+    return oracle.count_kmers(seq, k)

@@ -1,0 +1,221 @@
+// Native host-side codec for bitnuc_tpu.
+//
+// This is the framework's native runtime tier: single-call pack/unpack/hdist/
+// split used by the host PackedSequence API and the host staging path that
+// feeds packed words (4x fewer bytes than ASCII) to the TPU.
+//
+// Semantics follow the reference contract (A=00 C=01 G=10 T=11, LSB-first,
+// 32 bases per u64, zero-padded last word — /root/reference
+// src/utils/packing/naive.rs) but the implementation is branch-free SWAR
+// (shift-or bit compaction within u64 lanes), not a port of the reference's
+// AVX/NEON intrinsics.
+//
+// Build: make -C bitnuc_tpu/native   (g++ -O3 -march=native)
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+constexpr uint64_t kOnes = 0x0101010101010101ULL;
+constexpr uint64_t kHigh = 0x8080808080808080ULL;
+
+inline uint64_t load_u64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+// 0x80 in each byte of x equal to c, else 0 (classic zero-byte SWAR test).
+inline uint64_t match_byte(uint64_t x, uint8_t c) {
+  uint64_t t = x ^ (kOnes * c);
+  return (t - kOnes) & ~t & kHigh;
+}
+
+// All 8 bytes in {A,C,G,T,a,c,g,t}?
+inline uint64_t valid_mask8(uint64_t v) {
+  uint64_t l = v | 0x2020202020202020ULL;  // lowercase
+  return match_byte(l, 'a') | match_byte(l, 'c') | match_byte(l, 'g') |
+         match_byte(l, 't');
+}
+
+// Pack 8 ASCII bases (one u64 load) into 16 bits, LSB-first.
+// code = ((b>>1) ^ (b>>2)) & 3 per byte, then shift-or compaction 8->2 bit
+// spacing in three rounds.
+inline uint64_t pack8(uint64_t v) {
+  uint64_t c = ((v >> 1) ^ (v >> 2)) & 0x0303030303030303ULL;
+  c = (c | (c >> 6)) & 0x000F000F000F000FULL;
+  c = (c | (c >> 12)) & 0x000000FF000000FFULL;
+  c = (c | (c >> 24)) & 0x000000000000FFFFULL;
+  return c;
+}
+
+// Inverse: expand 16 bits (8 bases) to 8 ASCII bytes in a u64.
+inline uint64_t unpack8(uint64_t c) {
+  c &= 0xFFFFULL;
+  c = (c | (c << 24)) & 0x000000FF000000FFULL;
+  c = (c | (c << 12)) & 0x000F000F000F000FULL;
+  c = (c | (c << 6)) & 0x0303030303030303ULL;
+  // per-byte code -> ASCII: 'A' + 2c + 2*bit1(c) + 11*(c==3); max byte 84, no
+  // cross-byte carries.
+  uint64_t bit1 = (c >> 1) & kOnes;
+  uint64_t is3 = c & (c >> 1) & kOnes;
+  return (kOnes * (uint64_t)'A') + (c << 1) + (bit1 << 1) +
+         (is3 << 3) + (is3 << 1) + is3;
+}
+
+inline uint64_t pack_tail(const uint8_t* p, size_t n, bool* ok, uint8_t* bad) {
+  uint64_t w = 0;
+  for (size_t i = 0; i < n; ++i) {
+    uint8_t b = p[i];
+    uint8_t l = b | 0x20;
+    if (l != 'a' && l != 'c' && l != 'g' && l != 't') {
+      *ok = false;
+      *bad = b;
+      return 0;
+    }
+    w |= (uint64_t)(((b >> 1) ^ (b >> 2)) & 3) << (2 * i);
+  }
+  return w;
+}
+
+}  // namespace
+
+extern "C" {
+
+// status codes mirrored in bitnuc_tpu/native/__init__.py
+enum { BN_OK = 0, BN_INVALID_BASE = 1, BN_TOO_LONG = 2, BN_INVALID_LENGTH = 3,
+       BN_OOB = 4 };
+
+// ASCII -> u64 words. out must hold ceil(n/32) words. On invalid input,
+// returns BN_INVALID_BASE and stores the offending byte in *bad_byte.
+int bn_encode(const uint8_t* seq, size_t n, uint64_t* out, uint8_t* bad_byte) {
+  size_t w = 0;
+  size_t i = 0;
+  for (; i + 32 <= n; i += 32, ++w) {
+    uint64_t v0 = load_u64(seq + i);
+    uint64_t v1 = load_u64(seq + i + 8);
+    uint64_t v2 = load_u64(seq + i + 16);
+    uint64_t v3 = load_u64(seq + i + 24);
+    uint64_t m = valid_mask8(v0) & valid_mask8(v1) & valid_mask8(v2) &
+                 valid_mask8(v3);
+    if (m != kHigh) {
+      // slow path pinpoints the first bad byte
+      for (size_t j = i; j < i + 32; ++j) {
+        uint8_t l = seq[j] | 0x20;
+        if (l != 'a' && l != 'c' && l != 'g' && l != 't') {
+          *bad_byte = seq[j];
+          return BN_INVALID_BASE;
+        }
+      }
+    }
+    out[w] = pack8(v0) | (pack8(v1) << 16) | (pack8(v2) << 32) |
+             (pack8(v3) << 48);
+  }
+  if (i < n) {
+    bool ok = true;
+    uint64_t tail = pack_tail(seq + i, n - i, &ok, bad_byte);
+    if (!ok) return BN_INVALID_BASE;
+    out[w] = tail;
+  }
+  return BN_OK;
+}
+
+// u64 words -> ASCII. out must hold n_bases bytes.
+int bn_decode(const uint64_t* words, size_t n_words, size_t n_bases,
+              uint8_t* out) {
+  if (n_bases > 32 * n_words) return BN_INVALID_LENGTH;
+  size_t i = 0;
+  size_t w = 0;
+  for (; i + 32 <= n_bases; i += 32, ++w) {
+    uint64_t v = words[w];
+    uint64_t a0 = unpack8(v);
+    uint64_t a1 = unpack8(v >> 16);
+    uint64_t a2 = unpack8(v >> 32);
+    uint64_t a3 = unpack8(v >> 48);
+    std::memcpy(out + i, &a0, 8);
+    std::memcpy(out + i + 8, &a1, 8);
+    std::memcpy(out + i + 16, &a2, 8);
+    std::memcpy(out + i + 24, &a3, 8);
+  }
+  if (i < n_bases) {
+    uint64_t v = words[w];
+    for (size_t j = 0; i < n_bases; ++i, ++j) {
+      static const char lut[4] = {'A', 'C', 'G', 'T'};
+      out[i] = lut[(v >> (2 * j)) & 3];
+    }
+  }
+  return BN_OK;
+}
+
+// Per-base Hamming distance over packed words (reference
+// hamming/scalar.rs:40-47 semantics).
+int bn_hdist(const uint64_t* e1, const uint64_t* e2, size_t n_words,
+             size_t n_bases, uint64_t* out) {
+  if (n_bases > 32 * n_words) return BN_INVALID_LENGTH;
+  constexpr uint64_t kLow = 0x5555555555555555ULL;
+  uint64_t total = 0;
+  size_t full = n_bases / 32;
+  for (size_t i = 0; i < full; ++i) {
+    uint64_t d = e1[i] ^ e2[i];
+    total += (uint64_t)__builtin_popcountll((d | (d >> 1)) & kLow);
+  }
+  size_t rem = n_bases % 32;
+  if (rem) {
+    uint64_t mask = (1ULL << (2 * rem)) - 1;
+    uint64_t d = (e1[full] ^ e2[full]) & mask;
+    total += (uint64_t)__builtin_popcountll((d | (d >> 1)) & kLow);
+  }
+  *out = total;
+  return BN_OK;
+}
+
+// Split packed stream at base idx. lbuf holds idx/32+1 words, rbuf holds
+// ceil((slen-idx)/32). Correct funnel shift (see oracle.split_packed note on
+// the reference's carry bug). Caller handles idx==0 / idx==slen.
+int bn_split(const uint64_t* words, size_t n_words, size_t slen, size_t idx,
+             uint64_t* lbuf, uint64_t* rbuf) {
+  if (idx > slen) return BN_OOB;
+  size_t chunk = idx / 32;
+  size_t bit = (idx % 32) * 2;
+  for (size_t i = 0; i < chunk; ++i) lbuf[i] = words[i];
+  lbuf[chunk] = bit ? (words[chunk] & ((1ULL << bit) - 1)) : 0;
+
+  size_t n_right = (slen - idx + 31) / 32;
+  for (size_t j = 0; j < n_right; ++j) {
+    uint64_t lo = words[chunk + j] >> bit;
+    uint64_t hi = 0;
+    if (bit && chunk + j + 1 < n_words) hi = words[chunk + j + 1] << (64 - bit);
+    rbuf[j] = lo | hi;
+  }
+  return BN_OK;
+}
+
+// Host staging: rectangular ASCII [B, L] -> u64 words [B, words_per_read]
+// without validation (garbage in, garbage out). Each read packs its full L
+// columns; callers mask by length on device.
+int bn_encode_batch(const uint8_t* ascii, size_t batch, size_t len,
+                    uint64_t* out, size_t words_per_read) {
+  for (size_t b = 0; b < batch; ++b) {
+    const uint8_t* row = ascii + b * len;
+    uint64_t* orow = out + b * words_per_read;
+    size_t i = 0, w = 0;
+    for (; i + 32 <= len && w < words_per_read; i += 32, ++w) {
+      orow[w] = pack8(load_u64(row + i)) | (pack8(load_u64(row + i + 8)) << 16) |
+                (pack8(load_u64(row + i + 16)) << 32) |
+                (pack8(load_u64(row + i + 24)) << 48);
+    }
+    if (i < len && w < words_per_read) {
+      uint64_t word = 0;
+      for (size_t j = 0; i < len; ++i, ++j) {
+        uint8_t b8 = row[i];
+        word |= (uint64_t)(((b8 >> 1) ^ (b8 >> 2)) & 3) << (2 * j);
+      }
+      orow[w] = word;
+    }
+  }
+  return BN_OK;
+}
+
+}  // extern "C"

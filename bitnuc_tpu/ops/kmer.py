@@ -1,0 +1,167 @@
+"""K-mer extraction and counting on packed reads.
+
+The reference documents k-mer counting as caller-side: re-pack every ASCII
+window with as_2bit and count into a HashMap (README.md:164-180,
+src/lib.rs:160-180) — O(n*k) repacking and a hash table. The TPU-native
+design extracts every window key from the 2-bit code stream in O(n log k)
+vector ops (position-doubling: key_{2m}[p] = key_m[p] | key_m[p+m] << 2m),
+then replaces the HashMap with either
+
+  * a dense device histogram (scatter-add into 4^k bins) for small k, or
+  * sort-based counting (lexicographic sort of (hi, lo) u32 key pairs +
+    segment reduction) for k up to 32,
+
+both psum-mergeable across a device mesh (see bitnuc_tpu/parallel/).
+
+Key layout matches the reference exactly: window at position p has value
+sum_j code[p+j] << 2j, i.e. as_2bit of the window (src/utils/packing/naive.rs:17),
+split into lo = bits [0,32) and hi = bits [32,64) u32 lanes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import bitops
+
+MAX_DENSE_K = 12  # 4^12 = 16.7M int32 bins = 64 MiB
+
+
+def _shift_positions(x: jax.Array, m: int) -> jax.Array:
+    """out[..., p] = x[..., p+m], zero-filled at the tail. m is static."""
+    if m == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m)]
+    return jnp.pad(x[..., m:], pad)
+
+
+def _keys_u32(codes: jax.Array, k: int) -> jax.Array:
+    """Window keys for k <= 16 bases: [..., L] uint32 where position p holds
+    the packed value of bases [p, p+k). Positions past L-k are garbage —
+    callers mask. O(L log k) work via position-doubling."""
+    assert 1 <= k <= 16
+    pows = {1: codes.astype(jnp.uint32)}
+    m = 1
+    while 2 * m <= k:
+        cur = pows[m]
+        pows[2 * m] = cur | (_shift_positions(cur, m) << jnp.uint32(2 * m))
+        m *= 2
+    acc = None
+    acc_len = 0
+    m = 1
+    while m <= k:
+        if k & m:
+            part = pows[m]
+            if acc is None:
+                acc, acc_len = part, m
+            else:
+                acc = acc | (_shift_positions(part, acc_len) << jnp.uint32(2 * acc_len))
+                acc_len += m
+        m *= 2
+    return acc
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_keys(codes: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """All window keys of width k over a 2-bit code array.
+
+    codes: [..., L] integer codes (from bitops.unpack_words or ascii_to_code).
+    Returns (lo, hi): two [..., L] uint32 arrays; window p's packed u64 value
+    is hi[p] << 32 | lo[p] (identical to the reference's as_2bit of the
+    window). For k <= 16, hi is all zeros. Positions past L-k are garbage.
+    """
+    if not 1 <= k <= 32:
+        raise ValueError(f"k must be in [1, 32], got {k}")
+    if k <= 16:
+        lo = _keys_u32(codes, k)
+        return lo, jnp.zeros_like(lo)
+    lo = _keys_u32(codes, 16)
+    hi = _shift_positions(_keys_u32(codes, k - 16), 16)
+    return lo, hi
+
+
+def window_valid_mask(L: int, lengths: jax.Array, k: int) -> jax.Array:
+    """[..., L] bool: window position p valid iff p + k <= length."""
+    pos = jnp.arange(L, dtype=jnp.int32)
+    return pos <= (jnp.asarray(lengths, jnp.int32)[..., None] - k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def count_kmers_dense(words: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+    """Dense k-mer histogram over a batch: [B, W] packed words -> [4^k] int32.
+
+    Device analog of the README HashMap loop (README.md:164-180); bin i holds
+    the count of windows whose as_2bit value is i. k <= MAX_DENSE_K.
+    """
+    assert k <= MAX_DENSE_K, f"dense histogram capped at k={MAX_DENSE_K}"
+    codes = bitops.unpack_words(words)
+    L = codes.shape[-1]
+    lo, _ = kmer_keys(codes, k)
+    valid = window_valid_mask(L, lengths, k)
+    keys = jnp.where(valid, lo, 0).reshape(-1).astype(jnp.int32)
+    wts = valid.astype(jnp.int32).reshape(-1)
+    return jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def count_kmers_sorted(
+    words: jax.Array, lengths: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort-based k-mer counting for any k <= 32 (the large-k HashMap analog).
+
+    Returns (keys_lo [N], keys_hi [N], counts [N], n_unique scalar) where
+    N = total window slots; entries [0, n_unique) are the distinct k-mers in
+    ascending (hi, lo) order with their counts; the tail is zero-count
+    padding. Invalid window slots sort to the end under an all-ones sentinel
+    and carry zero weight.
+    """
+    codes = bitops.unpack_words(words)
+    L = codes.shape[-1]
+    lo, hi = kmer_keys(codes, k)
+    valid = window_valid_mask(L, lengths, k)
+    sent = jnp.uint32(0xFFFFFFFF)
+    lo = jnp.where(valid, lo, sent).reshape(-1)
+    hi = jnp.where(valid, hi, sent).reshape(-1)
+    wts = valid.astype(jnp.int32).reshape(-1)
+
+    hi_s, lo_s, w_s = jax.lax.sort((hi, lo, wts), num_keys=2)
+    N = lo_s.shape[0]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]),
+        ]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jnp.zeros(N, jnp.int32).at[seg].add(w_s)
+    # all rows of a segment share the key, so duplicate-index set is benign
+    u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(lo_s)
+    u_hi = jnp.zeros(N, jnp.uint32).at[seg].set(hi_s)
+    n_unique = seg[-1] + 1
+    return u_lo, u_hi, counts, n_unique
+
+
+def count_kmers_reads(words: jax.Array, lengths: jax.Array, k: int, mode: str = "auto"):
+    """Count k-mers over a batch of packed reads.
+
+    mode='dense' -> [4^k] histogram; mode='sorted' -> sparse (keys, counts);
+    'auto' picks dense for k <= MAX_DENSE_K.
+    """
+    if mode == "auto":
+        mode = "dense" if k <= MAX_DENSE_K else "sorted"
+    if mode == "dense":
+        return count_kmers_dense(words, lengths, k)
+    if mode == "sorted":
+        return count_kmers_sorted(words, lengths, k)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+@partial(jax.jit, static_argnames=("n",))
+def top_kmers(hist: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
+    """(counts, packed k-mer values) of the n most frequent k-mers."""
+    counts, keys = jax.lax.top_k(hist, n)
+    return counts, keys

@@ -1,0 +1,205 @@
+"""Packed-domain ops (hamming, analysis, split/slice/get, kmer) vs the oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bitnuc_tpu import oracle
+from bitnuc_tpu.ops import analysis, hamming, kmer, split
+from bitnuc_tpu.sequence import PackedReads
+from conftest import random_seq
+
+
+def make_batch(rng, lens, upper=True):
+    seqs = [random_seq(rng, n) for n in lens]
+    if upper:
+        seqs = [s.upper() for s in seqs]
+    return seqs, PackedReads.from_ascii(seqs)
+
+
+# --- hamming -------------------------------------------------------------------
+
+def test_hdist_golden_pairs():
+    a = PackedReads.from_ascii([b"AAAA", b"AAAA", b"ACTGACTG"])
+    b = PackedReads.from_ascii([b"AAAA", b"TTTT", b"TGCATGCA"])
+    d = hamming.hdist_words(a.words, b.words, a.lengths)
+    np.testing.assert_array_equal(np.asarray(d), [0, 4, 8])
+
+
+@pytest.mark.parametrize("n", [1, 16, 31, 32, 33, 64, 100, 256])
+def test_hdist_vs_oracle(rng, n):
+    s1, s2 = random_seq(rng, n).upper(), random_seq(rng, n).upper()
+    r = PackedReads.from_ascii([s1, s2])
+    d = hamming.hdist_words(r.words[0:1], r.words[1:2], jnp.asarray([n]))
+    expect = oracle.hdist(oracle.encode(s1), oracle.encode(s2), n)
+    assert int(np.asarray(d)[0]) == expect
+
+
+def test_hdist_ignores_padding(rng):
+    # identical prefixes, different junk beyond length -> distance 0
+    a = PackedReads.from_ascii([b"ACGTACGTACGTACGTACGT"])          # 20 bases
+    b = PackedReads.from_ascii([b"ACGTACGTACGTACGTACGTTTTTTTTT"])  # 28 bases
+    d = hamming.hdist_words(a.words, b.words[:, : a.n_words], jnp.asarray([20]))
+    assert int(np.asarray(d)[0]) == 0
+
+
+def test_hdist_topk(rng):
+    q = random_seq(rng, 64).upper()
+    db_seqs = [q]  # exact match present
+    for i in range(1, 20):
+        s = bytearray(q)
+        for j in range(i):  # i mutations
+            s[j] = ord("A") if s[j] != ord("A") else ord("C")
+        db_seqs.append(bytes(s))
+    db = PackedReads.from_ascii(db_seqs)
+    qr = PackedReads.from_ascii([q])
+    dists, idxs = hamming.hdist_topk(qr.words[0], db.words, 64, 3)
+    assert int(idxs[0]) == 0 and int(dists[0]) == 0
+    assert list(np.asarray(dists)) == sorted(np.asarray(dists))
+
+
+# --- analysis ------------------------------------------------------------------
+
+@pytest.mark.parametrize("s,counts", [
+    (b"ACGT", (1, 1, 1, 1)), (b"AAAA", (4, 0, 0, 0)),
+    (b"CCCC", (0, 4, 0, 0)), (b"AACG", (2, 1, 1, 0)),
+    (b"ACGTA", (2, 1, 1, 1)),
+])
+def test_base_counts_golden(s, counts):
+    r = PackedReads.from_ascii([s])
+    got = np.asarray(analysis.base_counts_reads(r.words, r.lengths))[0]
+    assert tuple(got) == counts
+
+
+def test_analysis_vs_oracle_batch(rng):
+    lens = [1, 31, 32, 33, 100, 555]
+    seqs, r = make_batch(rng, lens)
+    bc = np.asarray(analysis.base_counts_reads(r.words, r.lengths))
+    gc = np.asarray(analysis.gc_content_reads(r.words, r.lengths))
+    for i, s in enumerate(seqs):
+        e = oracle.encode(s)
+        assert tuple(bc[i]) == oracle.base_counts(e, len(s))
+        assert abs(gc[i] - oracle.gc_content(e, len(s))) < 1e-3
+
+
+def test_gc_empty_read():
+    r = PackedReads(words=jnp.zeros((1, 2), jnp.uint32), lengths=jnp.asarray([0]))
+    assert float(analysis.gc_content_reads(r.words, r.lengths)[0]) == 0.0
+
+
+# --- split / slice / get --------------------------------------------------------
+
+def test_split_reads_vs_oracle(rng):
+    n = 100
+    s = random_seq(rng, n).upper()
+    r = PackedReads.from_ascii([s] * (n + 1))
+    idx = jnp.asarray(np.arange(n + 1, dtype=np.int32))
+    left, right = split.split_reads(r.words, r.lengths, idx)
+    from bitnuc_tpu.ops import codec
+
+    left_ascii = np.asarray(codec.decode_reads_xla(left, idx))
+    right_ascii = np.asarray(codec.decode_reads_xla(right, r.lengths - idx))
+    for i in range(n + 1):
+        assert bytes(left_ascii[i, :i]) == s[:i], i
+        assert bytes(right_ascii[i, : n - i]) == s[i:], i
+
+
+def test_slice_reads_vs_oracle(rng):
+    n = 200
+    s = random_seq(rng, n).upper()
+    r = PackedReads.from_ascii([s] * 6)
+    starts = jnp.asarray([0, 1, 31, 32, 150, 190], jnp.int32)
+    sizes = jnp.asarray([10, 33, 40, 16, 50, 50], jnp.int32)
+    out, out_len = split.slice_reads(r.words, r.lengths, starts, sizes)
+    from bitnuc_tpu.ops import codec
+
+    dec = np.asarray(codec.decode_reads_xla(out, out_len))
+    ol = np.asarray(out_len)
+    st, sz = np.asarray(starts), np.asarray(sizes)
+    for i in range(6):
+        expect = s[st[i] : min(st[i] + sz[i], n)]
+        assert ol[i] == len(expect)
+        assert bytes(dec[i, : ol[i]]) == expect, i
+
+
+def test_get_reads(rng):
+    s = random_seq(rng, 70).upper()
+    r = PackedReads.from_ascii([s] * 70)
+    idx = jnp.asarray(np.arange(70, dtype=np.int32))
+    got = np.asarray(split.get_reads(r.words, r.lengths, idx))
+    assert bytes(got) == s
+
+
+def test_get_reads_out_of_range():
+    r = PackedReads.from_ascii([b"ACGT"])
+    assert int(split.get_reads(r.words, r.lengths, jnp.asarray([4]))[0]) == 0
+
+
+# --- kmer ----------------------------------------------------------------------
+
+def test_kmer_keys_match_as_2bit(rng):
+    s = random_seq(rng, 64).upper()
+    r = PackedReads.from_ascii([s])
+    from bitnuc_tpu.utils import bitops
+
+    codes = bitops.unpack_words(r.words)
+    for k in [1, 2, 3, 4, 7, 8, 15, 16, 17, 21, 31, 32]:
+        lo, hi = kmer.kmer_keys(codes, k)
+        lo_np, hi_np = np.asarray(lo)[0], np.asarray(hi)[0]
+        for p in range(0, 64 - k + 1, 5):
+            expect = oracle.as_2bit(s[p : p + k])
+            got = (int(hi_np[p]) << 32) | int(lo_np[p])
+            assert got == expect, (k, p)
+
+
+def test_count_kmers_dense_readme():
+    r = PackedReads.from_ascii([b"ACGTACGT"])
+    hist = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, 4))
+    assert hist[oracle.as_2bit(b"ACGT")] == 2
+    assert hist.sum() == 5  # 8 - 4 + 1 windows
+
+
+@pytest.mark.parametrize("k", [1, 3, 4, 8, 11])
+def test_count_kmers_dense_vs_oracle(rng, k):
+    lens = [k, k + 1, 50, 100, 333]
+    seqs, r = make_batch(rng, lens)
+    hist = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, k))
+    expect = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            expect[key] = expect.get(key, 0) + c
+    assert hist.sum() == sum(expect.values())
+    for key, c in expect.items():
+        assert hist[key] == c
+
+
+@pytest.mark.parametrize("k", [4, 16, 17, 21, 31, 32])
+def test_count_kmers_sorted_vs_oracle(rng, k):
+    lens = [k, 100, 500]
+    seqs, r = make_batch(rng, lens)
+    lo, hi, counts, n_unique = kmer.count_kmers_sorted(r.words, r.lengths, k)
+    lo, hi, counts = np.asarray(lo), np.asarray(hi), np.asarray(counts)
+    n_unique = int(n_unique)
+    got = {}
+    for i in range(n_unique):
+        key = (int(hi[i]) << 32) | int(lo[i])
+        if counts[i] > 0:
+            got[key] = int(counts[i])
+    expect = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            expect[key] = expect.get(key, 0) + c
+    assert got == expect
+
+
+def test_count_kmers_shorter_than_k():
+    r = PackedReads.from_ascii([b"ACG"])  # shorter than k=4
+    hist = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, 4))
+    assert hist.sum() == 0
+
+
+def test_top_kmers():
+    r = PackedReads.from_ascii([b"AAAAAAAAAA"])  # 7 windows of AAAA
+    hist = kmer.count_kmers_dense(r.words, r.lengths, 4)
+    counts, keys = kmer.top_kmers(hist, 1)
+    assert int(counts[0]) == 7 and int(keys[0]) == 0
