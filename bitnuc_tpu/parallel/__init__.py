@@ -1,0 +1,4 @@
+from .mesh import make_mesh, pad_batch, replicate, shard_reads  # noqa: F401
+from .kmer import count_kmers_seqsharded, count_kmers_sharded  # noqa: F401
+from .search import hdist_many_to_many_sharded, hdist_search_sharded  # noqa: F401
+from . import runtime  # noqa: F401

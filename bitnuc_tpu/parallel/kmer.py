@@ -1,0 +1,101 @@
+"""Distributed k-mer counting.
+
+Two sharding regimes, both producing histograms identical to the single-device
+result (and to the reference README's HashMap semantics, README.md:164-180):
+
+  * batch-sharded (DP): each device counts its slab of reads into a local
+    dense histogram, merged with one psum over ICI. The merge is O(4^k)
+    per device regardless of batch size, so scaling is linear in reads.
+
+  * sequence-sharded (SP analog): one very long sequence's packed words are
+    sharded along the word axis; windows crossing a shard edge need the first
+    ceil((k-1)/16) words of the right neighbor — a halo exchange via
+    ppermute (the TPU analog of the reference's cross-word carry handling,
+    src/utils/functions/split.rs:83-94, lifted to the device level).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import kmer as kmer_ops
+from ..utils import bitops
+
+HALO_WORDS = 2  # ceil((k-1)/16) for k <= 32
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+def count_kmers_sharded(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """Dense k-mer histogram over a batch sharded on `axis`.
+
+    words: [B, W] uint32 (B divisible by mesh axis size), lengths: [B].
+    Returns a replicated [4^k] int32 histogram == the single-device result.
+    """
+
+    def local(words_loc, lengths_loc):
+        hist = kmer_ops.count_kmers_dense(words_loc, lengths_loc, k)
+        return jax.lax.psum(hist, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(),
+    )(words, lengths)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+def count_kmers_seqsharded(
+    words: jax.Array,
+    total_len: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis: str = "seq",
+) -> jax.Array:
+    """Dense k-mer histogram of ONE long sequence sharded along its words.
+
+    words: [Wtot] uint32, Wtot divisible by the mesh axis size; total_len:
+    scalar int32 total bases. Windows crossing shard boundaries are covered by
+    a (k-1)-base halo fetched from the right neighbor over ICI (ppermute).
+    Returns a replicated [4^k] int32 histogram.
+    """
+    n_shards = mesh.shape[axis]
+
+    def local(words_loc):
+        # words_loc: [W_loc] on each shard
+        W_loc = words_loc.shape[0]
+        me = jax.lax.axis_index(axis)
+        # halo: first HALO_WORDS words of the right neighbor (wraps at the
+        # end; the wrapped halo is masked out by the validity window below)
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo = jax.lax.ppermute(words_loc[:HALO_WORDS], axis, perm)
+        ext = jnp.concatenate([words_loc, halo])  # [W_loc + HALO_WORDS]
+
+        codes = bitops.unpack_words(ext[None, :])  # [1, 16*(W_loc+H)]
+        L_ext = codes.shape[-1]
+        lo, _ = kmer_ops.kmer_keys(codes, k)
+
+        base0 = me.astype(jnp.int32) * (W_loc * bitops.BASES_PER_WORD)
+        pos = jnp.arange(L_ext, dtype=jnp.int32)
+        # window must start in my shard and fit within the global sequence
+        valid = (pos < W_loc * bitops.BASES_PER_WORD) & (
+            base0 + pos <= jnp.asarray(total_len, jnp.int32) - k
+        )
+        keys = jnp.where(valid[None, :], lo, 0).reshape(-1).astype(jnp.int32)
+        wts = valid.astype(jnp.int32).reshape(-1)
+        hist = jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
+        return jax.lax.psum(hist, axis)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis), out_specs=P()
+    )(words)

@@ -1,0 +1,89 @@
+"""Distributed Hamming-distance database search.
+
+The BASELINE.json headline workload (config 5): a query k-mer/read scanned
+against a packed database of up to 1e8 entries, sharded across devices/hosts.
+Each device scans its slab (XOR + popcount, ops/hamming.py — the Pallas
+kernel twin lives in ops/pallas/hamming.py), takes a local top-k, and the
+per-device candidates are merged with one all_gather + final top-k. Traffic
+over ICI is O(devices * k), independent of database size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import hamming
+
+
+@partial(jax.jit, static_argnames=("topk", "mesh", "axis"))
+def hdist_search_sharded(
+    query: jax.Array,
+    db_words: jax.Array,
+    n_bases,
+    topk: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k nearest database rows to `query` by per-base Hamming distance.
+
+    query: [W] uint32 packed query — pass an unsharded/replicated array
+    (e.g. a row of the host-side PackedReads, not of the sharded copy:
+    indexing a sharded batch raises a ShardingTypeError under explicit
+    sharding). db_words: [D, W] uint32 sharded on `axis` (D divisible by
+    the axis size); n_bases: compare length.
+    Returns replicated (distances [topk], global_indices [topk]) ascending.
+    Padding rows (all-zero words) rank by their true distance; pad the
+    database with sentinel rows of distance > n_bases if exclusion matters.
+    """
+
+    def local(q, db_loc):
+        D_loc = db_loc.shape[0]
+        d = hamming.hdist_one_to_many(q, db_loc, n_bases)
+        kk = min(topk, D_loc)
+        neg, idx = jax.lax.top_k(-d, kk)
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
+        gidx = idx.astype(jnp.int32) + me * D_loc
+        return -neg, gidx
+
+    # per-device candidate lists stay sharded on `axis`; the final merge is a
+    # tiny top-k over n_dev * topk entries that GSPMD gathers for us.
+    cand_d, cand_i = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(axis), P(axis)),
+    )(query, db_words)
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    cand_d = jax.sharding.reshard(cand_d, repl)
+    cand_i = jax.sharding.reshard(cand_i, repl)
+    neg, sel = jax.lax.top_k(-cand_d, min(topk, cand_d.shape[0]))
+    return -neg, cand_i[sel]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def hdist_many_to_many_sharded(
+    queries: jax.Array,
+    db_words: jax.Array,
+    n_bases,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """All-pairs distance matrix [Q, D] with the database sharded on `axis`
+    and queries replicated. Output is sharded on its D column axis."""
+
+    def local(q, db_loc):
+        return jax.vmap(lambda one: hamming.hdist_one_to_many(one, db_loc, n_bases))(q)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(None, axis),
+    )(queries, db_words)

@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# sitecustomize force-registers the axon TPU platform and overrides
+# JAX_PLATFORMS, so switch explicitly after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,124 @@
+"""Distributed paths on the 8-device CPU mesh: sharded results must equal the
+single-device (and oracle) results exactly."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bitnuc_tpu import oracle, parallel
+from bitnuc_tpu.ops import hamming, kmer
+from bitnuc_tpu.sequence import PackedReads
+from conftest import random_seq
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_mesh((8,), ("data",))
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.shape["data"] == 8
+
+
+def test_shard_reads_pads_and_shards(mesh):
+    reads = PackedReads.from_ascii([b"ACGT"] * 5)  # 5 -> padded to 8
+    sharded = parallel.shard_reads(reads, mesh)
+    assert sharded.batch_size == 8
+    assert int(np.asarray(sharded.lengths)[5]) == 0  # padding is empty read
+
+
+def test_count_kmers_sharded_matches_local(rng, mesh):
+    k = 6
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(10, 300, 64)]
+    reads = PackedReads.from_ascii(seqs)
+    sharded = parallel.shard_reads(reads, mesh)
+    hist_sharded = np.asarray(
+        parallel.count_kmers_sharded(sharded.words, sharded.lengths, k, mesh)
+    )
+    hist_local = np.asarray(kmer.count_kmers_dense(reads.words, reads.lengths, k))
+    np.testing.assert_array_equal(hist_sharded, hist_local)
+    # and vs oracle
+    expect = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            expect[key] = expect.get(key, 0) + c
+    assert hist_sharded.sum() == sum(expect.values())
+
+
+@pytest.mark.parametrize("k", [4, 11])
+def test_count_kmers_seqsharded_matches_oracle(rng, k, mesh):
+    # one long sequence, words sharded across 8 devices; windows cross shards
+    n = 16 * 128 - 5  # not word-aligned end
+    s = random_seq(rng, n).upper()
+    reads = PackedReads.from_ascii([s])
+    Wtot = reads.n_words  # 256 u32 words -> 32 per shard
+    words = jnp.asarray(np.asarray(reads.words)[0])
+    seq_mesh = parallel.make_mesh((8,), ("seq",))
+    hist = np.asarray(
+        parallel.count_kmers_seqsharded(words, jnp.int32(n), k, seq_mesh)
+    )
+    expect = oracle.count_kmers(s, k)
+    assert hist.sum() == sum(expect.values()) == n - k + 1
+    for key, c in expect.items():
+        assert hist[key] == c, key
+
+
+def test_hdist_search_sharded_matches_local(rng, mesh):
+    n = 64
+    D = 512
+    q = random_seq(rng, n).upper()
+    db_seqs = [random_seq(rng, n).upper() for _ in range(D)]
+    db_seqs[137] = q  # plant an exact match off the first shard
+    db = PackedReads.from_ascii(db_seqs)
+    qr = PackedReads.from_ascii([q])
+    db_sh = parallel.shard_reads(db, mesh)
+
+    d_sh, i_sh = parallel.hdist_search_sharded(
+        qr.words[0], db_sh.words, n, 10, mesh
+    )
+    d_loc, i_loc = hamming.hdist_topk(qr.words[0], db.words, n, 10)
+    np.testing.assert_array_equal(np.asarray(d_sh), np.asarray(d_loc))
+    assert int(np.asarray(i_sh)[0]) == 137
+    # same candidate set (indices may tie-break differently across shards)
+    all_d = np.asarray(hamming.hdist_one_to_many(qr.words[0], db.words, n))
+    np.testing.assert_array_equal(np.asarray(d_sh), np.sort(all_d)[:10])
+
+
+def test_hdist_many_to_many_sharded(rng, mesh):
+    n = 32
+    qs = [random_seq(rng, n).upper() for _ in range(4)]
+    db_seqs = [random_seq(rng, n).upper() for _ in range(64)]
+    q = PackedReads.from_ascii(qs)
+    db = PackedReads.from_ascii(db_seqs)
+    db_sh = parallel.shard_reads(db, mesh)
+    mat = np.asarray(
+        parallel.hdist_many_to_many_sharded(q.words, db_sh.words, n, mesh)
+    )
+    for i, qi in enumerate(qs):
+        for j, dj in enumerate(db_seqs):
+            assert mat[i, j] == oracle.hdist(oracle.encode(qi), oracle.encode(dj), n)
+
+
+def test_encode_under_pjit_batch_sharding(rng, mesh):
+    """encode_reads composes with jit + batch sharding (GSPMD path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitnuc_tpu.ops import codec
+
+    seqs = [random_seq(rng, 100).upper() for _ in range(16)]
+    arr = np.stack([np.frombuffer(s, np.uint8) for s in seqs])
+    lens = np.full(16, 100, np.int32)
+    a = jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P("data", None)))
+    l = jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P("data")))
+    words, first_bad = codec.encode_reads_xla(a, l)
+    assert np.all(np.asarray(first_bad) == -1)
+    got = np.asarray(words)
+    from bitnuc_tpu.utils import bitops
+
+    u64 = bitops.words_u32_to_u64_np(got)
+    for i, s in enumerate(seqs):
+        e = oracle.encode(s)
+        np.testing.assert_array_equal(u64[i, : len(e)], e)
