@@ -1,0 +1,90 @@
+"""Pallas-vs-XLA parity tests (interpret mode on CPU).
+
+The analog of the reference's simd/nosimd CI-matrix equivalence
+(.github/workflows/ci.yml:29-51) — but stronger: both lowerings are diffed
+directly in one process, for the same battery of lengths that the reference
+sweeps (per-length SIMD tier boundaries, src/utils/unpacking/avx.rs:172-182).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bitnuc_tpu.ops import codec  # noqa: E402
+from bitnuc_tpu.ops.pallas import pack, unpack  # noqa: E402
+
+from conftest import random_seq  # noqa: E402
+
+
+CASES = [(1, 1), (3, 50), (7, 2048), (33, 2049), (300, 5000), (17, 33)]
+
+
+@pytest.mark.parametrize("B,L", CASES)
+def test_pack_parity(rng, B, L):
+    ascii_np = rng.choice(np.frombuffer(b"ACGTacgt", dtype=np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    w1, fb1 = codec.encode_reads_xla(jnp.asarray(ascii_np), jnp.asarray(lens))
+    w2, fb2 = pack.encode_reads_pallas(
+        jnp.asarray(ascii_np), jnp.asarray(lens), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(fb1), np.asarray(fb2))
+
+
+@pytest.mark.parametrize("B,L", CASES)
+def test_pack_parity_invalid_bytes(rng, B, L):
+    ascii_np = rng.choice(np.frombuffer(b"ACGTacgt", dtype=np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    bad = ascii_np.copy()
+    bad[0, L // 2] = ord("N")
+    if B > 1 and L > 1:
+        bad[1, 0] = ord("x")
+        bad[-1, L - 1] = 0
+    w1, fb1 = codec.encode_reads_xla(jnp.asarray(bad), jnp.asarray(lens))
+    w2, fb2 = pack.encode_reads_pallas(
+        jnp.asarray(bad), jnp.asarray(lens), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(fb1), np.asarray(fb2))
+
+
+@pytest.mark.parametrize("B,L", CASES)
+def test_unpack_parity(rng, B, L):
+    ascii_np = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    words, _ = codec.encode_reads_xla(jnp.asarray(ascii_np), jnp.asarray(lens))
+    d1 = codec.decode_reads_xla(words, jnp.asarray(lens))
+    d2 = unpack.decode_reads_pallas(words, jnp.asarray(lens), interpret=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    d1 = codec.decode_reads_xla(words, jnp.asarray(lens), max_len=L)
+    d2 = unpack.decode_reads_pallas(
+        words, jnp.asarray(lens), max_len=L, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_pack_golden_acgt():
+    """README example through the Pallas path: ACGT -> 0b11100100."""
+    a = jnp.asarray(np.frombuffer(b"ACGT", np.uint8)[None, :])
+    w, fb = pack.encode_reads_pallas(a, jnp.asarray([4], jnp.int32), interpret=True)
+    u64 = np.asarray(w).view(np.uint64)
+    assert u64[0, 0] == 0b11100100
+    assert int(fb[0]) == -1
+
+
+def test_roundtrip_through_pallas(rng):
+    seqs = [random_seq(rng, n) for n in (1, 31, 32, 33, 100, 1000)]
+    L = max(len(s) for s in seqs)
+    arr = np.zeros((len(seqs), L), np.uint8)
+    lens = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    w, fb = pack.encode_reads_pallas(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
+    assert np.all(np.asarray(fb) == -1)
+    out = unpack.decode_reads_pallas(w, jnp.asarray(lens), interpret=True)
+    out_np = np.asarray(out)
+    for i, s in enumerate(seqs):
+        assert bytes(out_np[i, : lens[i]]) == s.upper()
