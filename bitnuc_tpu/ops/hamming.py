@@ -3,9 +3,20 @@
 TPU-native analog of the reference hdist family
 (src/utils/functions/hamming/scalar.rs:11-48, multi.rs:122-160): XOR the
 packed streams, collapse each 2-bit group to one bit (lower | upper>>1,
-scalar.rs:40-44), mask to the valid length, popcount. All lanes are uint32;
-`lax.population_count` is the popcount. Batched over reads and over database
-entries — the reference processes one pair per call.
+scalar.rs:40-44), mask to the valid length, popcount, reduce over words.
+Batched over reads and database entries — the reference processes one pair
+per call.
+
+Two v5e compiler findings shape the formulation (measured on chip):
+
+  * XLA serializes when the xor/shift/popcount chain is FUSED into a reduce
+    or dot operand (25 ms for a 1M x 32 scan). An optimization_barrier
+    between the popcount and the word-axis reduction keeps both sides on the
+    fast vector path (59 us — ~430x).
+  * Variadic reduces (argmin, lax.top_k) also serialize (26 ms over 1M).
+    Exact top-k is instead extracted iteratively with single-value reduces:
+    k rounds of (min, index-of-min, mask-out) inside one fori_loop (79 us).
+    Ties resolve to the lowest index, deterministically.
 """
 
 from __future__ import annotations
@@ -16,6 +27,25 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import bitops
+
+
+def _popcount_diff(words1: jax.Array, words2: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-word per-base difference counts, barriered against reduce fusion."""
+    diff = bitops.basewise_diff(words1, words2) & mask
+    return jax.lax.optimization_barrier(bitops.popcount32(diff))
+
+
+def _sum_words(p: jax.Array) -> jax.Array:
+    """Sum over the trailing word axis via an MXU dot (values <= 16 per word,
+    exact in f32 for any W < 2^20)."""
+    W = p.shape[-1]
+    s = jax.lax.dot_general(
+        p.astype(jnp.float32),
+        jnp.ones((W,), jnp.float32),
+        dimension_numbers=(((p.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return s.astype(jnp.int32)
 
 
 @jax.jit
@@ -29,26 +59,65 @@ def hdist_words(words1: jax.Array, words2: jax.Array, n_bases: jax.Array) -> jax
     W = words1.shape[-1]
     n_bases = jnp.asarray(n_bases, jnp.int32)
     mask = bitops.word_valid_mask(W, n_bases)
-    diff = bitops.basewise_diff(words1, words2) & mask
-    return jnp.sum(bitops.popcount32(diff), axis=-1)
+    return _sum_words(_popcount_diff(words1, words2, mask))
 
 
 @jax.jit
 def hdist_one_to_many(query: jax.Array, database: jax.Array, n_bases) -> jax.Array:
     """Distance from one packed query [W] to every database row [D, W].
 
-    The building block of the hdist database scan (BASELINE.json config 5);
-    the Pallas kernel in ops/pallas/hamming.py is the throughput twin.
-    """
+    The building block of the hdist database scan (BASELINE.json config 5)."""
     return hdist_words(query[None, :], database, jnp.asarray(n_bases, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_smallest(values: jax.Array, k: int):
+    """Exact k smallest of a 1-D int array with their indices, ascending;
+    ties broken by lowest index. Uses only single-value reduces (lax.top_k
+    serializes on TPU — see module docstring)."""
+    n = values.shape[0]
+    big = jnp.int32(2**30)
+    idx_range = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, st):
+        vals, outd, outi = st
+        m = jnp.min(vals)
+        im = jnp.min(jnp.where(vals == m, idx_range, big))
+        vals = vals.at[im].set(big)
+        return vals, outd.at[i].set(m), outi.at[i].set(im)
+
+    # derive the accumulators from `values` so they carry the same varying
+    # manual axes under shard_map (a fresh zeros() would be unvarying and
+    # fail the fori_loop carry type check)
+    zero = (values[0] & 0).astype(jnp.int32)
+    outd0 = jnp.zeros(k, jnp.int32) + zero
+    outi0 = jnp.zeros(k, jnp.int32) + zero
+    _, outd, outi = jax.lax.fori_loop(
+        0, min(k, n), body, (values.astype(jnp.int32), outd0, outi0)
+    )
+    return outd, outi
 
 
 @partial(jax.jit, static_argnames=("k",))
 def hdist_topk(query: jax.Array, database: jax.Array, n_bases, k: int):
     """Top-k nearest database rows by Hamming distance.
 
-    Returns (distances [k], indices [k]) sorted ascending by distance.
-    """
+    Returns (distances [k], indices [k]) sorted ascending by distance
+    (ties by index)."""
     d = hdist_one_to_many(query, database, n_bases)
-    neg, idx = jax.lax.top_k(-d, k)
-    return -neg, idx
+    return topk_smallest(d, k)
+
+
+@jax.jit
+def hdist_many_to_many(
+    queries: jax.Array, database: jax.Array, n_bases
+) -> jax.Array:
+    """All-pairs distance matrix: [Q, W] x [D, W] -> [Q, D] int32.
+
+    The word-axis contraction runs on the MXU as [Q*D, W] @ ones after the
+    broadcasted diff; for large Q*D prefer sharding (parallel/search.py)."""
+    W = database.shape[-1]
+    n_bases = jnp.asarray(n_bases, jnp.int32)
+    mask = bitops.word_valid_mask(W, n_bases)
+    p = _popcount_diff(queries[:, None, :], database[None, :, :], mask)
+    return _sum_words(p)

@@ -107,6 +107,58 @@ def count_kmers_dense(words: jax.Array, lengths: jax.Array, k: int) -> jax.Array
     return jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
 
 
+MAX_MXU_K = 8  # matmul histogram: FLOPs scale as 4^k * N, wins up to ~k=8
+
+
+@partial(jax.jit, static_argnames=("k",))
+def count_kmers_dense_mxu(words: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+    """Dense k-mer histogram as an MXU contraction (scatter-free).
+
+    XLA's scatter-add serializes on TPU (~60 Mkeys/s measured); the MXU does
+    not. Split each key into hi/lo digits and count every (hi, lo) pair with
+    one matmul over the window axis:
+
+        hist2d = onehot(hi)^T @ onehot(lo)        # [n_hi, n_lo], f32 accum
+
+    The one-hots are comparison-generated and fused into the matmul by XLA;
+    f32 accumulation of 0/1 values is exact below 2^24 per bin, and windows
+    are processed in <=2^22-slab chunks so no bin update can lose integer
+    precision. Bin i of the flattened result counts windows whose packed
+    value is i — identical to the README HashMap semantics (README.md:164-180).
+    """
+    assert k <= MAX_MXU_K, f"matmul histogram capped at k={MAX_MXU_K}"
+    codes = bitops.unpack_words(words)
+    L = codes.shape[-1]
+    lo_keys, _ = kmer_keys(codes, k)
+    valid = window_valid_mask(L, lengths, k)
+    keys = jnp.where(valid, lo_keys, 0).astype(jnp.int32).reshape(-1)
+    wts = valid.reshape(-1)
+
+    lo_bits = k  # 2k key bits split evenly
+    n_lo = 1 << lo_bits
+    n_hi = (4**k) >> lo_bits
+    hi_d = keys >> lo_bits
+    lo_d = keys & (n_lo - 1)
+
+    CHUNK = 1 << 22
+    N = keys.shape[0]
+    hist2d = jnp.zeros((n_hi, n_lo), jnp.int32)
+    for s in range(0, N, CHUNK):
+        h = hi_d[s : s + CHUNK]
+        l = lo_d[s : s + CHUNK]
+        w = wts[s : s + CHUNK]
+        a = ((h[:, None] == jnp.arange(n_hi, dtype=jnp.int32)[None, :]) & w[:, None])
+        b = l[:, None] == jnp.arange(n_lo, dtype=jnp.int32)[None, :]
+        part = jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hist2d = hist2d + part.astype(jnp.int32)
+    return hist2d.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def count_kmers_sorted(
     words: jax.Array, lengths: jax.Array, k: int
@@ -148,11 +200,16 @@ def count_kmers_sorted(
 def count_kmers_reads(words: jax.Array, lengths: jax.Array, k: int, mode: str = "auto"):
     """Count k-mers over a batch of packed reads.
 
-    mode='dense' -> [4^k] histogram; mode='sorted' -> sparse (keys, counts);
-    'auto' picks dense for k <= MAX_DENSE_K.
+    mode='dense'/'mxu' -> [4^k] histogram (scatter / matmul lowering);
+    mode='sorted' -> sparse (keys, counts); 'auto' picks the matmul histogram
+    up to MAX_MXU_K, scatter-dense up to MAX_DENSE_K, sorted beyond.
     """
     if mode == "auto":
-        mode = "dense" if k <= MAX_DENSE_K else "sorted"
+        mode = (
+            "mxu" if k <= MAX_MXU_K else "dense" if k <= MAX_DENSE_K else "sorted"
+        )
+    if mode == "mxu":
+        return count_kmers_dense_mxu(words, lengths, k)
     if mode == "dense":
         return count_kmers_dense(words, lengths, k)
     if mode == "sorted":

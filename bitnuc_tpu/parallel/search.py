@@ -44,11 +44,9 @@ def hdist_search_sharded(
     def local(q, db_loc):
         D_loc = db_loc.shape[0]
         d = hamming.hdist_one_to_many(q, db_loc, n_bases)
-        kk = min(topk, D_loc)
-        neg, idx = jax.lax.top_k(-d, kk)
+        dd, idx = hamming.topk_smallest(d, min(topk, D_loc))
         me = jax.lax.axis_index(axis).astype(jnp.int32)
-        gidx = idx.astype(jnp.int32) + me * D_loc
-        return -neg, gidx
+        return dd, idx + me * D_loc
 
     # per-device candidate lists stay sharded on `axis`; the final merge is a
     # tiny top-k over n_dev * topk entries that GSPMD gathers for us.
@@ -63,8 +61,8 @@ def hdist_search_sharded(
     repl = NamedSharding(mesh, P())
     cand_d = jax.sharding.reshard(cand_d, repl)
     cand_i = jax.sharding.reshard(cand_i, repl)
-    neg, sel = jax.lax.top_k(-cand_d, min(topk, cand_d.shape[0]))
-    return -neg, cand_i[sel]
+    dd, sel = hamming.topk_smallest(cand_d, min(topk, cand_d.shape[0]))
+    return dd, cand_i[sel]
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
@@ -79,7 +77,7 @@ def hdist_many_to_many_sharded(
     and queries replicated. Output is sharded on its D column axis."""
 
     def local(q, db_loc):
-        return jax.vmap(lambda one: hamming.hdist_one_to_many(one, db_loc, n_bases))(q)
+        return hamming.hdist_many_to_many(q, db_loc, n_bases)
 
     return jax.shard_map(
         local,
