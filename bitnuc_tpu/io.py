@@ -1,0 +1,148 @@
+"""Persistence and sequence-file ingestion.
+
+The reference crate has no I/O of any kind (SURVEY.md §5: no serde, no file
+handles) — callers bring their own. A framework needs both ends of the pipe:
+
+  * checkpoint/resume: PackedReads persist as .npz of the packed uint32 word
+    array + lengths (2 bits/base on disk, the same 4x-smaller-than-ASCII
+    claim as the reference, README.md:124-136). Deterministic kernels make
+    re-runs from a checkpoint trivially safe.
+  * ingestion: FASTA/FASTQ -> PackedReads batches. Parsing is host-side
+    numpy (byte-level, vectorized); packing happens on device in one jitted
+    call per batch. The native C++ path (bitnuc_tpu/native) covers per-call
+    host packing.
+"""
+
+from __future__ import annotations
+
+import io as _stdio
+import os
+from typing import Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .sequence import PackedReads
+
+PathLike = Union[str, os.PathLike]
+
+
+# -- checkpoint / resume ------------------------------------------------------
+
+
+def save_packed(path: PathLike, reads: PackedReads) -> None:
+    """Persist a PackedReads batch as .npz (packed words + lengths)."""
+    np.savez_compressed(
+        path,
+        words=np.asarray(reads.words, dtype=np.uint32),
+        lengths=np.asarray(reads.lengths, dtype=np.int32),
+    )
+
+
+def load_packed(path: PathLike) -> PackedReads:
+    """Load a PackedReads batch saved by save_packed."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        return PackedReads(
+            words=jnp.asarray(z["words"]), lengths=jnp.asarray(z["lengths"])
+        )
+
+
+# -- FASTA / FASTQ parsing ----------------------------------------------------
+
+
+def _split_records_fasta(data: bytes) -> Tuple[List[bytes], List[bytes]]:
+    """(names, sequences) from FASTA bytes; sequences may span lines."""
+    names: List[bytes] = []
+    seqs: List[bytes] = []
+    if not data:
+        return names, seqs
+    chunks = data.split(b">")
+    for chunk in chunks:
+        if not chunk.strip():
+            continue
+        nl = chunk.find(b"\n")
+        if nl < 0:
+            names.append(chunk.strip())
+            seqs.append(b"")
+            continue
+        names.append(chunk[:nl].strip())
+        seqs.append(chunk[nl + 1 :].replace(b"\n", b"").replace(b"\r", b""))
+    return names, seqs
+
+
+def _split_records_fastq(data: bytes) -> Tuple[List[bytes], List[bytes]]:
+    """(names, sequences) from FASTQ bytes (4-line records)."""
+    lines = data.split(b"\n")
+    names: List[bytes] = []
+    seqs: List[bytes] = []
+    n_full = len(lines) // 4
+    for i in range(n_full):
+        h = lines[4 * i]
+        if not h.startswith(b"@"):
+            raise ValueError(f"malformed FASTQ header at record {i}: {h[:40]!r}")
+        names.append(h[1:].strip())
+        seqs.append(lines[4 * i + 1].strip())
+    return names, seqs
+
+
+def _read_bytes(path_or_data) -> bytes:
+    if isinstance(path_or_data, (bytes, bytearray)):
+        return bytes(path_or_data)
+    if isinstance(path_or_data, _stdio.IOBase):
+        return path_or_data.read()
+    p = os.fspath(path_or_data)
+    if p.endswith(".gz"):
+        import gzip
+
+        with gzip.open(p, "rb") as f:
+            return f.read()
+    with open(p, "rb") as f:
+        return f.read()
+
+
+def read_fasta(
+    path_or_data, max_len: Optional[int] = None, validate: bool = True
+) -> Tuple[List[bytes], PackedReads]:
+    """Parse FASTA (path, .gz path, bytes, or file object) -> (names, reads)."""
+    names, seqs = _split_records_fasta(_read_bytes(path_or_data))
+    return names, PackedReads.from_ascii(seqs, max_len=max_len, validate=validate)
+
+
+def read_fastq(
+    path_or_data, max_len: Optional[int] = None, validate: bool = True
+) -> Tuple[List[bytes], PackedReads]:
+    """Parse FASTQ (path, .gz path, bytes, or file object) -> (names, reads)."""
+    names, seqs = _split_records_fastq(_read_bytes(path_or_data))
+    return names, PackedReads.from_ascii(seqs, max_len=max_len, validate=validate)
+
+
+def iter_fastq_batches(
+    path: PathLike,
+    batch_size: int,
+    max_len: Optional[int] = None,
+    validate: bool = True,
+) -> Iterator[PackedReads]:
+    """Stream a FASTQ file in fixed-size PackedReads batches (the data-loader
+    shape for device pipelines: host parses batch i+1 while the device packs
+    and processes batch i thanks to JAX async dispatch)."""
+    buf: List[bytes] = []
+    opener = open
+    if os.fspath(path).endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    with opener(path, "rb") as f:
+        while True:
+            header = f.readline()
+            if not header:
+                break
+            seq = f.readline().strip()
+            f.readline()  # '+'
+            f.readline()  # quality
+            buf.append(seq)
+            if len(buf) == batch_size:
+                yield PackedReads.from_ascii(buf, max_len=max_len, validate=validate)
+                buf = []
+    if buf:
+        yield PackedReads.from_ascii(buf, max_len=max_len, validate=validate)

@@ -1,0 +1,60 @@
+"""I/O subsystem: checkpoint roundtrip, FASTA/FASTQ ingestion."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from bitnuc_tpu import io as bnio
+from bitnuc_tpu.sequence import PackedReads
+
+from conftest import random_seq
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    seqs = [random_seq(rng, n) for n in (5, 64, 200)]
+    reads = PackedReads.from_ascii(seqs)
+    p = tmp_path / "ckpt.npz"
+    bnio.save_packed(p, reads)
+    back = bnio.load_packed(p)
+    assert np.array_equal(np.asarray(back.words), np.asarray(reads.words))
+    assert np.array_equal(np.asarray(back.lengths), np.asarray(reads.lengths))
+    assert back.to_ascii() == [s.upper() for s in seqs]
+
+
+def test_read_fasta_multiline(tmp_path):
+    fa = b">r1 desc\nACGT\nACGT\n>r2\nTTTT\n>empty\n>r3\ngggg\n"
+    names, reads = bnio.read_fasta(fa)
+    assert names == [b"r1 desc", b"r2", b"empty", b"r3"]
+    assert reads.to_ascii() == [b"ACGTACGT", b"TTTT", b"", b"GGGG"]
+    p = tmp_path / "x.fa"
+    p.write_bytes(fa)
+    names2, reads2 = bnio.read_fasta(p)
+    assert names2 == names and reads2.to_ascii() == reads.to_ascii()
+
+
+def test_read_fastq_and_gz(tmp_path):
+    fq = b"@r1\nACGTA\n+\nIIIII\n@r2\nGG\n+\nII\n"
+    names, reads = bnio.read_fastq(fq)
+    assert names == [b"r1", b"r2"]
+    assert reads.to_ascii() == [b"ACGTA", b"GG"]
+    p = tmp_path / "x.fq.gz"
+    p.write_bytes(gzip.compress(fq))
+    names2, reads2 = bnio.read_fastq(p)
+    assert names2 == names and reads2.to_ascii() == reads.to_ascii()
+
+
+def test_iter_fastq_batches(tmp_path, rng):
+    seqs = [random_seq(rng, 10 + i) for i in range(10)]
+    fq = b"".join(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)) for i, s in enumerate(seqs))
+    p = tmp_path / "b.fq"
+    p.write_bytes(fq)
+    batches = list(bnio.iter_fastq_batches(p, batch_size=4))
+    assert [len(b) for b in batches] == [4, 4, 2]
+    got = [r for b in batches for r in b.to_ascii()]
+    assert got == [s.upper() for s in seqs]
+
+
+def test_read_fastq_malformed():
+    with pytest.raises(ValueError):
+        bnio.read_fastq(b"not-a-header\nACGT\n+\nIIII\n")
