@@ -9,11 +9,11 @@ host codec in bitnuc_tpu/native (same SIMD-class algorithm as the reference's
 AVX2 path, src/utils/packing/avx.rs). vs_baseline = device bases/sec divided
 by that single-core CPU bases/sec; the BASELINE.json target is >= 10x.
 
-Device timing uses the serialized harness (bitnuc_tpu/utils/timing.py): the
-op runs N times inside one jit with a data dependency threaded through the
-iterations, because per-call wall timing under-measures through the async
-dispatch tunnel. The dependency is a zero derived from the previous result,
-folded into a tiny input (lengths / query) so it adds no meaningful traffic.
+Device timing uses the elision-proof harness (bitnuc_tpu/utils/timing.py):
+one jit applies the op to K distinct device-generated inputs and sums every
+result element — per-call wall timing through the async dispatch tunnel, and
+every in-loop amplification scheme tried, produce fictitious rates (see the
+module docstring for the observed compiler cheats).
 
 Run `python bench.py --all` for the full suite (encode, decode, hdist scan,
 k-mer histograms, memcpy calibration) as one JSON line per workload.
@@ -48,35 +48,23 @@ def _cpu_baseline_bases_per_sec() -> float:
     return len(seq) / best
 
 
-def _zero_of(result):
-    """int32 zero that data-depends on `result` (defeats loop elision)."""
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(result)[0]
-    return (leaf.reshape(-1)[0] & 0).astype("int32")
-
-
 def bench_encode(batch=1024, read_len=32768):
     import jax
     import jax.numpy as jnp
 
     from bitnuc_tpu.ops import codec
-    from bitnuc_tpu.utils.timing import serialized_seconds_per_call
 
-    rng = np.random.default_rng(1)
-    ascii_u8 = jax.device_put(
-        jnp.asarray(
-            rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(batch, read_len))
+    from bitnuc_tpu.utils import bitops
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    def make(key):
+        codes = jax.random.randint(key, (batch, read_len), 0, 4, jnp.int32)
+        return (
+            bitops.code_to_ascii(codes),
+            jnp.full((batch,), read_len, jnp.int32),
         )
-    )
-    lengths = jax.device_put(jnp.asarray(np.full((batch,), read_len, np.int32)))
 
-    t = serialized_seconds_per_call(
-        lambda z: codec.encode_reads(ascii_u8, lengths + z)[0],
-        lambda z, words: _zero_of(words),
-        jnp.int32(0),
-        iters=30,
-    )
+    t = amortized_seconds_per_call(codec.encode_reads, make)
     return batch * read_len / t
 
 
@@ -85,20 +73,16 @@ def bench_decode(batch=1024, read_len=32768):
     import jax.numpy as jnp
 
     from bitnuc_tpu.ops import codec
-    from bitnuc_tpu.utils.timing import serialized_seconds_per_call
 
-    rng = np.random.default_rng(2)
     W = 2 * (-(-read_len // 32))
-    words = jax.device_put(
-        jnp.asarray(rng.integers(0, 2**32, size=(batch, W), dtype=np.uint32))
-    )
-    lengths = jax.device_put(jnp.asarray(np.full((batch,), read_len, np.int32)))
-    t = serialized_seconds_per_call(
-        lambda z: codec.decode_reads(words, lengths + z),
-        lambda z, out: _zero_of(out),
-        jnp.int32(0),
-        iters=30,
-    )
+
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    def make(key):
+        w = jax.random.bits(key, (batch, W), jnp.uint32)
+        return (w, jnp.full((batch,), read_len, jnp.int32))
+
+    t = amortized_seconds_per_call(codec.decode_reads, make)
     return batch * read_len / t
 
 
@@ -108,21 +92,20 @@ def bench_hdist(db=1 << 20, read_len=512):
     import jax.numpy as jnp
 
     from bitnuc_tpu.ops import hamming
-    from bitnuc_tpu.utils.timing import serialized_seconds_per_call
 
-    rng = np.random.default_rng(3)
     W = 2 * (-(-read_len // 32))
-    db_words = jax.device_put(
-        jnp.asarray(rng.integers(0, 2**32, size=(db, W), dtype=np.uint32))
-    )
-    q0 = jax.device_put(
-        jnp.asarray(rng.integers(0, 2**32, size=(W,), dtype=np.uint32))
-    )
-    t = serialized_seconds_per_call(
-        lambda q: hamming.hdist_topk(q, db_words, read_len, 16),
-        lambda q, res: q ^ (res[0][0].astype(jnp.uint32) & 0),
-        q0,
-        iters=20,
+
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    def make(key):
+        k1, k2 = jax.random.split(key)
+        return (
+            jax.random.bits(k1, (W,), jnp.uint32),
+            jax.random.bits(k2, (db, W), jnp.uint32),
+        )
+
+    t = amortized_seconds_per_call(
+        lambda q, d: hamming.hdist_topk(q, d, read_len, 16), make
     )
     return db * read_len / t
 
@@ -132,19 +115,17 @@ def bench_kmer(batch=256, read_len=16384, k=8, mode="mxu"):
     import jax.numpy as jnp
 
     from bitnuc_tpu.ops import kmer
-    from bitnuc_tpu.utils.timing import serialized_seconds_per_call
 
-    rng = np.random.default_rng(4)
     W = 2 * (-(-read_len // 32))
-    words = jax.device_put(
-        jnp.asarray(rng.integers(0, 2**32, size=(batch, W), dtype=np.uint32))
-    )
-    lengths = jax.device_put(jnp.asarray(np.full((batch,), read_len, np.int32)))
-    t = serialized_seconds_per_call(
-        lambda z: kmer.count_kmers_reads(words, lengths + z, k, mode=mode),
-        lambda z, res: _zero_of(res),
-        jnp.int32(0),
-        iters=10,
+
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    def make(key):
+        w = jax.random.bits(key, (batch, W), jnp.uint32)
+        return (w, jnp.full((batch,), read_len, jnp.int32))
+
+    t = amortized_seconds_per_call(
+        lambda w, l: kmer.count_kmers_reads(w, l, k, mode=mode), make
     )
     return batch * (read_len - k + 1) / t
 
@@ -154,19 +135,14 @@ def bench_memcpy(mbytes=128):
     import jax
     import jax.numpy as jnp
 
-    from bitnuc_tpu.utils.timing import serialized_seconds_per_call
-
-    rng = np.random.default_rng(5)
     n = mbytes * (1 << 20) // 4
-    big = jax.device_put(
-        jnp.asarray(rng.integers(0, 2**32, size=(n,), dtype=np.uint32))
-    )
-    t = serialized_seconds_per_call(
-        lambda c: big ^ c,
-        lambda c, r: r.reshape(-1)[0],
-        jnp.uint32(1),
-        iters=20,
-    )
+
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    def make(key):
+        return (jax.random.bits(key, (n,), jnp.uint32),)
+
+    t = amortized_seconds_per_call(lambda x: x ^ jnp.uint32(0x9E3779B9), make)
     return 2 * mbytes / 1024 / t
 
 

@@ -1,1 +1,1 @@
-from . import codec  # noqa: F401
+from . import analysis, codec, hamming, kmer, revcomp, split  # noqa: F401

@@ -114,10 +114,11 @@ def hdist_many_to_many(
 ) -> jax.Array:
     """All-pairs distance matrix: [Q, W] x [D, W] -> [Q, D] int32.
 
-    The word-axis contraction runs on the MXU as [Q*D, W] @ ones after the
-    broadcasted diff; for large Q*D prefer sharding (parallel/search.py)."""
-    W = database.shape[-1]
+    Scans over queries so the barriered popcount intermediate stays [D, W]
+    (one query row at a time) instead of [Q, D, W] — the full broadcast
+    would materialize Q x D x W x 4 bytes. One database pass per query;
+    for database-bound workloads shard D instead (parallel/search.py)."""
     n_bases = jnp.asarray(n_bases, jnp.int32)
-    mask = bitops.word_valid_mask(W, n_bases)
-    p = _popcount_diff(queries[:, None, :], database[None, :, :], mask)
-    return _sum_words(p)
+    return jax.lax.map(
+        lambda q: hdist_one_to_many(q, database, n_bases), queries
+    )

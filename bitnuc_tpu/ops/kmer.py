@@ -90,18 +90,30 @@ def window_valid_mask(L: int, lengths: jax.Array, k: int) -> jax.Array:
     return pos <= (jnp.asarray(lengths, jnp.int32)[..., None] - k)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def count_kmers_dense(words: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+def _window_keys(words, lengths, k: int, canonical: bool):
+    """(lo, hi, valid) window keys over a packed batch; canonical=True maps
+    each key to min(key, revcomp(key)) (strand-insensitive counting)."""
+    codes = bitops.unpack_words(words)
+    L = codes.shape[-1]
+    lo, hi = kmer_keys(codes, k)
+    if canonical:
+        from . import revcomp
+
+        lo, hi = revcomp.canonical_keys(lo, hi, k)
+    return lo, hi, window_valid_mask(L, lengths, k)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers_dense(
+    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+) -> jax.Array:
     """Dense k-mer histogram over a batch: [B, W] packed words -> [4^k] int32.
 
     Device analog of the README HashMap loop (README.md:164-180); bin i holds
     the count of windows whose as_2bit value is i. k <= MAX_DENSE_K.
     """
     assert k <= MAX_DENSE_K, f"dense histogram capped at k={MAX_DENSE_K}"
-    codes = bitops.unpack_words(words)
-    L = codes.shape[-1]
-    lo, _ = kmer_keys(codes, k)
-    valid = window_valid_mask(L, lengths, k)
+    lo, _, valid = _window_keys(words, lengths, k, canonical)
     keys = jnp.where(valid, lo, 0).reshape(-1).astype(jnp.int32)
     wts = valid.astype(jnp.int32).reshape(-1)
     return jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
@@ -110,8 +122,10 @@ def count_kmers_dense(words: jax.Array, lengths: jax.Array, k: int) -> jax.Array
 MAX_MXU_K = 8  # matmul histogram: FLOPs scale as 4^k * N, wins up to ~k=8
 
 
-@partial(jax.jit, static_argnames=("k",))
-def count_kmers_dense_mxu(words: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers_dense_mxu(
+    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+) -> jax.Array:
     """Dense k-mer histogram as an MXU contraction (scatter-free).
 
     XLA's scatter-add serializes on TPU (~60 Mkeys/s measured); the MXU does
@@ -127,10 +141,7 @@ def count_kmers_dense_mxu(words: jax.Array, lengths: jax.Array, k: int) -> jax.A
     value is i — identical to the README HashMap semantics (README.md:164-180).
     """
     assert k <= MAX_MXU_K, f"matmul histogram capped at k={MAX_MXU_K}"
-    codes = bitops.unpack_words(words)
-    L = codes.shape[-1]
-    lo_keys, _ = kmer_keys(codes, k)
-    valid = window_valid_mask(L, lengths, k)
+    lo_keys, _, valid = _window_keys(words, lengths, k, canonical)
     keys = jnp.where(valid, lo_keys, 0).astype(jnp.int32).reshape(-1)
     wts = valid.reshape(-1)
 
@@ -159,9 +170,9 @@ def count_kmers_dense_mxu(words: jax.Array, lengths: jax.Array, k: int) -> jax.A
     return hist2d.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_sorted(
-    words: jax.Array, lengths: jax.Array, k: int
+    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort-based k-mer counting for any k <= 32 (the large-k HashMap analog).
 
@@ -171,10 +182,7 @@ def count_kmers_sorted(
     padding. Invalid window slots sort to the end under an all-ones sentinel
     and carry zero weight.
     """
-    codes = bitops.unpack_words(words)
-    L = codes.shape[-1]
-    lo, hi = kmer_keys(codes, k)
-    valid = window_valid_mask(L, lengths, k)
+    lo, hi, valid = _window_keys(words, lengths, k, canonical)
     sent = jnp.uint32(0xFFFFFFFF)
     lo = jnp.where(valid, lo, sent).reshape(-1)
     hi = jnp.where(valid, hi, sent).reshape(-1)
@@ -193,27 +201,36 @@ def count_kmers_sorted(
     # all rows of a segment share the key, so duplicate-index set is benign
     u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(lo_s)
     u_hi = jnp.zeros(N, jnp.uint32).at[seg].set(hi_s)
-    n_unique = seg[-1] + 1
+    # drop the trailing all-invalid sentinel segment (weight 0) if present;
+    # a real key's segment always carries positive weight
+    n_unique = seg[-1] + 1 - (counts[seg[-1]] == 0).astype(jnp.int32)
     return u_lo, u_hi, counts, n_unique
 
 
-def count_kmers_reads(words: jax.Array, lengths: jax.Array, k: int, mode: str = "auto"):
+def count_kmers_reads(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    mode: str = "auto",
+    canonical: bool = False,
+):
     """Count k-mers over a batch of packed reads.
 
     mode='dense'/'mxu' -> [4^k] histogram (scatter / matmul lowering);
     mode='sorted' -> sparse (keys, counts); 'auto' picks the matmul histogram
     up to MAX_MXU_K, scatter-dense up to MAX_DENSE_K, sorted beyond.
+    canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
     """
     if mode == "auto":
         mode = (
             "mxu" if k <= MAX_MXU_K else "dense" if k <= MAX_DENSE_K else "sorted"
         )
     if mode == "mxu":
-        return count_kmers_dense_mxu(words, lengths, k)
+        return count_kmers_dense_mxu(words, lengths, k, canonical)
     if mode == "dense":
-        return count_kmers_dense(words, lengths, k)
+        return count_kmers_dense(words, lengths, k, canonical)
     if mode == "sorted":
-        return count_kmers_sorted(words, lengths, k)
+        return count_kmers_sorted(words, lengths, k, canonical)
     raise ValueError(f"unknown mode {mode!r}")
 
 
