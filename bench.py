@@ -135,12 +135,13 @@ def bench_memcpy(mbytes=128):
     import jax
     import jax.numpy as jnp
 
-    n = mbytes * (1 << 20) // 4
+    rows = mbytes * (1 << 20) // 4 // 2048
 
     from bitnuc_tpu.utils.timing import amortized_seconds_per_call
 
     def make(key):
-        return (jax.random.bits(key, (n,), jnp.uint32),)
+        # 2-D shape: 1-D arrays hit poor TPU layouts and skew the calibration
+        return (jax.random.bits(key, (rows, 2048), jnp.uint32),)
 
     t = amortized_seconds_per_call(lambda x: x ^ jnp.uint32(0x9E3779B9), make)
     return 2 * mbytes / 1024 / t

@@ -14,11 +14,17 @@ instead — all observed on v5e while building this harness:
 
 So: no loop. `amortized_seconds_per_call` builds ONE jit that applies the op
 to K inputs with DISTINCT data (generated on device from split PRNG keys —
-no host uploads) and adds a full sum of every result leaf into one scalar.
-Distinct data defeats CSE and hoisting; the sums defeat DCE; there is no
-loop for the compiler to transform. The final per-result stores may fuse
-into the sums, so figures can be up to one output-write optimistic; reported
-numbers are otherwise honest sustained throughput.
+no host uploads) and adds a barriered full sum of every result leaf into one
+scalar. Distinct data defeats CSE and hoisting; the sums defeat DCE; the
+barrier keeps the sums off the fused-reduce serial path AND forces result
+stores; there is no loop for the compiler to transform. Completion is
+synced by transferring the scalar to host (block_until_ready alone was
+observed returning early through the tunnel).
+
+The tunneled chip is also TIME-SHARED: its deliverable bandwidth was
+measured swinging between ~10 and ~180 GB/s effective across hours. Reported
+figures are best-of-N (capability under the contention observed during the
+run); compare like with like.
 """
 
 from __future__ import annotations
@@ -32,8 +38,15 @@ import numpy as np
 
 
 def _consume(result) -> jnp.ndarray:
+    """Full-sum every leaf, behind an optimization_barrier.
+
+    The barrier forces the op's outputs to actually materialize (honest
+    store accounting) and keeps the sum an unfused plain reduce — fusing an
+    elementwise chain into a large reduction triggers XLA:TPU's serial
+    lowering (see ops/hamming.py), which would poison the measurement the
+    other way."""
     s = jnp.float32(0)
-    for leaf in jax.tree_util.tree_leaves(result):
+    for leaf in jax.tree_util.tree_leaves(jax.lax.optimization_barrier(result)):
         s = s + jnp.sum(leaf.astype(jnp.float32))
     return s
 
@@ -63,13 +76,15 @@ def amortized_seconds_per_call(
     def run(all_args):
         return sum(_consume(op(*args)) for args in all_args)
 
-    jax.block_until_ready(run(copies))  # compile + warm
+    float(run(copies))  # compile + warm; float() forces a real host sync
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(copies))
+        float(run(copies))
         times.append((time.perf_counter() - t0) / k)
-    return float(np.median(times))
+    # best-of: the tunneled chip is time-shared and its available bandwidth
+    # swings >10x between runs; the minimum is the capability estimate
+    return float(np.min(times))
 
 
 # legacy name used by earlier callers
