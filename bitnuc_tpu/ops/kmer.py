@@ -170,6 +170,25 @@ def count_kmers_dense_mxu(
     return hist2d.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("k", "canonical", "interpret"))
+def count_kmers_dense_pallas(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dense histogram via the Pallas MXU kernel (one-hots never leave VMEM;
+    HBM traffic is 4 bytes/window vs ~512 for the XLA matmul lowering).
+    See ops/pallas/histogram.py."""
+    assert k <= MAX_MXU_K
+    from .pallas import histogram
+
+    lo, _, valid = _window_keys(words, lengths, k, canonical)
+    keys = jnp.where(valid, lo, jnp.uint32(4**k)).astype(jnp.int32).reshape(-1)
+    return histogram.histogram_from_keys(keys, k, interpret=interpret)
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_sorted(
     words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
@@ -226,6 +245,18 @@ def count_kmers_reads(
             "mxu" if k <= MAX_MXU_K else "dense" if k <= MAX_DENSE_K else "sorted"
         )
     if mode == "mxu":
+        from .. import config
+
+        if config.use_pallas():
+            import jax as _jax
+
+            return count_kmers_dense_pallas(
+                words,
+                lengths,
+                k,
+                canonical,
+                interpret=_jax.default_backend() != "tpu",
+            )
         return count_kmers_dense_mxu(words, lengths, k, canonical)
     if mode == "dense":
         return count_kmers_dense(words, lengths, k, canonical)

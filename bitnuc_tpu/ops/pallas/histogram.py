@@ -1,0 +1,97 @@
+"""Pallas MXU histogram kernel: k-mer keys -> dense [4^k] counts, k <= 8.
+
+The pure-XLA matmul histogram (ops/kmer.py count_kmers_dense_mxu) computes
+hist2d = onehot(hi)^T @ onehot(lo) but XLA materializes both one-hot
+operands in HBM (~512 bytes/window). Here the one-hots are generated inside
+the kernel and consumed by the MXU directly from VMEM, so HBM traffic is the
+4-byte key per window and nothing else; the kernel is MXU-bound.
+
+Invalid/padding windows carry the sentinel key 4^k: its hi digit equals n_hi,
+outside the one-hot iota range [0, n_hi), so its one-hot row is all-zero and
+it contributes nothing — no weight array needed.
+
+The [n_hi, n_lo] f32 accumulator block has a grid-constant index map, so it
+stays resident in VMEM across all key chunks and is written back once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 8
+COLS = 512  # keys per sub-row; ROWS*COLS keys per grid step
+
+
+def _hist_kernel(keys_ref, out_ref, *, k: int, n_hi: int, n_lo: int):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    keys = keys_ref[:]  # [ROWS, COLS] int32
+    # digit split uses the LOGICAL k-bit low digit; n_hi/n_lo are only the
+    # (possibly lane-padded) one-hot widths
+    hi = keys >> k
+    lo = keys & ((1 << k) - 1)
+
+    acc = jnp.zeros((n_hi, n_lo), jnp.float32)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (COLS, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (COLS, n_lo), 1)
+    for r in range(ROWS):
+        h = hi[r, :][:, None]  # [COLS, 1]
+        l = lo[r, :][:, None]
+        a = (h == iota_hi).astype(jnp.bfloat16)  # [COLS, n_hi]
+        b = (l == iota_lo).astype(jnp.bfloat16)  # [COLS, n_lo]
+        acc = acc + jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = out_ref[:] + acc
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def histogram_from_keys(
+    keys: jax.Array, k: int, *, interpret: bool = False
+) -> jax.Array:
+    """[N] int32 keys in [0, 4^k] (4^k = sentinel, not counted) -> [4^k] int32.
+
+    f32 accumulation is exact for counts below 2^24 per (hi, lo) bin per
+    call; the caller chunks batches long before that bound matters.
+    """
+    assert 1 <= k <= 8
+    n_lo = 1 << k  # lo digit: k bits of the 2k-bit key
+    n_hi = (4**k) >> k
+    # lane-dim floors: one-hot widths below 128 waste lanes but must still
+    # be at least the minimum tile; pad bin counts up to 128.
+    n_hi_p = max(n_hi, 128)
+    n_lo_p = max(n_lo, 128)
+
+    N = keys.shape[0]
+    per = ROWS * COLS
+    Np = -(-N // per) * per
+    keys = jnp.pad(keys, (0, Np - N), constant_values=4**k)
+    keys2d = keys.reshape(Np // COLS, COLS)
+
+    grid = (Np // per,)
+    hist2d = pl.pallas_call(
+        partial(_hist_kernel, k=k, n_hi=n_hi_p, n_lo=n_lo_p),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, COLS), lambda j: (j, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (n_hi_p, n_lo_p), lambda j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_hi_p, n_lo_p), jnp.float32),
+        interpret=interpret,
+    )(keys2d)
+
+    return hist2d[:n_hi, :n_lo].astype(jnp.int32).reshape(-1)

@@ -28,22 +28,32 @@ from ..utils import bitops
 HALO_WORDS = 2  # ceil((k-1)/16) for k <= 32
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+@partial(jax.jit, static_argnames=("k", "mesh", "axis", "mode", "canonical"))
 def count_kmers_sharded(
     words: jax.Array,
     lengths: jax.Array,
     k: int,
     mesh: Mesh,
     axis: str = "data",
+    mode: str = "auto",
+    canonical: bool = False,
 ) -> jax.Array:
     """Dense k-mer histogram over a batch sharded on `axis`.
 
     words: [B, W] uint32 (B divisible by mesh axis size), lengths: [B].
     Returns a replicated [4^k] int32 histogram == the single-device result.
+    mode: 'auto' (MXU histogram for k <= MAX_MXU_K, scatter-dense above),
+    'mxu', or 'dense'; k <= MAX_DENSE_K (dense merge via one psum — use
+    count_kmers_sorted_sharded beyond).
     """
+    assert k <= kmer_ops.MAX_DENSE_K
+    if mode == "auto":
+        mode = "mxu" if k <= kmer_ops.MAX_MXU_K else "dense"
 
     def local(words_loc, lengths_loc):
-        hist = kmer_ops.count_kmers_dense(words_loc, lengths_loc, k)
+        hist = kmer_ops.count_kmers_reads(
+            words_loc, lengths_loc, k, mode=mode, canonical=canonical
+        )
         return jax.lax.psum(hist, axis)
 
     return jax.shard_map(
@@ -51,6 +61,61 @@ def count_kmers_sharded(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
         out_specs=P(),
+    )(words, lengths)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "axis", "canonical"))
+def count_kmers_sorted_sharded(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    canonical: bool = False,
+):
+    """Sparse (sorted) k-mer counting over a sharded batch, any k <= 32.
+
+    Each device sort-counts its slab; per-device unique (key, count) lists
+    are all-gathered and merged with one more sort + segment-sum. Traffic is
+    O(devices * windows_per_device) keys — the dense psum path is cheaper
+    whenever 4^k fits in memory. Returns replicated (lo, hi, counts,
+    n_unique) in the same layout as ops.kmer.count_kmers_sorted.
+    """
+
+    def local(words_loc, lengths_loc):
+        lo, hi, counts, _ = kmer_ops.count_kmers_sorted(
+            words_loc, lengths_loc, k, canonical
+        )
+        # gather every device's (already semi-aggregated) lists
+        lo_g = jax.lax.all_gather(lo, axis).reshape(-1)
+        hi_g = jax.lax.all_gather(hi, axis).reshape(-1)
+        ct_g = jax.lax.all_gather(counts, axis).reshape(-1)
+        # zero-count padding rows carry key 0 from the local pass; push them
+        # to the sentinel so they fold into the tail
+        sent = jnp.uint32(0xFFFFFFFF)
+        dead = ct_g == 0
+        lo_g = jnp.where(dead, sent, lo_g)
+        hi_g = jnp.where(dead, sent, hi_g)
+        hi_s, lo_s, ct_s = jax.lax.sort((hi_g, lo_g, ct_g), num_keys=2)
+        N = lo_s.shape[0]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
+        )
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        counts2 = jnp.zeros(N, jnp.int32).at[seg].add(ct_s)
+        u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(lo_s)
+        u_hi = jnp.zeros(N, jnp.uint32).at[seg].set(hi_s)
+        n_unique = seg[-1] + 1 - (counts2[seg[-1]] == 0).astype(jnp.int32)
+        return u_lo, u_hi, counts2, n_unique
+
+    # every device computes the identical merge from the all_gathered lists;
+    # that replication isn't statically inferable, hence check_vma=False
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
     )(words, lengths)
 
 

@@ -88,3 +88,23 @@ def test_roundtrip_through_pallas(rng):
     out_np = np.asarray(out)
     for i, s in enumerate(seqs):
         assert bytes(out_np[i, : lens[i]]) == s.upper()
+
+
+@pytest.mark.parametrize("B,L,k", [(4, 100, 4), (8, 64, 8), (3, 40, 6), (2, 33, 1)])
+def test_histogram_kernel_parity(rng, B, L, k):
+    from bitnuc_tpu.ops import kmer
+
+    a = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    w, _ = codec.encode_reads_xla(jnp.asarray(a), jnp.asarray(lens))
+    h1 = kmer.count_kmers_dense(w, jnp.asarray(lens), k)
+    h2 = kmer.count_kmers_dense_pallas(w, jnp.asarray(lens), k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_histogram_kernel_sentinel():
+    from bitnuc_tpu.ops.pallas import histogram
+
+    keys = jnp.asarray(np.array([3, 3, 16, 16, 16], np.int32))  # 16 = sentinel, k=2
+    h = np.asarray(histogram.histogram_from_keys(keys, 2, interpret=True))
+    assert h.sum() == 2 and h[3] == 2

@@ -122,3 +122,60 @@ def test_encode_under_pjit_batch_sharding(rng, mesh):
     for i, s in enumerate(seqs):
         e = oracle.encode(s)
         np.testing.assert_array_equal(u64[i, : len(e)], e)
+
+
+def test_count_kmers_sorted_sharded(rng):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitnuc_tpu.ops import codec, kmer as kmer_ops
+    from bitnuc_tpu.parallel import kmer as pkmer, mesh as pmesh
+
+    m = pmesh.make_mesh((8,), ("data",))
+    B, L, k = 16, 200, 21
+    a = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    words, _ = codec.encode_reads_xla(jnp.asarray(a), jnp.asarray(lens))
+
+    lo1, hi1, c1, n1 = kmer_ops.count_kmers_sorted(words, jnp.asarray(lens), k)
+    want = {
+        (int(np.asarray(hi1)[i]), int(np.asarray(lo1)[i])): int(np.asarray(c1)[i])
+        for i in range(int(n1))
+    }
+
+    ws = jax.device_put(words, NamedSharding(m, P("data", None)))
+    ls = jax.device_put(jnp.asarray(lens), NamedSharding(m, P("data")))
+    lo2, hi2, c2, n2 = pkmer.count_kmers_sorted_sharded(ws, ls, k, m, "data")
+    got = {
+        (int(np.asarray(hi2)[i]), int(np.asarray(lo2)[i])): int(np.asarray(c2)[i])
+        for i in range(int(n2))
+    }
+    assert got == want
+
+
+def test_count_kmers_sharded_modes(rng):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitnuc_tpu.ops import codec, kmer as kmer_ops
+    from bitnuc_tpu.parallel import kmer as pkmer, mesh as pmesh
+
+    m = pmesh.make_mesh((8,), ("data",))
+    B, L, k = 16, 100, 5
+    a = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
+    lens = np.full(B, L, np.int32)
+    words, _ = codec.encode_reads_xla(jnp.asarray(a), jnp.asarray(lens))
+    want = np.asarray(kmer_ops.count_kmers_dense(words, jnp.asarray(lens), k))
+
+    ws = jax.device_put(words, NamedSharding(m, P("data", None)))
+    ls = jax.device_put(jnp.asarray(lens), NamedSharding(m, P("data")))
+    for mode in ("mxu", "dense"):
+        got = np.asarray(pkmer.count_kmers_sharded(ws, ls, k, m, "data", mode=mode))
+        np.testing.assert_array_equal(got, want)
+    can = np.asarray(
+        pkmer.count_kmers_sharded(ws, ls, k, m, "data", canonical=True)
+    )
+    want_can = np.asarray(
+        kmer_ops.count_kmers_dense(words, jnp.asarray(lens), k, canonical=True)
+    )
+    np.testing.assert_array_equal(can, want_can)
