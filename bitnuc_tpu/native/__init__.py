@@ -60,6 +60,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bn_encode_batch.restype = ctypes.c_int
     lib.bn_encode_batch.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t,
                                     u64p, ctypes.c_size_t]
+    lib.bn_encode_batch_mt.restype = ctypes.c_int
+    lib.bn_encode_batch_mt.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t,
+                                       u64p, ctypes.c_size_t, ctypes.c_int]
+    lib.bn_count_kmers.restype = ctypes.c_int
+    lib.bn_count_kmers.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
+                                   ctypes.c_size_t, u64p]
     _lib = lib
     return _lib
 
@@ -200,24 +206,49 @@ def split_packed(ebuf, slen: int, idx: int) -> Tuple[np.ndarray, np.ndarray]:
     return lbuf, rbuf
 
 
-def encode_batch(ascii_rect: np.ndarray, out_words_per_read: int) -> np.ndarray:
+def encode_batch(
+    ascii_rect: np.ndarray, out_words_per_read: int, n_threads: int = 0
+) -> np.ndarray:
     """Host staging path: rectangular uint8 [B, L] -> u64 words [B, Wp]
     (no validation; invalid bytes produce garbage codes). Used to feed the
-    device with packed words instead of ASCII, 4x fewer transfer bytes."""
+    device with packed words instead of ASCII, 4x fewer transfer bytes.
+    n_threads=0 uses all hardware threads; 1 forces single-threaded."""
     lib = _load()
     a = np.ascontiguousarray(ascii_rect, dtype=np.uint8)
     B, L = a.shape
     out = np.zeros((B, out_words_per_read), dtype=np.uint64)
-    lib.bn_encode_batch(
+    if n_threads == 0:
+        n_threads = os.cpu_count() or 1
+    lib.bn_encode_batch_mt(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         B,
         L,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out_words_per_read,
+        int(n_threads),
     )
     return out
 
 
 def count_kmers(seq, k: int) -> dict:
-    # host kmer counting reuses encode + a numpy rolling window
-    return oracle.count_kmers(seq, k)
+    """Host k-mer counting: native O(n) rolling window over the packed words
+    for k <= 12 (dense bins), else the numpy oracle."""
+    if not 1 <= k <= 32:
+        from ..errors import InvalidLength
+
+        raise InvalidLength(k)
+    if k > 12 or not available():
+        return oracle.count_kmers(seq, k)
+    lib = _load()
+    words = encode(seq)
+    n = len(_as_u8(seq))
+    counts = np.zeros(4**k, dtype=np.uint64)
+    lib.bn_count_kmers(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(words),
+        n,
+        k,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    nz = np.nonzero(counts)[0]
+    return {int(i): int(counts[i]) for i in nz}

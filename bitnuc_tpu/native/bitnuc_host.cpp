@@ -15,6 +15,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -214,6 +216,50 @@ int bn_encode_batch(const uint8_t* ascii, size_t batch, size_t len,
       }
       orow[w] = word;
     }
+  }
+  return BN_OK;
+}
+
+// Threaded host staging: rows split across n_threads hardware threads.
+// Same contract as bn_encode_batch.
+int bn_encode_batch_mt(const uint8_t* ascii, size_t batch, size_t len,
+                       uint64_t* out, size_t words_per_read, int n_threads) {
+  if (n_threads <= 1 || batch < 2) {
+    return bn_encode_batch(ascii, batch, len, out, words_per_read);
+  }
+  size_t nt = (size_t)n_threads;
+  if (nt > batch) nt = batch;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  size_t per = (batch + nt - 1) / nt;
+  for (size_t t = 0; t < nt; ++t) {
+    size_t b0 = t * per;
+    size_t b1 = b0 + per < batch ? b0 + per : batch;
+    if (b0 >= b1) break;
+    ts.emplace_back([=] {
+      bn_encode_batch(ascii + b0 * len, b1 - b0, len,
+                      out + b0 * words_per_read, words_per_read);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return BN_OK;
+}
+
+// Dense k-mer histogram over one packed sequence: counts[key] += 1 for every
+// window of k bases, rolling O(n) over the packed words (the device analog
+// lives in ops/kmer.py; this is the host single-call path replacing the
+// reference README's HashMap loop, README.md:164-180). counts must hold 4^k
+// zero-initialised uint64 bins; k <= 16.
+int bn_count_kmers(const uint64_t* words, size_t n_words, size_t n_bases,
+                   size_t k, uint64_t* counts) {
+  if (k < 1 || k > 16 || n_bases > 32 * n_words) return BN_INVALID_LENGTH;
+  if (n_bases < k) return BN_OK;
+  uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  uint64_t key = 0;
+  for (size_t p = 0; p < n_bases; ++p) {
+    uint64_t code = (words[p >> 5] >> (2 * (p & 31))) & 3;
+    key = ((key >> 2) | (code << (2 * (k - 1)))) & mask;
+    if (p + 1 >= k) ++counts[key];
   }
   return BN_OK;
 }

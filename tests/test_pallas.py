@@ -108,3 +108,21 @@ def test_histogram_kernel_sentinel():
     keys = jnp.asarray(np.array([3, 3, 16, 16, 16], np.int32))  # 16 = sentinel, k=2
     h = np.asarray(histogram.histogram_from_keys(keys, 2, interpret=True))
     assert h.sum() == 2 and h[3] == 2
+
+
+@pytest.mark.parametrize("D,W,nb", [(100, 32, 512), (5000, 4, 50), (1, 2, 7)])
+def test_hdist_scan_kernel_parity(rng, D, W, nb):
+    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.ops.pallas import hamming as ph
+
+    db = jnp.asarray(rng.integers(0, 2**32, size=(D, W), dtype=np.uint32))
+    q = jnp.asarray(rng.integers(0, 2**32, size=(W,), dtype=np.uint32))
+    want = np.asarray(hamming.hdist_one_to_many(q, db, nb))
+    got = np.asarray(
+        ph.hdist_scan_pallas(q, ph.to_word_major(db), nb, interpret=True)
+    )
+    np.testing.assert_array_equal(want, got)
+    d1, i1 = hamming.hdist_topk(q, db, nb, 5)
+    d2, i2 = ph.hdist_topk_pallas(q, ph.to_word_major(db), nb, 5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
