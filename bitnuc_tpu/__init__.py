@@ -29,6 +29,16 @@ from .api import (  # noqa: F401
     hdist_scalar,
     split_packed,
 )
+from .ops.analysis import base_counts_reads, gc_content_reads  # noqa: F401
+from .ops.codec import decode_reads, encode_reads  # noqa: F401
+from .ops.hamming import (  # noqa: F401
+    hdist_many_to_many,
+    hdist_one_to_many,
+    hdist_topk as hdist_search,
+)
+from .ops.kmer import count_kmers_reads  # noqa: F401
+from .ops.revcomp import reverse_complement_reads  # noqa: F401
+from . import io  # noqa: F401
 from .errors import (  # noqa: F401
     IndexOutOfBounds,
     InvalidBase,
@@ -56,6 +66,16 @@ __all__ = [
     "PackedSequence",
     "PackedReads",
     "stack_sequences",
+    "encode_reads",
+    "decode_reads",
+    "count_kmers_reads",
+    "hdist_search",
+    "hdist_one_to_many",
+    "hdist_many_to_many",
+    "gc_content_reads",
+    "base_counts_reads",
+    "reverse_complement_reads",
+    "io",
     "NucleotideError",
     "InvalidBase",
     "SequenceTooLong",
