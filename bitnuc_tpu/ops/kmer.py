@@ -241,9 +241,12 @@ def count_kmers_reads(
     canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
     """
     if mode == "auto":
-        mode = (
-            "mxu" if k <= MAX_MXU_K else "dense" if k <= MAX_DENSE_K else "sorted"
-        )
+        if k > MAX_DENSE_K:
+            mode = "sorted"
+        elif k <= MAX_MXU_K and jax.default_backend() == "tpu":
+            mode = "mxu"  # scatter serializes on TPU; CPU scatter is fine
+        else:
+            mode = "dense"
     if mode == "mxu":
         from .. import config
 
