@@ -203,6 +203,35 @@ def count_kmers_sorted(
     """
     lo, hi, valid = _window_keys(words, lengths, k, canonical)
     sent = jnp.uint32(0xFFFFFFFF)
+    n_invalid = jnp.sum((~valid).astype(jnp.int32))
+
+    if k <= 15:
+        # keys fit one u32 with headroom (max key 4^15-1 < 2^32-1), so a
+        # single-array sort suffices: invalid slots take the sentinel, sort
+        # last, and their count is subtracted analytically — 3x less sort
+        # traffic than the (hi, lo, weight) triple sort.
+        keys = jnp.where(valid, lo, sent).reshape(-1)
+        keys_s = jax.lax.sort(keys)
+        N = keys_s.shape[0]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
+        )
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        counts = jnp.zeros(N, jnp.int32).at[seg].add(1)
+        u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(keys_s)
+        u_hi = jnp.zeros(N, jnp.uint32)
+        # the sentinel (if present) is the last segment; remove its count
+        last = seg[-1]
+        has_sent = keys_s[-1] == sent
+        counts = counts.at[last].add(
+            jnp.where(has_sent, -n_invalid, 0).astype(jnp.int32)
+        )
+        u_lo = u_lo.at[last].set(jnp.where(has_sent, 0, u_lo[last]))
+        n_unique = last + 1 - has_sent.astype(jnp.int32)
+        return u_lo, u_hi, counts, n_unique
+
+    # k >= 16: pair sort; weights disambiguate the genuine all-T key from the
+    # sentinel (possible at k = 16 and k = 32)
     lo = jnp.where(valid, lo, sent).reshape(-1)
     hi = jnp.where(valid, hi, sent).reshape(-1)
     wts = valid.astype(jnp.int32).reshape(-1)

@@ -173,7 +173,7 @@ def test_count_kmers_dense_vs_oracle(rng, k):
         assert hist[key] == c
 
 
-@pytest.mark.parametrize("k", [4, 16, 17, 21, 31, 32])
+@pytest.mark.parametrize("k", [4, 8, 15, 16, 17, 21, 31, 32])
 def test_count_kmers_sorted_vs_oracle(rng, k):
     lens = [k, 100, 500]
     seqs, r = make_batch(rng, lens)
