@@ -48,6 +48,7 @@ from .errors import (  # noqa: F401
     SequenceTooLong,
     Unsupported,
 )
+from .database import PackedDB  # noqa: F401
 from .sequence import PackedReads, PackedSequence, stack_sequences  # noqa: F401
 
 __version__ = "0.1.0"
@@ -65,6 +66,7 @@ __all__ = [
     "count_kmers",
     "PackedSequence",
     "PackedReads",
+    "PackedDB",
     "stack_sequences",
     "encode_reads",
     "decode_reads",

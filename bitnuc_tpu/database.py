@@ -1,0 +1,94 @@
+"""PackedDB — a fixed-length packed-sequence database in scan layout.
+
+The hdist database scan (BASELINE.json config 5) is the framework's search
+workload: one query against up to 1e8 packed entries. Its optimal device
+layout is WORD-MAJOR [W, D] (structure-of-arrays): the huge entry axis rides
+the 128 VPU lanes and the word axis sits on sublanes where the reduction is
+free — the row-major PackedReads layout would waste 3/4 of every 128-lane
+tile at typical W. PackedDB stores that layout once, so repeated queries
+never re-transpose.
+
+Scan dispatch mirrors the codec backends: the Pallas kernel
+(ops/pallas/hamming.py) fuses the XOR/collapse/popcount/word-sum chain in
+VMEM on TPU; elsewhere the barriered XLA path runs on the transposed-back
+view. Both are bit-exact with the reference hdist semantics
+(src/utils/functions/hamming/multi.rs:122-160).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils import bitops
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PackedDB:
+    """words_wm: uint32[W, D] word-major packed entries; n_bases: entry
+    length in bases (static — all entries share it, like a k-mer or
+    fixed-length read index)."""
+
+    words_wm: jax.Array
+    n_bases: int
+
+    def tree_flatten(self):
+        return (self.words_wm,), self.n_bases
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(words_wm=children[0], n_bases=aux)
+
+    @classmethod
+    def from_reads(cls, reads, n_bases=None) -> "PackedDB":
+        """Build from a PackedReads batch (entries assumed equal-length;
+        pass n_bases to override)."""
+        nb = int(n_bases) if n_bases is not None else int(np.asarray(reads.lengths)[0])
+        return cls(words_wm=jnp.transpose(reads.words), n_bases=nb)
+
+    @classmethod
+    def from_u64(cls, words_u64: np.ndarray, n_bases: int) -> "PackedDB":
+        """From host reference-layout u64 words [D, n_u64]."""
+        lanes = bitops.words_u64_to_u32_np(np.asarray(words_u64, np.uint64))
+        return cls(words_wm=jnp.asarray(lanes.T.copy()), n_bases=int(n_bases))
+
+    @property
+    def size(self) -> int:
+        return self.words_wm.shape[1]
+
+    @property
+    def n_words(self) -> int:
+        return self.words_wm.shape[0]
+
+    def __len__(self) -> int:
+        return self.size
+
+    # -- queries --------------------------------------------------------------
+
+    def distances(self, query: jax.Array) -> jax.Array:
+        """Per-entry Hamming distances [D] for one packed query [W]."""
+        from . import config
+        from .ops import hamming
+        from .ops.pallas import hamming as ph
+
+        if config.use_pallas():
+            return ph.hdist_scan_pallas(
+                query,
+                self.words_wm,
+                self.n_bases,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return hamming.hdist_one_to_many(
+            query, jnp.transpose(self.words_wm), self.n_bases
+        )
+
+    def search(self, query: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+        """Exact top-k nearest entries: (distances [k], indices [k])."""
+        from .ops import hamming
+
+        return hamming.topk_smallest(self.distances(query), k)

@@ -85,3 +85,47 @@ def hdist_many_to_many_sharded(
         in_specs=(P(), P(axis, None)),
         out_specs=P(None, axis),
     )(queries, db_words)
+
+
+@partial(jax.jit, static_argnames=("n_bases", "topk", "mesh", "axis"))
+def hdist_search_db_sharded(
+    query: jax.Array,
+    db_words_wm: jax.Array,
+    n_bases: int,
+    topk: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded top-k search over a WORD-MAJOR database [W, D] (PackedDB
+    layout, D divisible by the axis size) — the scan-optimal twin of
+    hdist_search_sharded. On TPU each device runs the fused Pallas scan
+    kernel on its slab; the candidate merge is identical."""
+    from .. import config
+    from ..ops.pallas import hamming as ph
+
+    def local(q, db_loc_wm):
+        D_loc = db_loc_wm.shape[1]
+        if config.use_pallas():
+            d = ph.hdist_scan_pallas(
+                q, db_loc_wm, n_bases,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            d = hamming.hdist_one_to_many(q, jnp.transpose(db_loc_wm), n_bases)
+        dd, idx = hamming.topk_smallest(d, min(topk, D_loc))
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
+        return dd, idx + me * D_loc
+
+    cand_d, cand_i = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(axis), P(axis)),
+    )(query, db_words_wm)
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    cand_d = jax.sharding.reshard(cand_d, repl)
+    cand_i = jax.sharding.reshard(cand_i, repl)
+    dd, sel = hamming.topk_smallest(cand_d, min(topk, cand_d.shape[0]))
+    return dd, cand_i[sel]

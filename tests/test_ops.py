@@ -203,3 +203,34 @@ def test_top_kmers():
     hist = kmer.count_kmers_dense(r.words, r.lengths, 4)
     counts, keys = kmer.top_kmers(hist, 1)
     assert int(counts[0]) == 7 and int(keys[0]) == 0
+
+
+def test_packed_db_search(rng):
+    import bitnuc_tpu as bn
+    from bitnuc_tpu.ops import hamming
+
+    D, L = 500, 96
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    db_ascii = rng.choice(bases, size=(D, L))
+    reads = bn.PackedReads.from_ascii(db_ascii, lengths=np.full(D, L, np.int32))
+    db = bn.PackedDB.from_reads(reads)
+    assert len(db) == D and db.n_bases == L
+
+    q = reads.words[7]
+    want = np.asarray(hamming.hdist_one_to_many(q, reads.words, L))
+    got = np.asarray(db.distances(q))
+    np.testing.assert_array_equal(want, got)
+    d, i = db.search(q, 3)
+    assert int(d[0]) == 0 and int(i[0]) == 7
+
+    # u64 roundtrip construction
+    db2 = bn.PackedDB.from_u64(reads.to_u64(), L)
+    np.testing.assert_array_equal(
+        np.asarray(db2.words_wm), np.asarray(db.words_wm)
+    )
+
+    # pytree: flows through jit
+    import jax
+
+    d2 = jax.jit(lambda db, q: db.distances(q))(db, q)
+    np.testing.assert_array_equal(np.asarray(d2), want)

@@ -179,3 +179,26 @@ def test_count_kmers_sharded_modes(rng):
         kmer_ops.count_kmers_dense(words, jnp.asarray(lens), k, canonical=True)
     )
     np.testing.assert_array_equal(can, want_can)
+
+
+def test_hdist_search_db_sharded(rng):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import bitnuc_tpu as bn
+    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.parallel import mesh as pmesh, search
+
+    m = pmesh.make_mesh((8,), ("data",))
+    D, L = 64, 96
+    db_ascii = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(D, L))
+    reads = bn.PackedReads.from_ascii(db_ascii, lengths=np.full(D, L, np.int32))
+    db = bn.PackedDB.from_reads(reads)
+    q = jax.device_put(reads.words[5], NamedSharding(m, P()))
+    wm = jax.device_put(db.words_wm, NamedSharding(m, P(None, "data")))
+
+    dn = np.asarray(hamming.hdist_one_to_many(reads.words[5], reads.words, L))
+    order = np.argsort(dn, kind="stable")
+    d, i = search.hdist_search_db_sharded(q, wm, L, 4, m, "data")
+    np.testing.assert_array_equal(np.asarray(d), dn[order[:4]])
+    assert int(i[0]) == 5
