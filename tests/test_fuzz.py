@@ -1,0 +1,119 @@
+"""Randomized cross-implementation equivalence — the analog of the
+reference's property tests (random roundtrips over every length,
+src/utils/mod.rs:114-133) plus its simd/nosimd CI matrix, but diffing all
+four implementations directly in one process:
+
+    numpy oracle  ==  native C++  ==  XLA batch ops  ==  Pallas (interpret)
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+import bitnuc_tpu as bn  # noqa: E402
+from bitnuc_tpu import native, oracle  # noqa: E402
+from bitnuc_tpu.ops import codec  # noqa: E402
+from bitnuc_tpu.ops.pallas import pack as ppack, unpack as punpack  # noqa: E402
+
+from conftest import random_seq  # noqa: E402
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_codec_four_way(rng, trial):
+    lens = rng.integers(0, 700, size=24).astype(np.int32)
+    seqs = [random_seq(rng, int(n)) for n in lens]
+    L = max(1, int(lens.max()))
+    arr = np.zeros((len(seqs), L), np.uint8)
+    arr[:] = ord("A")
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = np.frombuffer(s, np.uint8)
+
+    # oracle + native per sequence
+    for backend in [oracle] + ([native] if native.available() else []):
+        for s in seqs:
+            w = backend.encode(s)
+            assert backend.decode(w, len(s)) == s.upper()
+
+    # XLA batch
+    wx, fbx = codec.encode_reads_xla(jnp.asarray(arr), jnp.asarray(lens))
+    assert np.all(np.asarray(fbx) == -1)
+    u64 = np.asarray(wx).view(np.uint64)
+    for i, s in enumerate(seqs):
+        ref = oracle.encode(s)
+        np.testing.assert_array_equal(u64[i, : len(ref)], ref)
+
+    # Pallas interpret
+    wp, fbp = ppack.encode_reads_pallas(
+        jnp.asarray(arr), jnp.asarray(lens), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(wx), np.asarray(wp))
+    dx = codec.decode_reads_xla(wx, jnp.asarray(lens))
+    dp = punpack.decode_reads_pallas(wx, jnp.asarray(lens), interpret=True)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dp))
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_hdist_three_way(rng, trial):
+    n = int(rng.integers(1, 400))
+    s1, s2 = random_seq(rng, n), random_seq(rng, n)
+    byte_d = sum(a != b for a, b in zip(s1.upper(), s2.upper()))
+    e1, e2 = oracle.encode(s1), oracle.encode(s2)
+    assert oracle.hdist(e1, e2, n) == byte_d
+    if native.available():
+        assert native.hdist(e1, e2, n) == byte_d
+    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.utils import bitops
+
+    w1 = jnp.asarray(bitops.words_u64_to_u32_np(e1))
+    w2 = jnp.asarray(bitops.words_u64_to_u32_np(e2))
+    assert int(hamming.hdist_words(w1, w2, n)) == byte_d
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_kmer_modes_agree(rng, trial):
+    from bitnuc_tpu.ops import kmer
+
+    k = int(rng.integers(1, 9))
+    B = int(rng.integers(1, 6))
+    L = int(rng.integers(k, 120))
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    w, _ = codec.encode_reads_xla(jnp.asarray(arr), jnp.asarray(lens))
+    dense = np.asarray(kmer.count_kmers_dense(w, jnp.asarray(lens), k))
+    mxu = np.asarray(kmer.count_kmers_dense_mxu(w, jnp.asarray(lens), k))
+    pal = np.asarray(
+        kmer.count_kmers_dense_pallas(w, jnp.asarray(lens), k, interpret=True)
+    )
+    np.testing.assert_array_equal(dense, mxu)
+    np.testing.assert_array_equal(dense, pal)
+    lo, hi, counts, n_u = kmer.count_kmers_sorted(w, jnp.asarray(lens), k)
+    sparse = {
+        int(np.asarray(lo)[i]): int(np.asarray(counts)[i]) for i in range(int(n_u))
+    }
+    dense_nz = {int(i): int(dense[i]) for i in np.nonzero(dense)[0]}
+    assert sparse == dense_nz
+    # host reference: aggregate oracle counts over the batch
+    from collections import Counter
+
+    want = Counter()
+    for i in range(B):
+        seq = bytes(arr[i, : lens[i]])
+        want.update(oracle.count_kmers(seq, k))
+    assert dense_nz == {k_: v for k_, v in want.items() if v}
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_split_roundtrip_random(rng, trial):
+    n = int(rng.integers(1, 300))
+    s = random_seq(rng, n).upper()
+    e = oracle.encode(s)
+    idx = int(rng.integers(0, n + 1))
+    l1, r1 = oracle.split_packed(e, n, idx)
+    assert oracle.decode(l1, idx) == s[:idx]
+    assert oracle.decode(r1, n - idx) == s[idx:]
+    if native.available():
+        l2, r2 = native.split_packed(e, n, idx)
+        assert oracle.decode(l2, idx) == s[:idx]
+        assert oracle.decode(r2, n - idx) == s[idx:]
