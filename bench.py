@@ -87,11 +87,14 @@ def bench_decode(batch=1024, read_len=32768):
 
 
 def bench_hdist(db=1 << 20, read_len=512):
-    """Database scan + exact top-16: reports base-comparisons/sec."""
+    """PackedDB scan + exact top-16: reports base-comparisons/sec.
+
+    Uses the shipping search path: word-major layout, Pallas fused scan on
+    TPU (ops/pallas/hamming.py), barriered XLA elsewhere."""
     import jax
     import jax.numpy as jnp
 
-    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.database import PackedDB
 
     W = 2 * (-(-read_len // 32))
 
@@ -101,11 +104,12 @@ def bench_hdist(db=1 << 20, read_len=512):
         k1, k2 = jax.random.split(key)
         return (
             jax.random.bits(k1, (W,), jnp.uint32),
-            jax.random.bits(k2, (db, W), jnp.uint32),
+            jax.random.bits(k2, (W, db), jnp.uint32),
         )
 
     t = amortized_seconds_per_call(
-        lambda q, d: hamming.hdist_topk(q, d, read_len, 16), make
+        lambda q, wm: PackedDB(words_wm=wm, n_bases=read_len).search(q, 16),
+        make,
     )
     return db * read_len / t
 
