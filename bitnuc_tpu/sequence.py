@@ -118,6 +118,18 @@ class PackedReads:
     def __len__(self) -> int:
         return self.batch_size
 
+    def __getitem__(self, i: int) -> "PackedSequence":
+        """Extract one read as a host PackedSequence (device -> host copy)."""
+        if not -self.batch_size <= i < self.batch_size:
+            raise IndexError(i)
+        u64 = self.to_u64()[i]
+        n = int(np.asarray(self.lengths)[i])
+        return PackedSequence.from_packed(u64[: (n + 31) // 32], n)
+
+    def __iter__(self):
+        for i in range(self.batch_size):
+            yield self[i]
+
 
 def _rectangularize(seqs, lengths=None, max_len=None) -> Tuple[np.ndarray, np.ndarray]:
     """Normalize host input into (uint8[batch, L], int32[batch])."""
