@@ -302,3 +302,53 @@ def top_kmers(hist: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
     """(counts, packed k-mer values) of the n most frequent k-mers."""
     counts, keys = jax.lax.top_k(hist, n)
     return counts, keys
+
+
+def _sliding_min(x: jax.Array, w: int, fill) -> jax.Array:
+    """out[..., p] = min(x[..., p : p+w]) via log-step doubling (the sparse-
+    table scheme — O(L log w) vector mins, no data-dependent control flow).
+    Tail positions use `fill` for out-of-range elements."""
+    assert w >= 1
+    pows = {1: x}
+    m = 1
+    while 2 * m <= w:
+        cur = pows[m]
+        shifted = jnp.full_like(cur, fill)
+        shifted = shifted.at[..., : cur.shape[-1] - m].set(cur[..., m:])
+        pows[2 * m] = jnp.minimum(cur, shifted)
+        m *= 2
+    # cover [p, p+w) with two (possibly overlapping) power-of-two blocks
+    half = m  # largest power of two <= w
+    a = pows[half]
+    off = w - half
+    b = jnp.full_like(a, fill)
+    b = b.at[..., : a.shape[-1] - off].set(a[..., off:])
+    return jnp.minimum(a, b)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "canonical"))
+def minimizers(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    canonical: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(w,k)-minimizers over packed reads: for every window of w consecutive
+    k-mers, the minimum k-mer value — the sketching/partitioning primitive of
+    modern k-mer engines (KMC2/Gerbil-style super-k-mer binning, minimap2
+    seeding). k <= 16 (u32 keys).
+
+    Returns (vals [..., L] uint32, valid [..., L] bool): position p holds the
+    minimizer of windows starting at p, valid iff p + k + w - 1 <= length.
+    Consecutive equal vals belong to the same super-k-mer run.
+    """
+    assert 1 <= k <= 16, "minimizer keys are u32 (k <= 16)"
+    lo, _, valid_k = _window_keys(words, lengths, k, canonical)
+    sent = jnp.uint32(0xFFFFFFFF)
+    keys = jnp.where(valid_k, lo, sent)
+    vals = _sliding_min(keys, w, sent)
+    L = keys.shape[-1]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    valid = pos <= (jnp.asarray(lengths, jnp.int32)[..., None] - (k + w - 1))
+    return jnp.where(valid, vals, sent), valid

@@ -234,3 +234,25 @@ def test_packed_db_search(rng):
 
     d2 = jax.jit(lambda db, q: db.distances(q))(db, q)
     np.testing.assert_array_equal(np.asarray(d2), want)
+
+
+@pytest.mark.parametrize("k,w", [(5, 1), (5, 4), (8, 7), (13, 10), (3, 16)])
+def test_minimizers_vs_naive(rng, k, w):
+    import bitnuc_tpu as bn
+    from bitnuc_tpu.ops import kmer
+
+    B, L = 3, 80
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+    reads = bn.PackedReads.from_ascii(arr, lengths=lens)
+    vals, valid = kmer.minimizers(reads.words, reads.lengths, k, w)
+    vals, valid = np.asarray(vals), np.asarray(valid)
+    for b in range(B):
+        n = int(lens[b])
+        seq = bytes(arr[b, :n])
+        kmers = [bn.as_2bit(seq[p : p + k]) for p in range(max(0, n - k + 1))]
+        for p in range(vals.shape[1]):
+            expect_valid = p + k + w - 1 <= n
+            assert bool(valid[b, p]) == expect_valid, (b, p)
+            if expect_valid:
+                assert vals[b, p] == min(kmers[p : p + w]), (b, p)
