@@ -208,3 +208,27 @@ def test_stack_sequences(rng):
 def test_to_reads_roundtrip():
     s = PackedSequence(b"ACGTACGTACGT")
     assert s.to_reads().to_ascii() == [b"ACGTACGTACGT"]
+
+
+def test_roundtrip_every_length_1_to_1000(rng):
+    """The reference's main property test (src/utils/mod.rs:114-133) —
+    random roundtrip at EVERY length 1..=1000 — as one batched device call."""
+    lens = np.arange(1, 1001, dtype=np.int32)
+    arr = rng.choice(np.frombuffer(b"ACGTacgt", np.uint8), size=(1000, 1000))
+    words, fb = codec.encode_reads_xla(jnp.asarray(arr), jnp.asarray(lens))
+    assert np.all(np.asarray(fb) == -1)
+    out = np.asarray(codec.decode_reads_xla(words, jnp.asarray(lens), max_len=1000))
+    u64 = np.asarray(words).view(np.uint64)
+    for i in (0, 1, 30, 31, 32, 33, 62, 63, 64, 99, 499, 998, 999):
+        n = int(lens[i])
+        seq = bytes(arr[i, :n])
+        assert bytes(out[i, :n]) == seq.upper()
+        ref = oracle.encode(seq)
+        np.testing.assert_array_equal(u64[i, : len(ref)], ref)
+        assert np.all(u64[i, len(ref):] == 0)
+    # every row roundtrips (vectorized check against upper-cased input)
+    expect = np.frombuffer(
+        bytes(arr.tobytes()).upper(), np.uint8
+    ).reshape(arr.shape)
+    mask = np.arange(1000)[None, :] < lens[:, None]
+    assert np.array_equal(out * mask, expect * mask)
