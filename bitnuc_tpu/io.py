@@ -117,6 +117,21 @@ def read_fastq(
     return names, PackedReads.from_ascii(seqs, max_len=max_len, validate=validate)
 
 
+def read_fastq_fast(
+    path_or_data, max_len: Optional[int] = None, validate: bool = True
+) -> PackedReads:
+    """Name-free FASTQ ingestion on the native C++ parser: two passes fill
+    the rectangular batch buffer with no per-record Python. Falls back to
+    read_fastq when the native library is absent."""
+    from . import native
+
+    data = _read_bytes(path_or_data)
+    if not native.available():
+        return read_fastq(data, max_len=max_len, validate=validate)[1]
+    ascii_arr, lens = native.fastq_to_batch(data, max_len or 0)
+    return PackedReads.from_ascii(ascii_arr, lengths=lens, validate=validate)
+
+
 def iter_fastq_batches(
     path: PathLike,
     batch_size: int,

@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bn_count_kmers.restype = ctypes.c_int
     lib.bn_count_kmers.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
                                    ctypes.c_size_t, u64p]
+    szp = ctypes.POINTER(ctypes.c_size_t)
+    lib.bn_fastq_scan.restype = ctypes.c_int
+    lib.bn_fastq_scan.argtypes = [u8p, ctypes.c_size_t, szp, szp]
+    lib.bn_fastq_fill.restype = ctypes.c_int
+    lib.bn_fastq_fill.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                  ctypes.POINTER(ctypes.c_int32),
+                                  ctypes.c_size_t, ctypes.c_size_t]
     _lib = lib
     return _lib
 
@@ -252,3 +259,28 @@ def count_kmers(seq, k: int) -> dict:
     )
     nz = np.nonzero(counts)[0]
     return {int(i): int(counts[i]) for i in nz}
+
+
+def fastq_to_batch(data: bytes, max_len: int = 0):
+    """Parse FASTQ bytes into (ascii uint8[B, L], lengths int32[B]) with two
+    native passes (no per-record Python). max_len=0 sizes L to the longest
+    read; longer reads are truncated otherwise."""
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n_reads = ctypes.c_size_t(0)
+    longest = ctypes.c_size_t(0)
+    lib.bn_fastq_scan(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(n_reads), ctypes.byref(longest),
+    )
+    B = n_reads.value
+    L = int(max_len) if max_len else max(int(longest.value), 1)
+    ascii_arr = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    if B:
+        lib.bn_fastq_fill(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            ascii_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, L,
+        )
+    return ascii_arr, lens

@@ -264,4 +264,52 @@ int bn_count_kmers(const uint64_t* words, size_t n_words, size_t n_bases,
   return BN_OK;
 }
 
+// FASTQ scanning: pass 1 counts records and the longest sequence line.
+int bn_fastq_scan(const uint8_t* buf, size_t n, size_t* n_reads,
+                  size_t* max_len) {
+  size_t reads = 0, maxl = 0, i = 0;
+  int line_in_record = 0;
+  while (i < n) {
+    const uint8_t* nl =
+        (const uint8_t*)std::memchr(buf + i, '\n', n - i);
+    size_t end = nl ? (size_t)(nl - buf) : n;
+    size_t len = end - i;
+    if (len && buf[end - 1] == '\r') --len;
+    if (line_in_record == 0 && len == 0) { i = end + 1; continue; }
+    if (line_in_record == 1) {
+      ++reads;
+      if (len > maxl) maxl = len;
+    }
+    line_in_record = (line_in_record + 1) & 3;
+    i = end + 1;
+  }
+  *n_reads = reads;
+  *max_len = maxl;
+  return BN_OK;
+}
+
+// Pass 2: fill a rectangular ASCII buffer [B, L] (zero-padded) + lengths.
+int bn_fastq_fill(const uint8_t* buf, size_t n, uint8_t* ascii, int32_t* lens,
+                  size_t B, size_t L) {
+  size_t r = 0, i = 0;
+  int line_in_record = 0;
+  while (i < n && r < B) {
+    const uint8_t* nl =
+        (const uint8_t*)std::memchr(buf + i, '\n', n - i);
+    size_t end = nl ? (size_t)(nl - buf) : n;
+    size_t len = end - i;
+    if (len && buf[end - 1] == '\r') --len;
+    if (line_in_record == 0 && len == 0) { i = end + 1; continue; }
+    if (line_in_record == 1) {
+      size_t c = len < L ? len : L;
+      std::memcpy(ascii + r * L, buf + i, c);
+      lens[r] = (int32_t)c;
+      ++r;
+    }
+    line_in_record = (line_in_record + 1) & 3;
+    i = end + 1;
+  }
+  return BN_OK;
+}
+
 }  // extern "C"

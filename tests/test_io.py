@@ -58,3 +58,25 @@ def test_iter_fastq_batches(tmp_path, rng):
 def test_read_fastq_malformed():
     with pytest.raises(ValueError):
         bnio.read_fastq(b"not-a-header\nACGT\n+\nIIII\n")
+
+
+def test_read_fastq_fast_matches_python(tmp_path, rng):
+    from bitnuc_tpu import native
+
+    seqs = [random_seq(rng, 10 + 7 * i) for i in range(9)]
+    fq = b"".join(
+        b"@r%d some desc\n%s\n+\n%s\n" % (i, s, b"I" * len(s))
+        for i, s in enumerate(seqs)
+    )
+    p = tmp_path / "f.fq"
+    p.write_bytes(fq)
+    _, py_reads = bnio.read_fastq(p)
+    fast = bnio.read_fastq_fast(p)
+    assert fast.to_ascii() == py_reads.to_ascii()
+    if native.available():
+        a, lens = native.fastq_to_batch(fq)
+        assert [bytes(a[i, : lens[i]]) for i in range(len(seqs))] == seqs
+    # crlf + empty trailing lines
+    fq2 = fq.replace(b"\n", b"\r\n") + b"\n\n"
+    fast2 = bnio.read_fastq_fast(fq2)
+    assert fast2.to_ascii() == py_reads.to_ascii()
