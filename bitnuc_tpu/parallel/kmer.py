@@ -134,6 +134,8 @@ def count_kmers_seqsharded(
     a (k-1)-base halo fetched from the right neighbor over ICI (ppermute).
     Returns a replicated [4^k] int32 histogram.
     """
+    # dense bins (and u32 lo keys) cap this path at MAX_DENSE_K
+    assert k <= kmer_ops.MAX_DENSE_K, f"seq-sharded dense capped at k={kmer_ops.MAX_DENSE_K}"
     n_shards = mesh.shape[axis]
 
     def local(words_loc):
