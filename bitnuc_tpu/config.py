@@ -55,6 +55,8 @@ def use_pallas() -> bool:
     import jax
 
     try:
-        return jax.default_backend() not in ("cpu",)
+        # only TPU has the Mosaic kernels; any other backend (CPU, GPU)
+        # takes the always-correct XLA lowering under 'auto'
+        return jax.default_backend() == "tpu"
     except Exception:
         return False

@@ -57,7 +57,10 @@ def _split_records_fasta(data: bytes) -> Tuple[List[bytes], List[bytes]]:
     seqs: List[bytes] = []
     if not data:
         return names, seqs
-    chunks = data.split(b">")
+    # records start with '>' at a line beginning only — '>' is legal inside
+    # header descriptions, so split on the line-start delimiter
+    body = data[1:] if data.startswith(b">") else data
+    chunks = body.split(b"\n>")
     for chunk in chunks:
         if not chunk.strip():
             continue

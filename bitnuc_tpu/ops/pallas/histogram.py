@@ -63,10 +63,19 @@ def histogram_from_keys(
 ) -> jax.Array:
     """[N] int32 keys in [0, 4^k] (4^k = sentinel, not counted) -> [4^k] int32.
 
-    f32 accumulation is exact for counts below 2^24 per (hi, lo) bin per
-    call; the caller chunks batches long before that bound matters.
+    f32 accumulation is exact only below 2^24 per bin, so keys are processed
+    in <=2^22-key slabs (a bin can gain at most the slab size per kernel
+    call) with int32 accumulation across slabs — a poly-A batch cannot
+    silently undercount.
     """
     assert 1 <= k <= 8
+    SLAB = 1 << 22
+    if keys.shape[0] > SLAB:
+        total = None
+        for s in range(0, keys.shape[0], SLAB):
+            part = histogram_from_keys(keys[s : s + SLAB], k, interpret=interpret)
+            total = part if total is None else total + part
+        return total
     n_lo = 1 << k  # lo digit: k bits of the 2k-bit key
     n_hi = (4**k) >> k
     # lane-dim floors: one-hot widths below 128 waste lanes but must still

@@ -147,8 +147,9 @@ def _rectangularize(seqs, lengths=None, max_len=None) -> Tuple[np.ndarray, np.nd
     L = max(L, 1)
     arr = np.zeros((len(seq_bytes), L), dtype=np.uint8)
     for i, s in enumerate(seq_bytes):
-        arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    return arr, lens
+        n = min(len(s), L)  # max_len truncates (matches the native path)
+        arr[i, :n] = np.frombuffer(s[:n], dtype=np.uint8)
+    return arr, np.minimum(lens, L)
 
 
 class PackedSequence:
@@ -200,11 +201,10 @@ class PackedSequence:
             raise InvalidRange(start, end, self._length)
         if start == end:
             return b""
-        # decode the covering words then trim: O(words) not O(n) per-base
+        # decode only the covering words then trim: O(end-start), not O(n)
         lo_word = start // 32
-        covered = oracle.decode(
-            self._data[lo_word:], min(self._length - lo_word * 32, 32 * len(self._data))
-        )
+        n_dec = min(end - lo_word * 32, self._length - lo_word * 32)
+        covered = oracle.decode(self._data[lo_word:], n_dec)
         off = start - lo_word * 32
         return covered[off : off + (end - start)]
 

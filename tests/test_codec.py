@@ -232,3 +232,11 @@ def test_roundtrip_every_length_1_to_1000(rng):
     ).reshape(arr.shape)
     mask = np.arange(1000)[None, :] < lens[:, None]
     assert np.array_equal(out * mask, expect * mask)
+
+
+def test_slice_decodes_only_covering_words(rng):
+    s = random_seq(rng, 100_000).upper()
+    seq = PackedSequence(s)
+    assert seq.slice(10, 40) == s[10:40]
+    assert seq.slice(0, 5) == s[:5]
+    assert seq.slice(99_990, 100_000) == s[99_990:]

@@ -80,3 +80,14 @@ def test_read_fastq_fast_matches_python(tmp_path, rng):
     fq2 = fq.replace(b"\n", b"\r\n") + b"\n\n"
     fast2 = bnio.read_fastq_fast(fq2)
     assert fast2.to_ascii() == py_reads.to_ascii()
+
+
+def test_fasta_gt_in_description():
+    names, reads = bnio.read_fasta(b">seq1 coverage>30\nACGT\n>s2\nTT\n")
+    assert names == [b"seq1 coverage>30", b"s2"]
+    assert reads.to_ascii() == [b"ACGT", b"TT"]
+
+
+def test_read_fasta_max_len_truncates():
+    names, reads = bnio.read_fasta(b">a\nACGTACGTAC\n>b\nGG\n", max_len=4)
+    assert reads.to_ascii() == [b"ACGT", b"GG"]

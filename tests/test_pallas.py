@@ -126,3 +126,14 @@ def test_hdist_scan_kernel_parity(rng, D, W, nb):
     d2, i2 = ph.hdist_topk_pallas(q, ph.to_word_major(db), nb, 5, interpret=True)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_histogram_kernel_exact_past_f32_slab(rng):
+    """Slab accumulation must stay exact when one bin dominates (poly-A)."""
+    from bitnuc_tpu.ops.pallas import histogram
+
+    # monkeypatch-free check of the slab loop: > 1 slab of identical keys
+    n = (1 << 22) + 12345
+    keys = jnp.zeros((n,), jnp.int32)
+    h = np.asarray(histogram.histogram_from_keys(keys, 2, interpret=True))
+    assert h[0] == n and h.sum() == n
