@@ -74,9 +74,10 @@ def bench_decode(batch=1024, read_len=32768):
 
     from bitnuc_tpu.ops import codec
 
-    W = 2 * (-(-read_len // 32))
-
+    from bitnuc_tpu.utils.bitops import n_words_for
     from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    W = n_words_for(read_len)
 
     def make(key):
         w = jax.random.bits(key, (batch, W), jnp.uint32)
@@ -96,9 +97,10 @@ def bench_hdist(db=1 << 20, read_len=512):
 
     from bitnuc_tpu.database import PackedDB
 
-    W = 2 * (-(-read_len // 32))
-
+    from bitnuc_tpu.utils.bitops import n_words_for
     from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    W = n_words_for(read_len)
 
     def make(key):
         k1, k2 = jax.random.split(key)
@@ -120,9 +122,10 @@ def bench_kmer(batch=256, read_len=16384, k=8, mode="mxu"):
 
     from bitnuc_tpu.ops import kmer
 
-    W = 2 * (-(-read_len // 32))
-
+    from bitnuc_tpu.utils.bitops import n_words_for
     from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    W = n_words_for(read_len)
 
     def make(key):
         w = jax.random.bits(key, (batch, W), jnp.uint32)

@@ -155,6 +155,10 @@ def iter_fastq_batches(
             header = f.readline()
             if not header:
                 break
+            if not header.strip():
+                continue  # tolerate blank lines between records
+            if not header.startswith(b"@"):
+                raise ValueError(f"malformed FASTQ header: {header[:40]!r}")
             seq = f.readline().strip()
             f.readline()  # '+'
             f.readline()  # quality

@@ -93,6 +93,10 @@ def decode_reads_xla(
 
     codes = bitops.unpack_words(words)[..., :L]
     ascii_out = bitops.code_to_ascii(codes)
+    cap = codes.shape[-1]
+    if L > cap:  # max_len beyond word capacity zero-pads (Pallas twin parity)
+        pad = [(0, 0)] * (ascii_out.ndim - 1) + [(0, L - cap)]
+        ascii_out = jnp.pad(ascii_out, pad)
     pos = jnp.arange(L, dtype=jnp.int32)
     return jnp.where(pos < lengths[..., None], ascii_out, jnp.uint8(0))
 

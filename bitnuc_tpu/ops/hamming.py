@@ -73,8 +73,10 @@ def hdist_one_to_many(query: jax.Array, database: jax.Array, n_bases) -> jax.Arr
 @partial(jax.jit, static_argnames=("k",))
 def topk_smallest(values: jax.Array, k: int):
     """Exact k smallest of a 1-D int array with their indices, ascending;
-    ties broken by lowest index. Uses only single-value reduces (lax.top_k
-    serializes on TPU — see module docstring)."""
+    ties broken by lowest index. If k > n, the tail is sentinel-filled
+    (distance 2^30, index -1) rather than phantom zeros. Uses only
+    single-value reduces (lax.top_k serializes on TPU — see module
+    docstring)."""
     n = values.shape[0]
     big = jnp.int32(2**30)
     idx_range = jnp.arange(n, dtype=jnp.int32)
@@ -90,8 +92,8 @@ def topk_smallest(values: jax.Array, k: int):
     # manual axes under shard_map (a fresh zeros() would be unvarying and
     # fail the fori_loop carry type check)
     zero = (values[0] & 0).astype(jnp.int32)
-    outd0 = jnp.zeros(k, jnp.int32) + zero
-    outi0 = jnp.zeros(k, jnp.int32) + zero
+    outd0 = jnp.full(k, big, jnp.int32) + zero
+    outi0 = jnp.full(k, -1, jnp.int32) + zero
     _, outd, outi = jax.lax.fori_loop(
         0, min(k, n), body, (values.astype(jnp.int32), outd0, outi0)
     )

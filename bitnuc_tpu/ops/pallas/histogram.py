@@ -84,6 +84,8 @@ def histogram_from_keys(
     n_lo_p = max(n_lo, 128)
 
     N = keys.shape[0]
+    if N == 0:  # a 0-step grid would return an uninitialized buffer
+        return jnp.zeros(4**k, jnp.int32)
     per = ROWS * COLS
     Np = -(-N // per) * per
     keys = jnp.pad(keys, (0, Np - N), constant_values=4**k)

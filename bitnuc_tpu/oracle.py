@@ -176,7 +176,7 @@ def split_packed(ebuf, slen: int, idx: int) -> Tuple[np.ndarray, np.ndarray]:
 
 def get(ebuf, length: int, index: int) -> int:
     """Single-base access (src/sequence.rs:116-135). Returns the ASCII byte."""
-    if index >= length:
+    if index < 0 or index >= length:
         raise IndexOutOfBounds(index, length)
     words = np.asarray(ebuf, dtype=U64)
     bits = (int(words[index // 32]) >> ((index % 32) * 2)) & 0b11
@@ -185,7 +185,7 @@ def get(ebuf, length: int, index: int) -> int:
 
 def slice_(ebuf, length: int, start: int, end: int) -> bytes:
     """Subsequence [start, end) (src/sequence.rs:198-212)."""
-    if start > end or end > length:
+    if start < 0 or start > end or end > length:
         raise InvalidRange(start, end, length)
     return bytes(get(ebuf, length, i) for i in range(start, end))
 

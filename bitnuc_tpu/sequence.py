@@ -119,12 +119,13 @@ class PackedReads:
         return self.batch_size
 
     def __getitem__(self, i: int) -> "PackedSequence":
-        """Extract one read as a host PackedSequence (device -> host copy)."""
+        """Extract one read as a host PackedSequence (one-row device->host
+        copy, O(W) — not a whole-batch transfer)."""
         if not -self.batch_size <= i < self.batch_size:
             raise IndexError(i)
-        u64 = self.to_u64()[i]
-        n = int(np.asarray(self.lengths)[i])
-        return PackedSequence.from_packed(u64[: (n + 31) // 32], n)
+        row = bitops.words_u32_to_u64_np(np.asarray(self.words[i]))
+        n = int(self.lengths[i])
+        return PackedSequence.from_packed(row[: (n + 31) // 32], n)
 
     def __iter__(self):
         for i in range(self.batch_size):
@@ -135,11 +136,13 @@ def _rectangularize(seqs, lengths=None, max_len=None) -> Tuple[np.ndarray, np.nd
     """Normalize host input into (uint8[batch, L], int32[batch])."""
     if isinstance(seqs, np.ndarray) and seqs.ndim == 2:
         arr = seqs.astype(np.uint8, copy=False)
+        if max_len is not None and arr.shape[1] > int(max_len):
+            arr = arr[:, : int(max_len)]
         if lengths is None:
             lens = np.full(arr.shape[0], arr.shape[1], dtype=np.int32)
         else:
             lens = np.asarray(lengths, dtype=np.int32)
-        return arr, lens
+        return arr, np.minimum(lens, arr.shape[1]).astype(np.int32)
     seq_bytes = [bytes(s) if not isinstance(s, (bytes, bytearray)) else s for s in seqs]
     lens = np.array([len(s) for s in seq_bytes], dtype=np.int32)
     L = int(max_len) if max_len is not None else (int(lens.max()) if len(lens) else 0)
@@ -173,7 +176,15 @@ class PackedSequence:
     @classmethod
     def from_packed(cls, words_u64, length: int) -> "PackedSequence":
         obj = cls.__new__(cls)
-        obj._data = np.asarray(words_u64, dtype=np.uint64).copy()
+        data = np.asarray(words_u64, dtype=np.uint64).copy()
+        # normalize to exactly ceil(length/32) words so equality/hash see one
+        # canonical form (split_packed can emit a trailing zero word)
+        nw = -(-int(length) // 32)
+        if len(data) > nw:
+            data = data[:nw].copy()
+        elif len(data) < nw:
+            data = np.concatenate([data, np.zeros(nw - len(data), np.uint64)])
+        obj._data = data
         obj._length = int(length)
         return obj
 
@@ -197,7 +208,7 @@ class PackedSequence:
 
     def slice(self, start: int, end: int) -> bytes:
         """Subsequence [start, end) (src/sequence.rs:198-212)."""
-        if start > end or end > self._length:
+        if start < 0 or start > end or end > self._length:
             raise InvalidRange(start, end, self._length)
         if start == end:
             return b""

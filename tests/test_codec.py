@@ -240,3 +240,36 @@ def test_slice_decodes_only_covering_words(rng):
     assert seq.slice(10, 40) == s[10:40]
     assert seq.slice(0, 5) == s[:5]
     assert seq.slice(99_990, 100_000) == s[99_990:]
+
+
+def test_negative_index_and_range_rejected():
+    s = PackedSequence(b"ACGT" * 10)
+    with pytest.raises(Exception):
+        s.get(-1)
+    with pytest.raises(Exception):
+        s.slice(-4, 2)
+
+
+def test_split_preserves_equality_and_hash():
+    l, r = PackedSequence(b"A" * 64).split(32)
+    direct = PackedSequence(b"A" * 32)
+    assert l == direct and hash(l) == hash(direct)
+    assert r == direct
+
+
+def test_decode_max_len_beyond_capacity(rng):
+    w, _ = codec.encode_reads_xla(
+        jnp.asarray(np.full((2, 8), 65, np.uint8)), jnp.asarray([8, 3])
+    )
+    out = np.asarray(codec.decode_reads_xla(w, jnp.asarray([8, 3]), max_len=100))
+    assert out.shape == (2, 100)
+    assert bytes(out[0, :8]) == b"AAAAAAAA" and out[0, 8:].sum() == 0
+
+
+def test_topk_smallest_k_exceeds_n():
+    from bitnuc_tpu.ops import hamming
+
+    d, i = hamming.topk_smallest(jnp.asarray(np.array([5, 2], np.int32)), 4)
+    assert list(np.asarray(d)[:2]) == [2, 5]
+    assert list(np.asarray(i)[:2]) == [1, 0]
+    assert np.all(np.asarray(i)[2:] == -1)
