@@ -56,11 +56,14 @@ def count_kmers_sharded(
         )
         return jax.lax.psum(hist, axis)
 
+    # check_vma=False: the Pallas histogram kernel's out_shape carries no
+    # varying-axis metadata, which trips the static replication check
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
         out_specs=P(),
+        check_vma=False,
     )(words, lengths)
 
 

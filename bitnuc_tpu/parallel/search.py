@@ -116,11 +116,14 @@ def hdist_search_db_sharded(
         me = jax.lax.axis_index(axis).astype(jnp.int32)
         return dd, idx + me * D_loc
 
+    # check_vma=False: the Pallas scan kernel's out_shape carries no
+    # varying-axis metadata, which trips the static replication check
     cand_d, cand_i = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(axis), P(axis)),
+        check_vma=False,
     )(query, db_words_wm)
     from jax.sharding import NamedSharding
 
