@@ -60,3 +60,13 @@ def use_pallas() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def pallas_interpret() -> bool:
+    """True when Pallas kernels must run in interpret mode (off-TPU)."""
+    import jax
+
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True

@@ -81,7 +81,7 @@ class PackedDB:
                 query,
                 self.words_wm,
                 self.n_bases,
-                interpret=jax.default_backend() != "tpu",
+                interpret=config.pallas_interpret(),
             )
         return hamming.hdist_one_to_many(
             query, jnp.transpose(self.words_wm), self.n_bases

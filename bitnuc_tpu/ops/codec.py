@@ -120,7 +120,7 @@ def encode_reads(
         # interpret mode off-TPU, so the kernel backend runs anywhere (the
         # analog of the reference's scalar fallback on non-SIMD machines)
         return pallas_pack.encode_reads_pallas(
-            ascii_u8, lengths, n_words, interpret=jax.default_backend() != "tpu"
+            ascii_u8, lengths, n_words, interpret=config.pallas_interpret()
         )
     return encode_reads_xla(ascii_u8, lengths, n_words)
 
@@ -135,7 +135,7 @@ def decode_reads(
         from .pallas import unpack as pallas_unpack
 
         return pallas_unpack.decode_reads_pallas(
-            words, lengths, max_len, interpret=jax.default_backend() != "tpu"
+            words, lengths, max_len, interpret=config.pallas_interpret()
         )
     return decode_reads_xla(words, lengths, max_len)
 

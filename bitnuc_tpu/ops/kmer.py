@@ -189,6 +189,33 @@ def count_kmers_dense_pallas(
     return histogram.histogram_from_keys(keys, k, interpret=interpret)
 
 
+
+
+def segment_count(hi_s: jax.Array, lo_s: jax.Array, w_s: jax.Array):
+    """Aggregate sorted (hi, lo) key pairs into unique keys + summed weights.
+
+    Returns (u_lo, u_hi, counts, n_unique) in the count_kmers_sorted layout;
+    the trailing segment is dropped from n_unique if its total weight is 0
+    (the all-invalid sentinel run — a real key's segment always carries
+    positive weight). Shared by the local and the all_gather-merged
+    (parallel/kmer.py) counting paths.
+    """
+    N = lo_s.shape[0]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]),
+        ]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jnp.zeros(N, jnp.int32).at[seg].add(w_s)
+    # all rows of a segment share the key, so duplicate-index set is benign
+    u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(lo_s)
+    u_hi = jnp.zeros(N, jnp.uint32).at[seg].set(hi_s)
+    n_unique = seg[-1] + 1 - (counts[seg[-1]] == 0).astype(jnp.int32)
+    return u_lo, u_hi, counts, n_unique
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_sorted(
     words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
@@ -237,22 +264,7 @@ def count_kmers_sorted(
     wts = valid.astype(jnp.int32).reshape(-1)
 
     hi_s, lo_s, w_s = jax.lax.sort((hi, lo, wts), num_keys=2)
-    N = lo_s.shape[0]
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]),
-        ]
-    )
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    counts = jnp.zeros(N, jnp.int32).at[seg].add(w_s)
-    # all rows of a segment share the key, so duplicate-index set is benign
-    u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(lo_s)
-    u_hi = jnp.zeros(N, jnp.uint32).at[seg].set(hi_s)
-    # drop the trailing all-invalid sentinel segment (weight 0) if present;
-    # a real key's segment always carries positive weight
-    n_unique = seg[-1] + 1 - (counts[seg[-1]] == 0).astype(jnp.int32)
-    return u_lo, u_hi, counts, n_unique
+    return segment_count(hi_s, lo_s, w_s)
 
 
 def count_kmers_reads(
@@ -280,14 +292,8 @@ def count_kmers_reads(
         from .. import config
 
         if config.use_pallas():
-            import jax as _jax
-
             return count_kmers_dense_pallas(
-                words,
-                lengths,
-                k,
-                canonical,
-                interpret=_jax.default_backend() != "tpu",
+                words, lengths, k, canonical, interpret=config.pallas_interpret()
             )
         return count_kmers_dense_mxu(words, lengths, k, canonical)
     if mode == "dense":

@@ -100,16 +100,7 @@ def count_kmers_sorted_sharded(
         lo_g = jnp.where(dead, sent, lo_g)
         hi_g = jnp.where(dead, sent, hi_g)
         hi_s, lo_s, ct_s = jax.lax.sort((hi_g, lo_g, ct_g), num_keys=2)
-        N = lo_s.shape[0]
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
-        )
-        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-        counts2 = jnp.zeros(N, jnp.int32).at[seg].add(ct_s)
-        u_lo = jnp.zeros(N, jnp.uint32).at[seg].set(lo_s)
-        u_hi = jnp.zeros(N, jnp.uint32).at[seg].set(hi_s)
-        n_unique = seg[-1] + 1 - (counts2[seg[-1]] == 0).astype(jnp.int32)
-        return u_lo, u_hi, counts2, n_unique
+        return kmer_ops.segment_count(hi_s, lo_s, ct_s)
 
     # every device computes the identical merge from the all_gathered lists;
     # that replication isn't statically inferable, hence check_vma=False

@@ -107,8 +107,7 @@ def hdist_search_db_sharded(
         D_loc = db_loc_wm.shape[1]
         if config.use_pallas():
             d = ph.hdist_scan_pallas(
-                q, db_loc_wm, n_bases,
-                interpret=jax.default_backend() != "tpu",
+                q, db_loc_wm, n_bases, interpret=config.pallas_interpret()
             )
         else:
             d = hamming.hdist_one_to_many(q, jnp.transpose(db_loc_wm), n_bases)

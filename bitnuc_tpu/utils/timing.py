@@ -86,6 +86,3 @@ def amortized_seconds_per_call(
     # swings >10x between runs; the minimum is the capability estimate
     return float(np.min(times))
 
-
-# legacy name used by earlier callers
-serialized_seconds_per_call = None  # removed: see amortized_seconds_per_call
