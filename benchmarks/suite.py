@@ -62,6 +62,7 @@ def host_suite(results):
     # pack/unpack/roundtrip at k-mer sizes (packing_benchmark.rs:10-95)
     for n in (4, 8, 16, 24, 32):
         s = rand_seq(n)
+        assert bn.from_2bit(bn.as_2bit(s), n) == s, "roundtrip oracle"
         t = _time_host(bn.as_2bit, s)
         _emit(results, f"host/as_2bit/{n}", n / t / 1e6, "Mbases/s")
         p = bn.as_2bit(s)
@@ -90,9 +91,14 @@ def host_suite(results):
     t = _time_host(seq.slice, 100, 124)
     _emit(results, "host/slice/24", 24 / t / 1e6, "Mbases/s")
 
-    # hdist 32-base scalar and 512-base multi (hdist_benchmark.rs:14-76)
+    # hdist 32-base scalar and 512-base multi (hdist_benchmark.rs:14-76);
+    # like the reference, the bench doubles as a checked oracle: the packed
+    # result must equal the bytewise compare before timing begins
     for n in (32, 512):
-        e1, e2 = bn.encode(rand_seq(n)), bn.encode(rand_seq(n))
+        s1, s2 = rand_seq(n), rand_seq(n)
+        e1, e2 = bn.encode(s1), bn.encode(s2)
+        byte_d = sum(a != b for a, b in zip(s1, s2))
+        assert bn.hdist(e1, e2, n) == byte_d, "hdist != bytewise oracle"
         t = _time_host(bn.hdist, e1, e2, n)
         _emit(results, f"host/hdist/{n}", n / t / 1e6, "Mbase-cmp/s")
 
