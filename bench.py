@@ -154,7 +154,39 @@ def bench_memcpy(mbytes=128):
     return 2 * mbytes / 1024 / t
 
 
+def _install_watchdog():
+    """The remote-compile service occasionally hangs for many minutes; make
+    sure the headline JSON line is always emitted. BENCH_TIMEOUT_S=0
+    disables."""
+    import os
+    import signal
+
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "2700"))
+    if budget <= 0:
+        return
+
+    def bail(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "bases_encoded_per_sec_chip",
+                    "value": 0.0,
+                    "unit": "bases/s",
+                    "vs_baseline": 0.0,
+                    "error": f"watchdog: device run exceeded {budget}s "
+                    "(remote compile service hung or chip unavailable)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, bail)
+    signal.alarm(budget)
+
+
 def main():
+    _install_watchdog()
     cpu = _cpu_baseline_bases_per_sec()
     # the chip is time-shared with >10x bandwidth swings; sample the headline
     # a few times over ~1.5 min and keep the best (capability estimate)
