@@ -187,6 +187,9 @@ def _install_watchdog():
 
 def main():
     _install_watchdog()
+    from bitnuc_tpu import config
+
+    config.enable_compilation_cache()
     cpu = _cpu_baseline_bases_per_sec()
     # the chip is time-shared with >10x bandwidth swings; sample the headline
     # a few times over ~1.5 min and keep the best (capability estimate)

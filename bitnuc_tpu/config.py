@@ -70,3 +70,20 @@ def pallas_interpret() -> bool:
         return jax.default_backend() != "tpu"
     except Exception:
         return True
+
+
+def enable_compilation_cache(path: str = "/tmp/bitnuc_jax_cache") -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Compiles in this environment go through a remote service that is slow
+    and occasionally hangs; caching every executable makes repeat runs
+    (benchmarks, driver entry checks) independent of it.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
