@@ -68,6 +68,23 @@ class PackedDB:
     def __len__(self) -> int:
         return self.size
 
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path) -> None:
+        """Persist as .npz (word-major words + n_bases), 2 bits/base."""
+        np.savez_compressed(
+            path,
+            words_wm=np.asarray(self.words_wm, dtype=np.uint32),
+            n_bases=np.int64(self.n_bases),
+        )
+
+    @classmethod
+    def load(cls, path) -> "PackedDB":
+        with np.load(path) as z:
+            return cls(
+                words_wm=jnp.asarray(z["words_wm"]), n_bases=int(z["n_bases"])
+            )
+
     # -- queries --------------------------------------------------------------
 
     def distances(self, query: jax.Array) -> jax.Array:

@@ -256,3 +256,21 @@ def test_minimizers_vs_naive(rng, k, w):
             assert bool(valid[b, p]) == expect_valid, (b, p)
             if expect_valid:
                 assert vals[b, p] == min(kmers[p : p + w]), (b, p)
+
+
+def test_packed_db_save_load(tmp_path, rng):
+    import bitnuc_tpu as bn
+
+    reads = bn.PackedReads.from_ascii(
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(20, 64)),
+        lengths=np.full(20, 64, np.int32),
+    )
+    db = bn.PackedDB.from_reads(reads)
+    p = tmp_path / "db.npz"
+    db.save(p)
+    back = bn.PackedDB.load(p)
+    assert back.n_bases == db.n_bases
+    np.testing.assert_array_equal(np.asarray(back.words_wm), np.asarray(db.words_wm))
+    d1, _ = db.search(reads.words[3], 2)
+    d2, _ = back.search(reads.words[3], 2)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
