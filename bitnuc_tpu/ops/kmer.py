@@ -332,6 +332,64 @@ def _sliding_min(x: jax.Array, w: int, fill) -> jax.Array:
     return jnp.minimum(a, b)
 
 
+def _shift_tail(x: jax.Array, m: int, fill) -> jax.Array:
+    """out[..., p] = x[..., p+m], `fill` past the end."""
+    out = jnp.full_like(x, fill)
+    return out.at[..., : x.shape[-1] - m].set(x[..., m:]) if m else x
+
+
+def _sliding_argmin(keys: jax.Array, w: int, fill) -> Tuple[jax.Array, jax.Array]:
+    """(min value, GLOBAL position of the leftmost min) over each w-window,
+    by the same doubling scheme with a lexicographic (value, position) min."""
+    L = keys.shape[-1]
+    pos0 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), keys.shape)
+
+    def combine(v1, p1, v2, p2):
+        take2 = (v2 < v1) | ((v2 == v1) & (p2 < p1))
+        return jnp.where(take2, v2, v1), jnp.where(take2, p2, p1)
+
+    pows = {1: (keys, pos0)}
+    m = 1
+    while 2 * m <= w:
+        v, p = pows[m]
+        pows[2 * m] = combine(
+            v, p, _shift_tail(v, m, fill), _shift_tail(p, m, jnp.int32(2**30))
+        )
+        m *= 2
+    half = m
+    v, p = pows[half]
+    off = w - half
+    return combine(
+        v, p, _shift_tail(v, off, fill), _shift_tail(p, off, jnp.int32(2**30))
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "w", "canonical"))
+def minimizer_positions(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    canonical: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Like `minimizers`, additionally returning the position of each
+    window's (leftmost) minimizer — the seed anchor used by minimap2-style
+    pipelines. Returns (vals, positions, valid)."""
+    assert 1 <= k <= 16
+    lo, _, valid_k = _window_keys(words, lengths, k, canonical)
+    sent = jnp.uint32(0xFFFFFFFF)
+    keys = jnp.where(valid_k, lo, sent)
+    vals, pos = _sliding_argmin(keys, w, sent)
+    L = keys.shape[-1]
+    p_idx = jnp.arange(L, dtype=jnp.int32)
+    valid = p_idx <= (jnp.asarray(lengths, jnp.int32)[..., None] - (k + w - 1))
+    return (
+        jnp.where(valid, vals, sent),
+        jnp.where(valid, pos, -1),
+        valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "w", "canonical"))
 def minimizers(
     words: jax.Array,

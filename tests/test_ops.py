@@ -274,3 +274,25 @@ def test_packed_db_save_load(tmp_path, rng):
     d1, _ = db.search(reads.words[3], 2)
     d2, _ = back.search(reads.words[3], 2)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@pytest.mark.parametrize("k,w", [(5, 4), (8, 7), (3, 16)])
+def test_minimizer_positions_vs_naive(rng, k, w):
+    import bitnuc_tpu as bn
+    from bitnuc_tpu.ops import kmer
+
+    B, L = 2, 70
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    lens = np.full(B, L, np.int32)
+    reads = bn.PackedReads.from_ascii(arr, lengths=lens)
+    vals, pos, valid = kmer.minimizer_positions(reads.words, reads.lengths, k, w)
+    vals, pos, valid = np.asarray(vals), np.asarray(pos), np.asarray(valid)
+    for b in range(B):
+        seq = bytes(arr[b])
+        kmers = [bn.as_2bit(seq[p : p + k]) for p in range(L - k + 1)]
+        for p in range(L - k - w + 2):
+            win = kmers[p : p + w]
+            mv = min(win)
+            mp = p + win.index(mv)
+            assert valid[b, p]
+            assert vals[b, p] == mv and pos[b, p] == mp, (b, p)
