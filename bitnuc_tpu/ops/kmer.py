@@ -416,3 +416,15 @@ def minimizers(
     pos = jnp.arange(L, dtype=jnp.int32)
     valid = pos <= (jnp.asarray(lengths, jnp.int32)[..., None] - (k + w - 1))
     return jnp.where(valid, vals, sent), valid
+
+
+@jax.jit
+def minimizer_sketch_mask(positions: jax.Array, valid: jax.Array) -> jax.Array:
+    """Select one window per distinct minimizer occurrence: True where a
+    window's minimizer position differs from the previous valid window's
+    (the standard minimizer-sketch construction — each selected index is a
+    seed anchor). positions/valid from minimizer_positions."""
+    prev = jnp.concatenate(
+        [jnp.full_like(positions[..., :1], -2), positions[..., :-1]], axis=-1
+    )
+    return valid & (positions != prev)

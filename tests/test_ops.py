@@ -296,3 +296,27 @@ def test_minimizer_positions_vs_naive(rng, k, w):
             mp = p + win.index(mv)
             assert valid[b, p]
             assert vals[b, p] == mv and pos[b, p] == mp, (b, p)
+
+
+def test_minimizer_sketch_mask(rng):
+    import bitnuc_tpu as bn
+    from bitnuc_tpu.ops import kmer
+
+    k, w, L = 5, 6, 60
+    arr = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(1, L))
+    reads = bn.PackedReads.from_ascii(arr, lengths=np.full(1, L, np.int32))
+    vals, pos, valid = kmer.minimizer_positions(reads.words, reads.lengths, k, w)
+    mask = np.asarray(kmer.minimizer_sketch_mask(pos, valid))
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    # naive: positions of minimizer changes over the valid prefix
+    want = []
+    last = -2
+    for p in range(L - k - w + 2):
+        if pos[0, p] != last:
+            want.append(p)
+            last = pos[0, p]
+    got = list(np.nonzero(mask[0])[0])
+    assert got == want
+    # each selected window's minimizer is distinct from its predecessor's
+    sel = pos[0][mask[0]]
+    assert all(sel[i] != sel[i - 1] for i in range(1, len(sel)))
