@@ -152,11 +152,25 @@ def count_kmers_seqsharded(
         valid = (pos < W_loc * bitops.BASES_PER_WORD) & (
             base0 + pos <= jnp.asarray(total_len, jnp.int32) - k
         )
-        keys = jnp.where(valid[None, :], lo, 0).reshape(-1).astype(jnp.int32)
-        wts = valid.astype(jnp.int32).reshape(-1)
-        hist = jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
+        from .. import config
+
+        if k <= kmer_ops.MAX_MXU_K and config.use_pallas():
+            from ..ops.pallas import histogram
+
+            keys = (
+                jnp.where(valid[None, :], lo, jnp.uint32(4**k))
+                .astype(jnp.int32)
+                .reshape(-1)
+            )
+            hist = histogram.histogram_from_keys(
+                keys, k, interpret=config.pallas_interpret()
+            )
+        else:
+            keys = jnp.where(valid[None, :], lo, 0).reshape(-1).astype(jnp.int32)
+            wts = valid.astype(jnp.int32).reshape(-1)
+            hist = jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
         return jax.lax.psum(hist, axis)
 
     return jax.shard_map(
-        local, mesh=mesh, in_specs=P(axis), out_specs=P()
+        local, mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False
     )(words)
