@@ -237,9 +237,6 @@ def encode_batch(
     return out
 
 
-_kmer_bins_cache: dict = {}
-
-
 def count_kmers(seq, k: int) -> dict:
     """Host k-mer counting: native O(n) rolling window over the packed words
     for k <= 12 (dense bins), else the numpy oracle."""
@@ -252,12 +249,9 @@ def count_kmers(seq, k: int) -> dict:
     lib = _load()
     words = encode(seq)
     n = len(_as_u8(seq))
-    counts = _kmer_bins_cache.get(k)
-    if counts is None:
-        counts = np.zeros(4**k, dtype=np.uint64)
-        _kmer_bins_cache[k] = counts
-    else:
-        counts.fill(0)
+    # fresh calloc each call: lazily-zeroed pages beat fill(0) on a cached
+    # buffer, and a shared buffer would be thread-unsafe
+    counts = np.zeros(4**k, dtype=np.uint64)
     lib.bn_count_kmers(
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         len(words),

@@ -310,6 +310,12 @@ def top_kmers(hist: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
     return counts, keys
 
 
+def _shift_tail(x: jax.Array, m: int, fill) -> jax.Array:
+    """out[..., p] = x[..., p+m], `fill` past the end."""
+    out = jnp.full_like(x, fill)
+    return out.at[..., : x.shape[-1] - m].set(x[..., m:]) if m else x
+
+
 def _sliding_min(x: jax.Array, w: int, fill) -> jax.Array:
     """out[..., p] = min(x[..., p : p+w]) via log-step doubling (the sparse-
     table scheme — O(L log w) vector mins, no data-dependent control flow).
@@ -319,23 +325,12 @@ def _sliding_min(x: jax.Array, w: int, fill) -> jax.Array:
     m = 1
     while 2 * m <= w:
         cur = pows[m]
-        shifted = jnp.full_like(cur, fill)
-        shifted = shifted.at[..., : cur.shape[-1] - m].set(cur[..., m:])
-        pows[2 * m] = jnp.minimum(cur, shifted)
+        pows[2 * m] = jnp.minimum(cur, _shift_tail(cur, m, fill))
         m *= 2
     # cover [p, p+w) with two (possibly overlapping) power-of-two blocks
     half = m  # largest power of two <= w
     a = pows[half]
-    off = w - half
-    b = jnp.full_like(a, fill)
-    b = b.at[..., : a.shape[-1] - off].set(a[..., off:])
-    return jnp.minimum(a, b)
-
-
-def _shift_tail(x: jax.Array, m: int, fill) -> jax.Array:
-    """out[..., p] = x[..., p+m], `fill` past the end."""
-    out = jnp.full_like(x, fill)
-    return out.at[..., : x.shape[-1] - m].set(x[..., m:]) if m else x
+    return jnp.minimum(a, _shift_tail(a, w - half, fill))
 
 
 def _sliding_argmin(keys: jax.Array, w: int, fill) -> Tuple[jax.Array, jax.Array]:
