@@ -312,8 +312,11 @@ def top_kmers(hist: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
 
 def _shift_tail(x: jax.Array, m: int, fill) -> jax.Array:
     """out[..., p] = x[..., p+m], `fill` past the end."""
-    out = jnp.full_like(x, fill)
-    return out.at[..., : x.shape[-1] - m].set(x[..., m:]) if m else x
+    if m == 0:
+        return x
+    if m >= x.shape[-1]:  # whole window shifted out (w >= L edge)
+        return jnp.full_like(x, fill)
+    return jnp.full_like(x, fill).at[..., : x.shape[-1] - m].set(x[..., m:])
 
 
 def _sliding_min(x: jax.Array, w: int, fill) -> jax.Array:
