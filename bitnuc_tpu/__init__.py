@@ -36,7 +36,11 @@ from .ops.hamming import (  # noqa: F401
     hdist_one_to_many,
     hdist_topk as hdist_search,
 )
-from .ops.kmer import count_kmers_reads  # noqa: F401
+from .ops.kmer import (  # noqa: F401
+    count_kmers_reads,
+    minimizer_positions,
+    minimizers,
+)
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
 from . import io  # noqa: F401
 from .errors import (  # noqa: F401
@@ -71,6 +75,8 @@ __all__ = [
     "encode_reads",
     "decode_reads",
     "count_kmers_reads",
+    "minimizers",
+    "minimizer_positions",
     "hdist_search",
     "hdist_one_to_many",
     "hdist_many_to_many",
