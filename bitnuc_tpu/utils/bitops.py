@@ -17,7 +17,10 @@ import numpy as np
 BASES_PER_WORD = 16  # per uint32 lane
 WORDS_PER_U64 = 2
 
-LOWER_BITS_32 = jnp.uint32(0x55555555)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking the jax.distributed init ordering contract
+# (parallel/runtime.py; regression-tested by tests/test_runtime.py)
+LOWER_BITS_32 = np.uint32(0x55555555)
 
 # ASCII decode LUT order matches the 2-bit code map A=00 C=01 G=10 T=11
 ASCII_A, ASCII_C, ASCII_G, ASCII_T = 65, 67, 71, 84

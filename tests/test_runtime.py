@@ -1,0 +1,94 @@
+"""Multi-host runtime: a real 2-process CPU jax.distributed cluster.
+
+The reference has nothing distributed (SURVEY.md §2.3); this validates the
+pure north-star surface: parallel.runtime.initialize must wire two OS
+processes into one JAX runtime (gloo CPU collectives) such that a psum
+crosses the process boundary. Also guards the init-ordering contract:
+runtime.is_initialized() must not initialize the backend as a side effect.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)  # exactly 1 CPU device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from bitnuc_tpu.parallel import runtime
+
+# the state probe must not initialize the backend (the round-1 bug: calling
+# jax.process_count() in the guard locked in a single-process runtime)
+assert not runtime.is_initialized()
+
+runtime.initialize(
+    coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+)
+assert runtime.is_initialized()
+runtime.initialize()  # idempotent second call is a no-op
+
+info = runtime.process_info()
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 2, info
+
+import numpy as np
+from jax.sharding import PartitionSpec as P, NamedSharding
+
+mesh = jax.make_mesh((2,), ("x",))
+local = np.full((1,), jax.process_index() + 1, np.int32)
+arr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("x")), local, (2,))
+out = jax.jit(
+    lambda a: jax.shard_map(
+        lambda s: jax.lax.psum(s, "x"), mesh=mesh, in_specs=P("x"), out_specs=P("x")
+    )(a)
+)(arr)
+vals = [int(np.asarray(s.data)[0]) for s in out.addressable_shards]
+assert all(v == 3 for v in vals), vals  # 1 + 2 summed across processes
+print("PSUM_OK", jax.process_index(), flush=True)
+"""
+
+
+def test_two_process_psum(tmp_path):
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    addr = f"127.0.0.1:{port}"
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"PSUM_OK {i}" in out, out
+
+
+def test_single_process_noop():
+    # in-process: no args + no cluster env -> no-op, backend untouched by probe
+    from bitnuc_tpu.parallel import runtime
+
+    runtime.initialize()
+    assert not runtime.is_initialized()
