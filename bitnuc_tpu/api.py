@@ -38,7 +38,16 @@ def as_2bit(seq: Seq) -> int:
 
 
 def from_2bit(packed: int, n_bases: int) -> bytes:
-    """Unpack n_bases (<=32) from one u64 (src/utils/unpacking/mod.rs:119)."""
+    """Unpack n_bases (<=32) from one u64 (src/utils/unpacking/mod.rs:119).
+
+    Returns fresh bytes; the reference appends into a caller buffer instead
+    (divergence recorded in docs/PARITY.md).
+
+    >>> from_2bit(0b11100100, 4)
+    b'ACGT'
+    >>> from_2bit(71620941647064936, 28)  # reference golden word
+    b'AGGCTTGAGGCCCATTCTCTGATCGTTT'
+    """
     return _host().from_2bit(packed, n_bases)
 
 
@@ -48,7 +57,13 @@ def from_2bit_alloc(packed: int, n_bases: int) -> bytes:
 
 
 def encode(seq: Seq) -> np.ndarray:
-    """Encode an arbitrary-length sequence to u64 words (src/utils/mod.rs:22)."""
+    """Encode an arbitrary-length sequence to u64 words (src/utils/mod.rs:22).
+
+    >>> int(encode(b"ACGT")[0])
+    228
+    >>> decode(encode(b"ACGTACGTAC"), 10)
+    b'ACGTACGTAC'
+    """
     return _host().encode(seq)
 
 
@@ -64,7 +79,13 @@ def decode(ebuf, n_bases: int) -> bytes:
 
 def hdist(ebuf1, ebuf2, n_bases: int) -> int:
     """Per-base Hamming distance over packed word arrays
-    (src/utils/functions/hamming/multi.rs:122)."""
+    (src/utils/functions/hamming/multi.rs:122).
+
+    >>> hdist(encode(b"ACTGACTG"), encode(b"TGCATGCA"), 8)  # golden table row
+    8
+    >>> hdist(encode(b"ACGT"), encode(b"ACGA"), 4)
+    1
+    """
     return _host().hdist(ebuf1, ebuf2, n_bases)
 
 
@@ -74,14 +95,23 @@ def hdist_scalar(u: int, v: int, length: int) -> int:
 
 
 def split_packed(ebuf, slen: int, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Split a packed stream at base idx (src/utils/functions/split.rs:14)."""
+    """Split a packed stream at base idx (src/utils/functions/split.rs:14).
+
+    >>> l, r = split_packed(encode(b"ACGTAC"), 6, 4)
+    >>> (decode(l, 4), decode(r, 2))
+    (b'ACGT', b'AC')
+    """
     return _host().split_packed(ebuf, slen, idx)
 
 
 def count_kmers(seq: Seq, k: int) -> dict:
     """K-mer counting per the reference README workflow (README.md:164-180):
     returns {packed_kmer_value: count}. For batched/device-scale counting use
-    bitnuc_tpu.ops.kmer.count_kmers_reads."""
+    bitnuc_tpu.ops.kmer.count_kmers_reads.
+
+    >>> count_kmers(b"AAAA", 2)
+    {0: 3}
+    """
     if not 1 <= k <= 32:
         raise InvalidLength(k)
     return _host().count_kmers(seq, k)

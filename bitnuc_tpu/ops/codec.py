@@ -114,14 +114,20 @@ def encode_reads(
     forces the kernel (both are bit-exact, parity-tested in
     tests/test_pallas.py).
     """
-    if config.get_backend() == "pallas" and ascii_u8.ndim == 2:
+    if config.get_backend() == "pallas":
         from .pallas import pack as pallas_pack
 
         # interpret mode off-TPU, so the kernel backend runs anywhere (the
-        # analog of the reference's scalar fallback on non-SIMD machines)
-        return pallas_pack.encode_reads_pallas(
-            ascii_u8, lengths, n_words, interpret=config.pallas_interpret()
+        # analog of the reference's scalar fallback on non-SIMD machines).
+        # The kernel is written for [B, L]; other ranks flatten their leading
+        # dims through it (no silent XLA fallback — dispatch contract).
+        lead = ascii_u8.shape[:-1]
+        flat = ascii_u8.reshape((-1, ascii_u8.shape[-1]))
+        lens_flat = jnp.asarray(lengths, jnp.int32).reshape(-1)
+        words, first_bad = pallas_pack.encode_reads_pallas(
+            flat, lens_flat, n_words, interpret=config.pallas_interpret()
         )
+        return words.reshape(lead + words.shape[-1:]), first_bad.reshape(lead)
     return encode_reads_xla(ascii_u8, lengths, n_words)
 
 
@@ -131,12 +137,16 @@ def decode_reads(
     max_len: Optional[int] = None,
 ) -> jax.Array:
     """Backend-dispatching batched decode (see encode_reads for the policy)."""
-    if config.get_backend() == "pallas" and words.ndim == 2:
+    if config.get_backend() == "pallas":
         from .pallas import unpack as pallas_unpack
 
-        return pallas_unpack.decode_reads_pallas(
-            words, lengths, max_len, interpret=config.pallas_interpret()
+        lead = words.shape[:-1]
+        flat = words.reshape((-1, words.shape[-1]))
+        lens_flat = jnp.asarray(lengths, jnp.int32).reshape(-1)
+        out = pallas_unpack.decode_reads_pallas(
+            flat, lens_flat, max_len, interpret=config.pallas_interpret()
         )
+        return out.reshape(lead + out.shape[-1:])
     return decode_reads_xla(words, lengths, max_len)
 
 

@@ -305,9 +305,19 @@ def count_kmers_reads(
 
 @partial(jax.jit, static_argnames=("n",))
 def top_kmers(hist: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
-    """(counts, packed k-mer values) of the n most frequent k-mers."""
-    counts, keys = jax.lax.top_k(hist, n)
-    return counts, keys
+    """(counts, packed k-mer values) of the n most frequent k-mers,
+    descending; ties broken by lowest key.
+
+    Extracted iteratively (n rounds of single-value max reduces) rather than
+    with lax.top_k, which serializes ~300x on TPU at ~1M inputs — the same
+    measured finding behind ops.hamming.topk_smallest (docs/DESIGN.md §2);
+    4^k histograms reach 16.7M bins at MAX_DENSE_K. If n exceeds the
+    histogram size, the tail is (count=-2^30, key=-1) sentinels.
+    """
+    from .hamming import topk_smallest
+
+    neg, keys = topk_smallest(-hist.astype(jnp.int32), n)
+    return -neg, keys
 
 
 def _shift_tail(x: jax.Array, m: int, fill) -> jax.Array:

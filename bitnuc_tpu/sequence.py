@@ -159,6 +159,16 @@ class PackedSequence:
     """Host single-sequence type mirroring the reference PackedSequence
     (src/sequence.rs). Stores reference-layout u64 words + length; hashable
     and comparable so it works as a dict/set key (src/sequence.rs:329-338).
+
+    >>> s = PackedSequence(b"ACGTACGT")
+    >>> (len(s), s.is_empty(), chr(s.get(2)))
+    (8, False, 'G')
+    >>> s.slice(1, 5)
+    b'CGTA'
+    >>> (s.gc_content(), s.base_counts())
+    (50.0, (2, 2, 2, 2))
+    >>> PackedSequence(b"ACGT") == PackedSequence("ACGT")
+    True
     """
 
     __slots__ = ("_data", "_length")

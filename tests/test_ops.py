@@ -205,6 +205,22 @@ def test_top_kmers():
     assert int(counts[0]) == 7 and int(keys[0]) == 0
 
 
+def test_top_kmers_order_and_ties():
+    # AAAA x3 windows, CCCC x2, plus singles; descending counts, ties by key
+    r = PackedReads.from_ascii([b"AAAAAA", b"CCCCC"])
+    hist = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, 4))
+    counts, keys = kmer.top_kmers(jnp.asarray(hist), 4)
+    counts, keys = np.asarray(counts), np.asarray(keys)
+    order = np.lexsort((np.arange(hist.size), -hist))[:4]
+    assert np.array_equal(keys, order)
+    assert np.array_equal(counts, hist[order])
+    # n > histogram size: sentinel tail, not phantom entries
+    tiny = jnp.asarray(np.array([5, 0, 0, 2], np.int32))
+    c2, k2 = kmer.top_kmers(tiny, 6)
+    assert list(np.asarray(k2[:2])) == [0, 3] and list(np.asarray(c2[:2])) == [5, 2]
+    assert all(np.asarray(k2[4:]) == -1)
+
+
 def test_packed_db_search(rng):
     import bitnuc_tpu as bn
     from bitnuc_tpu.ops import hamming

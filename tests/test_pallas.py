@@ -137,3 +137,24 @@ def test_histogram_kernel_exact_past_f32_slab(rng):
     keys = jnp.zeros((n,), jnp.int32)
     h = np.asarray(histogram.histogram_from_keys(keys, 2, interpret=True))
     assert h[0] == n and h.sum() == n
+
+
+@pytest.mark.parametrize("shape", [(2, 3, 40), (50,)])
+def test_pallas_dispatch_any_rank(rng, shape):
+    """backend='pallas' must engage for every input rank (no silent XLA
+    fallback): leading dims flatten through the [B, L] kernel."""
+    from bitnuc_tpu import config
+
+    ascii_np = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=shape)
+    lens = np.full(shape[:-1], shape[-1], np.int32)
+    w_ref, fb_ref = codec.encode_reads_xla(
+        jnp.asarray(ascii_np), jnp.asarray(lens)
+    )
+    with config.backend("pallas"):
+        w, fb = codec.encode_reads(jnp.asarray(ascii_np), jnp.asarray(lens))
+        out = codec.decode_reads(w, jnp.asarray(lens))
+    assert w.shape == w_ref.shape and fb.shape == fb_ref.shape
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w_ref))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb_ref))
+    dec_ref = codec.decode_reads_xla(w_ref, jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(dec_ref))
