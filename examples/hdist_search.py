@@ -10,13 +10,19 @@ bitnuc_tpu.parallel.search.hdist_search_sharded with the database sharded
 over devices.
 """
 
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
-import jax.numpy as jnp
+if os.environ.get("BITNUC_EXAMPLE_DEVICE") == "cpu":
+    import jax
+
+    # sitecustomize may force-register an accelerator platform that ignores
+    # JAX_PLATFORMS; this opt-in pin keeps CI/example-tests on host
+    jax.config.update("jax_platforms", "cpu")
 
 import bitnuc_tpu as bn
 
@@ -30,8 +36,8 @@ def main():
     db_ascii = rng.choice(bases, size=(db_size, read_len))
     query = rng.choice(bases, size=read_len)
 
-    # plant 3 near-duplicates at known rows
-    for row, n_mut in [(17, 0), (4242, 3), (db_size - 1, 7)]:
+    # plant 3 near-duplicates at known rows (scaled to the database size)
+    for row, n_mut in [(17, 0), (db_size // 2, 3), (db_size - 1, 7)]:
         mutated = query.copy()
         pos = rng.choice(read_len, size=n_mut, replace=False)
         mutated[pos] = bases[(np.searchsorted(bases, mutated[pos]) + 1) % 4]

@@ -8,12 +8,20 @@ Demonstrates the reference README workflow (README.md:164-180) at batch
 scale: streaming ingestion, device-side canonical counting, top-k report.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+if os.environ.get("BITNUC_EXAMPLE_DEVICE") == "cpu":
+    import jax
+
+    # sitecustomize may force-register an accelerator platform that ignores
+    # JAX_PLATFORMS; this opt-in pin keeps CI/example-tests on host
+    jax.config.update("jax_platforms", "cpu")
 
 import bitnuc_tpu as bn
 from bitnuc_tpu.ops import kmer
