@@ -126,6 +126,12 @@ def device_suite(results):
     )
     _emit(
         results,
+        "device/hdist_batch_q64_top16",
+        headline.bench_hdist_batch() / 1e9,
+        "Gbase-cmp/s",
+    )
+    _emit(
+        results,
         "device/kmer_k8_mxu",
         headline.bench_kmer(k=8, mode="mxu") / 1e6,
         "Mkmers/s",

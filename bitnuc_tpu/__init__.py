@@ -35,6 +35,7 @@ from .ops.hamming import (  # noqa: F401
     hdist_many_to_many,
     hdist_one_to_many,
     hdist_topk as hdist_search,
+    hdist_topk_batch as hdist_search_batch,
 )
 from .ops.kmer import (  # noqa: F401
     count_kmers_reads,
@@ -78,6 +79,7 @@ __all__ = [
     "minimizers",
     "minimizer_positions",
     "hdist_search",
+    "hdist_search_batch",
     "hdist_one_to_many",
     "hdist_many_to_many",
     "gc_content_reads",

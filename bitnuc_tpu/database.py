@@ -109,3 +109,34 @@ class PackedDB:
         from .ops import hamming
 
         return hamming.topk_smallest(self.distances(query), k)
+
+    def distances_batch(self, queries: jax.Array) -> jax.Array:
+        """All-pairs distances [Q, D] for a packed query batch [Q, W].
+
+        On TPU the batched Pallas kernel reads each db tile once per TILE_Q
+        queries (ops/pallas/hamming.py) — Q-fold HBM traffic reduction over
+        per-query scans."""
+        from . import config
+        from .ops import hamming
+        from .ops.pallas import hamming as ph
+
+        if config.use_pallas():
+            return ph.hdist_scan_batch_pallas(
+                queries,
+                self.words_wm,
+                self.n_bases,
+                interpret=config.pallas_interpret(),
+            )
+        return hamming.hdist_many_to_many(
+            queries, jnp.transpose(self.words_wm), self.n_bases
+        )
+
+    def search_batch(
+        self, queries: jax.Array, k: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Per-query exact top-k: (distances [Q, k], indices [Q, k])."""
+        from .ops import hamming
+
+        return jax.vmap(lambda row: hamming.topk_smallest(row, k))(
+            self.distances_batch(queries)
+        )

@@ -110,6 +110,20 @@ def hdist_topk(query: jax.Array, database: jax.Array, n_bases, k: int):
     return topk_smallest(d, k)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def hdist_topk_batch(queries: jax.Array, database: jax.Array, n_bases, k: int):
+    """Per-query top-k nearest database rows: [Q, W] x [D, W] ->
+    (distances [Q, k], indices [Q, k]), each row ascending (ties by index).
+
+    The batched analog of hdist_topk — reference semantics are hdist
+    (src/utils/functions/hamming/multi.rs:122-160) applied per (query, row)
+    pair with the caller looping. The sharded version with one collective
+    merge lives in parallel/search.py::hdist_search_batch_sharded.
+    """
+    d = hdist_many_to_many(queries, database, n_bases)
+    return jax.vmap(lambda row: topk_smallest(row, k))(d)
+
+
 @jax.jit
 def hdist_many_to_many(
     queries: jax.Array, database: jax.Array, n_bases

@@ -84,6 +84,86 @@ def hdist_scan_pallas(
     return out[0, :D]
 
 
+TILE_DQ = 512  # database entries per grid step in the batched kernel
+TILE_Q = 64  # queries per grid step (sublane-major in the output tile)
+
+
+def _make_batch_kernel(W: int, masks: tuple):
+    """Batched scan kernel: [TILE_Q, W] queries x [W, TILE_DQ] db tile ->
+    [TILE_Q, TILE_DQ] distances. The word loop is unrolled (W static) and the
+    per-word valid-base masks are baked as literals (Mosaic cannot lower
+    captured jnp constants; Python ints lower fine). One db pass serves all
+    TILE_Q queries — the whole point vs. Q single-query scans."""
+
+    def kernel(q_ref, db_ref, out_ref):
+        acc = jnp.zeros(out_ref.shape, jnp.int32)
+        for w in range(W):
+            m = masks[w]
+            if m == 0:
+                continue  # word entirely past n_bases
+            d = db_ref[w : w + 1, :] ^ q_ref[:, w : w + 1]  # [TQ, TD]
+            if m != 0xFFFFFFFF:
+                d = d & jnp.uint32(m)
+            bd = (d | (d >> 1)) & jnp.uint32(0x55555555)
+            acc = acc + jax.lax.population_count(bd).astype(jnp.int32)
+        out_ref[:] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_bases", "interpret"))
+def hdist_scan_batch_pallas(
+    queries: jax.Array,
+    db_word_major: jax.Array,
+    n_bases: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Distances from Q packed queries [Q, W] to a word-major database
+    [W, D]: returns [Q, D] int32. Bit-exact with
+    ops.hamming.hdist_many_to_many on the same data (tests/test_pallas.py).
+
+    The reference applies hdist per pair with the caller looping
+    (src/utils/functions/hamming/multi.rs:122-160); here the database tile
+    is read once from HBM per TILE_Q queries — Q-fold traffic reduction
+    over repeated single-query scans. n_bases is static so per-word masks
+    bake into the kernel as literals.
+    """
+    Q, W = queries.shape
+    W2, D = db_word_major.shape
+    assert W == W2, (W, W2)
+    # per-word masks as Python ints (zero-padded last-word contract)
+    masks = []
+    for w in range(W):
+        v = min(max(int(n_bases) - 16 * w, 0), 16)
+        masks.append(0xFFFFFFFF if v == 16 else (1 << (2 * v)) - 1)
+
+    TQ = min(TILE_Q, -(-Q // 8) * 8)
+    Qp = -(-Q // TQ) * TQ
+    Dp = -(-D // TILE_DQ) * TILE_DQ
+    Wp = -(-W // 8) * 8  # db sublane pad
+    Wl = -(-W // 128) * 128  # query lane pad
+
+    q = jnp.pad(queries, ((0, Qp - Q), (0, Wl - W)))
+    db = jnp.pad(db_word_major, ((0, Wp - W), (0, Dp - D)))
+
+    grid = (Qp // TQ, Dp // TILE_DQ)
+    out = pl.pallas_call(
+        _make_batch_kernel(W, tuple(masks)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, Wl), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wp, TILE_DQ), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TQ, TILE_DQ), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Qp, Dp), jnp.int32),
+        interpret=interpret,
+    )(q, db)
+    return out[:Q, :D]
+
+
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def hdist_topk_pallas(
     query: jax.Array,

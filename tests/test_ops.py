@@ -336,3 +336,34 @@ def test_minimizer_sketch_mask(rng):
     # each selected window's minimizer is distinct from its predecessor's
     sel = pos[0][mask[0]]
     assert all(sel[i] != sel[i - 1] for i in range(1, len(sel)))
+
+
+def test_hdist_topk_batch_matches_per_query_loop(rng):
+    from bitnuc_tpu.ops import hamming
+
+    Q, D, L, k = 5, 40, 70, 4
+    db = rng.integers(0, 2**32, size=(D, 10), dtype=np.uint32)
+    qs = rng.integers(0, 2**32, size=(Q, 10), dtype=np.uint32)
+    dd, ii = hamming.hdist_topk_batch(jnp.asarray(qs), jnp.asarray(db), L, k)
+    for qi in range(Q):
+        d1, i1 = hamming.hdist_topk(jnp.asarray(qs[qi]), jnp.asarray(db), L, k)
+        np.testing.assert_array_equal(np.asarray(dd[qi]), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(ii[qi]), np.asarray(i1))
+
+
+def test_packed_db_search_batch(rng):
+    import bitnuc_tpu as bn
+    from bitnuc_tpu.ops import hamming
+
+    D, L, Q = 300, 80, 9
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    db_ascii = rng.choice(bases, size=(D, L))
+    reads = bn.PackedReads.from_ascii(db_ascii, lengths=np.full(D, L, np.int32))
+    db = bn.PackedDB.from_reads(reads)
+    qs = reads.words[:Q]
+
+    want = np.asarray(hamming.hdist_many_to_many(qs, reads.words, L))
+    np.testing.assert_array_equal(np.asarray(db.distances_batch(qs)), want)
+    d, i = db.search_batch(qs, 3)
+    d, i = np.asarray(d), np.asarray(i)
+    assert all(d[q, 0] == 0 and i[q, 0] == q for q in range(Q))

@@ -158,3 +158,24 @@ def test_pallas_dispatch_any_rank(rng, shape):
     np.testing.assert_array_equal(np.asarray(fb), np.asarray(fb_ref))
     dec_ref = codec.decode_reads_xla(w_ref, jnp.asarray(lens))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(dec_ref))
+
+
+@pytest.mark.parametrize(
+    "Q,D,n_bases", [(1, 16, 32), (5, 100, 77), (64, 300, 512), (70, 513, 200)]
+)
+def test_hdist_scan_batch_parity(rng, Q, D, n_bases):
+    """Batched Pallas scan == XLA many-to-many, odd shapes included."""
+    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.ops.pallas import hamming as ph
+    from bitnuc_tpu.utils import bitops
+
+    W = bitops.n_words_for(n_bases)
+    db = rng.integers(0, 2**32, size=(D, W), dtype=np.uint32)
+    qs = rng.integers(0, 2**32, size=(Q, W), dtype=np.uint32)
+    want = np.asarray(hamming.hdist_many_to_many(jnp.asarray(qs), jnp.asarray(db), n_bases))
+    got = np.asarray(
+        ph.hdist_scan_batch_pallas(
+            jnp.asarray(qs), jnp.asarray(db.T.copy()), n_bases, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)

@@ -202,3 +202,35 @@ def test_hdist_search_db_sharded(rng):
     d, i = search.hdist_search_db_sharded(q, wm, L, 4, m, "data")
     np.testing.assert_array_equal(np.asarray(d), dn[order[:4]])
     assert int(i[0]) == 5
+
+
+def test_hdist_search_batch_sharded_matches_local(rng, mesh):
+    """Multi-query sharded top-k == per-query local top-k, both layouts."""
+    from bitnuc_tpu.parallel import search
+
+    Q, D, L, topk = 7, 64, 96, 5
+    db_ascii = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(D, L))
+    reads = PackedReads.from_ascii(db_ascii, lengths=np.full(D, L, np.int32))
+    q_ascii = db_ascii[:Q].copy()
+    q_ascii[0, 0] ^= 6  # mutate one base of query 0 (A<->G)
+    queries = PackedReads.from_ascii(q_ascii, lengths=np.full(Q, L, np.int32))
+
+    want_d, want_i = hamming.hdist_topk_batch(queries.words, reads.words, L, topk)
+    want_d, want_i = np.asarray(want_d), np.asarray(want_i)
+    assert want_d[1, 0] == 0 and want_i[1, 0] == 1  # exact self-hit
+
+    d, i = search.hdist_search_batch_sharded(
+        queries.words, reads.words, L, topk, mesh, "data"
+    )
+    np.testing.assert_array_equal(np.asarray(d), want_d)
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+
+    # word-major twin (PackedDB layout)
+    import bitnuc_tpu as bn
+
+    db = bn.PackedDB.from_reads(reads)
+    d2, i2 = search.hdist_search_batch_db_sharded(
+        queries.words, db.words_wm, L, topk, mesh, "data"
+    )
+    np.testing.assert_array_equal(np.asarray(d2), want_d)
+    np.testing.assert_array_equal(np.asarray(i2), want_i)
