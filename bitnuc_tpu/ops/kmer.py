@@ -216,19 +216,12 @@ def segment_count(hi_s: jax.Array, lo_s: jax.Array, w_s: jax.Array):
     return u_lo, u_hi, counts, n_unique
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def count_kmers_sorted(
-    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+def sorted_count_from_keys(
+    lo: jax.Array, hi: jax.Array, valid: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Sort-based k-mer counting for any k <= 32 (the large-k HashMap analog).
-
-    Returns (keys_lo [N], keys_hi [N], counts [N], n_unique scalar) where
-    N = total window slots; entries [0, n_unique) are the distinct k-mers in
-    ascending (hi, lo) order with their counts; the tail is zero-count
-    padding. Invalid window slots sort to the end under an all-ones sentinel
-    and carry zero weight.
-    """
-    lo, hi, valid = _window_keys(words, lengths, k, canonical)
+    """Sort-count raw window keys: the body of count_kmers_sorted, exposed
+    so sharded paths (parallel/kmer.py seq-sharding) can feed their own
+    halo-extended key streams through the identical aggregation."""
     sent = jnp.uint32(0xFFFFFFFF)
     n_invalid = jnp.sum((~valid).astype(jnp.int32))
 
@@ -265,6 +258,22 @@ def count_kmers_sorted(
 
     hi_s, lo_s, w_s = jax.lax.sort((hi, lo, wts), num_keys=2)
     return segment_count(hi_s, lo_s, w_s)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers_sorted(
+    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort-based k-mer counting for any k <= 32 (the large-k HashMap analog).
+
+    Returns (keys_lo [N], keys_hi [N], counts [N], n_unique scalar) where
+    N = total window slots; entries [0, n_unique) are the distinct k-mers in
+    ascending (hi, lo) order with their counts; the tail is zero-count
+    padding. Invalid window slots sort to the end under an all-ones sentinel
+    and carry zero weight.
+    """
+    lo, hi, valid = _window_keys(words, lengths, k, canonical)
+    return sorted_count_from_keys(lo, hi, valid, k)
 
 
 def count_kmers_reads(

@@ -67,6 +67,21 @@ def count_kmers_sharded(
     )(words, lengths)
 
 
+def _allgather_merge_sorted(lo, hi, counts, axis):
+    """Merge per-device sorted (key, count) lists into the replicated global
+    list: all_gather, push zero-count padding rows to the sentinel so they
+    fold into the tail, then one more sort + segment-sum."""
+    lo_g = jax.lax.all_gather(lo, axis).reshape(-1)
+    hi_g = jax.lax.all_gather(hi, axis).reshape(-1)
+    ct_g = jax.lax.all_gather(counts, axis).reshape(-1)
+    sent = jnp.uint32(0xFFFFFFFF)
+    dead = ct_g == 0
+    lo_g = jnp.where(dead, sent, lo_g)
+    hi_g = jnp.where(dead, sent, hi_g)
+    hi_s, lo_s, ct_s = jax.lax.sort((hi_g, lo_g, ct_g), num_keys=2)
+    return kmer_ops.segment_count(hi_s, lo_s, ct_s)
+
+
 @partial(jax.jit, static_argnames=("k", "mesh", "axis", "canonical"))
 def count_kmers_sorted_sharded(
     words: jax.Array,
@@ -89,18 +104,7 @@ def count_kmers_sorted_sharded(
         lo, hi, counts, _ = kmer_ops.count_kmers_sorted(
             words_loc, lengths_loc, k, canonical
         )
-        # gather every device's (already semi-aggregated) lists
-        lo_g = jax.lax.all_gather(lo, axis).reshape(-1)
-        hi_g = jax.lax.all_gather(hi, axis).reshape(-1)
-        ct_g = jax.lax.all_gather(counts, axis).reshape(-1)
-        # zero-count padding rows carry key 0 from the local pass; push them
-        # to the sentinel so they fold into the tail
-        sent = jnp.uint32(0xFFFFFFFF)
-        dead = ct_g == 0
-        lo_g = jnp.where(dead, sent, lo_g)
-        hi_g = jnp.where(dead, sent, hi_g)
-        hi_s, lo_s, ct_s = jax.lax.sort((hi_g, lo_g, ct_g), num_keys=2)
-        return kmer_ops.segment_count(hi_s, lo_s, ct_s)
+        return _allgather_merge_sorted(lo, hi, counts, axis)
 
     # every device computes the identical merge from the all_gathered lists;
     # that replication isn't statically inferable, hence check_vma=False
@@ -173,4 +177,57 @@ def count_kmers_seqsharded(
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=P(axis), out_specs=P(), check_vma=False
+    )(words)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+def count_kmers_seqsharded_sorted(
+    words: jax.Array,
+    total_len: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis: str = "seq",
+):
+    """Sparse (sorted) k-mer counting of ONE long sequence sharded along its
+    words — the large-k (k <= 32) twin of count_kmers_seqsharded, covering
+    the headline k=21 workload at pod scale.
+
+    words: [Wtot] uint32, Wtot divisible by the mesh axis size; total_len:
+    scalar int32 total bases. Windows crossing shard boundaries are covered
+    by the same (k-1)-base ppermute halo (HALO_WORDS = 2 words = 32 bases
+    suffices for k <= 32); each shard sort-counts its own windows and the
+    per-shard unique lists merge with one all_gather + sort + segment-sum.
+    Returns replicated (lo, hi, counts, n_unique) in the
+    ops.kmer.count_kmers_sorted layout, equal to the unsharded result.
+    """
+    n_shards = mesh.shape[axis]
+
+    def local(words_loc):
+        W_loc = words_loc.shape[0]
+        me = jax.lax.axis_index(axis)
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo = jax.lax.ppermute(words_loc[:HALO_WORDS], axis, perm)
+        ext = jnp.concatenate([words_loc, halo])  # [W_loc + HALO_WORDS]
+
+        codes = bitops.unpack_words(ext[None, :])
+        L_ext = codes.shape[-1]
+        lo, hi = kmer_ops.kmer_keys(codes, k)
+
+        base0 = me.astype(jnp.int32) * (W_loc * bitops.BASES_PER_WORD)
+        pos = jnp.arange(L_ext, dtype=jnp.int32)
+        # window must start in my shard and fit within the global sequence
+        valid = (pos < W_loc * bitops.BASES_PER_WORD) & (
+            base0 + pos <= jnp.asarray(total_len, jnp.int32) - k
+        )
+        lo_u, hi_u, counts, _ = kmer_ops.sorted_count_from_keys(
+            lo, hi, valid[None, :], k
+        )
+        return _allgather_merge_sorted(lo_u, hi_u, counts, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
     )(words)

@@ -234,3 +234,33 @@ def test_hdist_search_batch_sharded_matches_local(rng, mesh):
     )
     np.testing.assert_array_equal(np.asarray(d2), want_d)
     np.testing.assert_array_equal(np.asarray(i2), want_i)
+
+
+@pytest.mark.parametrize("k", [13, 21, 32])
+def test_count_kmers_seqsharded_sorted_matches_oracle(rng, k):
+    """Large-k seq-sharding: one long sequence, words sharded across 8
+    devices, halo-covered windows cross shard edges; sparse sorted counts
+    must equal the oracle exactly (the k=21 headline workload at pod
+    scale)."""
+    n = 16 * 128 - 5  # not word-aligned end
+    s = random_seq(rng, n).upper()
+    reads = PackedReads.from_ascii([s])
+    words = jnp.asarray(np.asarray(reads.words)[0])
+    seq_mesh = parallel.make_mesh((8,), ("seq",))
+    lo, hi, cnt, nu = parallel.count_kmers_seqsharded_sorted(
+        words, jnp.int32(n), k, seq_mesh
+    )
+    lo, hi, cnt = np.asarray(lo), np.asarray(hi), np.asarray(cnt)
+    got = {}
+    for i in range(int(nu)):
+        if cnt[i] > 0:
+            got[(int(hi[i]) << 32) | int(lo[i])] = int(cnt[i])
+    expect = oracle.count_kmers(s, k)
+    assert got == expect
+    # and equals the unsharded sorted path entry-for-entry
+    lo1, hi1, cnt1, nu1 = kmer.count_kmers_sorted(reads.words, reads.lengths, k)
+    nu1 = int(nu1)
+    assert int(nu) == nu1
+    np.testing.assert_array_equal(lo[:nu1], np.asarray(lo1)[:nu1])
+    np.testing.assert_array_equal(hi[:nu1], np.asarray(hi1)[:nu1])
+    np.testing.assert_array_equal(cnt[:nu1], np.asarray(cnt1)[:nu1])
