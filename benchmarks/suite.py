@@ -142,6 +142,12 @@ def device_suite(results):
         headline.bench_kmer(k=21, mode="sorted") / 1e6,
         "Mkmers/s",
     )
+    _emit(
+        results,
+        "pipeline/fastq_staged",
+        headline.bench_pipeline(staged=True) / 1e9,
+        "Gbases/s",
+    )
     _emit(results, "device/xor_copy_bw", headline.bench_memcpy(), "GB/s")
 
 

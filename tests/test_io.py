@@ -91,3 +91,95 @@ def test_fasta_gt_in_description():
 def test_read_fasta_max_len_truncates():
     names, reads = bnio.read_fasta(b">a\nACGTACGTAC\n>b\nGG\n", max_len=4)
     assert reads.to_ascii() == [b"ACGT", b"GG"]
+
+
+# -- staged streaming ingestion (native fast path) ----------------------------
+
+
+def _needs_native():
+    from bitnuc_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+
+def _write_fq(path, seqs, crlf=False, blank_between=False):
+    eol = b"\r\n" if crlf else b"\n"
+    parts = []
+    for i, s in enumerate(seqs):
+        parts.append(
+            b"@r%d%s%s%s+%s%s%s" % (i, eol, s, eol, eol, b"I" * len(s), eol)
+        )
+        if blank_between:
+            parts.append(eol)
+    path.write_bytes(b"".join(parts))
+    return path
+
+
+def _batches_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x.words), np.asarray(y.words))
+        assert np.array_equal(np.asarray(x.lengths), np.asarray(y.lengths))
+
+
+@pytest.mark.parametrize("crlf,blank", [(False, False), (True, False), (False, True)])
+def test_staged_matches_python_path(tmp_path, rng, crlf, blank):
+    _needs_native()
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(1, 90, 37)]
+    p = _write_fq(tmp_path / "s.fq", seqs, crlf=crlf, blank_between=blank)
+    fast = list(bnio.iter_fastq_batches(p, batch_size=8, max_len=96, staged=True))
+    slow = list(bnio.iter_fastq_batches(p, batch_size=8, max_len=96, staged=False))
+    _batches_equal(fast, slow)
+    got = [r for b in fast for r in b.to_ascii()]
+    assert got == seqs
+
+
+def test_staged_spans_blocks(tmp_path, rng, monkeypatch):
+    """Records crossing the read-block boundary must carry over intact."""
+    _needs_native()
+    monkeypatch.setattr(bnio, "_STREAM_BLOCK", 256)
+    seqs = [random_seq(rng, 60).upper() for _ in range(25)]
+    p = _write_fq(tmp_path / "blk.fq", seqs)
+    fast = list(bnio.iter_fastq_batches(p, batch_size=4, max_len=64, staged=True))
+    assert [len(b) for b in fast] == [4] * 6 + [1]
+    got = [r for b in fast for r in b.to_ascii()]
+    assert got == seqs
+
+
+def test_staged_no_trailing_newline(tmp_path):
+    _needs_native()
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@a\nACGT\n+\nIIII\n@b\nGGCC\n+\nIIII")  # no final \n
+    out = list(bnio.iter_fastq_batches(p, batch_size=8, staged=True))
+    assert [r for b in out for r in b.to_ascii()] == [b"ACGT", b"GGCC"]
+
+
+def test_staged_gz(tmp_path, rng):
+    _needs_native()
+    seqs = [random_seq(rng, 33).upper() for _ in range(9)]
+    raw = b"".join(
+        b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)) for i, s in enumerate(seqs)
+    )
+    p = tmp_path / "z.fq.gz"
+    p.write_bytes(gzip.compress(raw))
+    out = list(bnio.iter_fastq_batches(p, batch_size=4, staged=True))
+    assert [r for b in out for r in b.to_ascii()] == seqs
+
+
+def test_staged_invalid_base_raises(tmp_path):
+    _needs_native()
+    from bitnuc_tpu.errors import InvalidBase
+
+    p = tmp_path / "bad.fq"
+    p.write_bytes(b"@a\nACNT\n+\nIIII\n")
+    with pytest.raises(InvalidBase):
+        list(bnio.iter_fastq_batches(p, batch_size=1, staged=True))
+
+
+def test_staged_malformed_header_raises(tmp_path):
+    _needs_native()
+    p = tmp_path / "mal.fq"
+    p.write_bytes(b"@a\nACGT\n+\nIIII\nnot-a-header\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError):
+        list(bnio.iter_fastq_batches(p, batch_size=2, staged=True))
