@@ -327,7 +327,7 @@ def main():
             ("kmers_counted_per_sec_chip_k8_mxu", bench_kmer(k=8, mode="mxu"), "kmers/s"),
             (
                 "kmers_counted_per_sec_chip_k21_sorted",
-                bench_kmer(k=21, mode="sorted"),
+                bench_kmer(k=21, mode="runs"),  # scatter-free sorted engine
                 "kmers/s",
             ),
             ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),

@@ -63,8 +63,10 @@ def main():
 
     emit("xor_copy_bw", bench.bench_memcpy(), "GB/s")
 
-    # --- current k=21 sorted counting ---
+    # --- k=21 sorted counting: round-1 compacted vs the runs engine ---
     emit("k21_current", bench.bench_kmer(k=21, mode="sorted") / 1e6, "Mkmers/s")
+    emit("k21_runs", bench.bench_kmer(k=21, mode="runs") / 1e6, "Mkmers/s")
+    emit("k15_runs", bench.bench_kmer(k=15, mode="runs") / 1e6, "Mkmers/s")
     emit("k8_mxu", bench.bench_kmer(k=8, mode="mxu") / 1e6, "Mkmers/s")
 
     # --- sort cost vs payload count ---

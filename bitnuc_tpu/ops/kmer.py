@@ -271,9 +271,92 @@ def count_kmers_sorted(
     ascending (hi, lo) order with their counts; the tail is zero-count
     padding. Invalid window slots sort to the end under an all-ones sentinel
     and carry zero weight.
+
+    This is the compacted REFERENCE layout; its segment aggregation scatters
+    (~43 Mkeys/s on v5e). The throughput engine is count_kmers_runs (same
+    counts, run-start layout, no scatters — measured ~6x faster at k=21).
     """
     lo, hi, valid = _window_keys(words, lengths, k, canonical)
     return sorted_count_from_keys(lo, hi, valid, k)
+
+
+def _run_start_counts(first: jax.Array) -> jax.Array:
+    """Run lengths at run starts (0 elsewhere) for a boundary mask over a
+    sorted array — scatter-free: next-boundary indices come from one reverse
+    cummin (measured 498 Mkeys/s on v5e vs 43 for the scatter scheme,
+    benchmarks/probe_sort.py)."""
+    N = first.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    bpos = jnp.where(first, idx, jnp.int32(N))
+    nb = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))  # min boundary index >= i
+    nb_excl = jnp.concatenate([nb[1:], jnp.full((1,), N, jnp.int32)])
+    return jnp.where(first, nb_excl - idx, 0)
+
+
+def runs_from_keys(
+    lo: jax.Array, hi: jax.Array, valid: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort-count raw window keys into RUN-START layout, scatter-free.
+
+    Returns (lo_s [N], hi_s [N], counts [N], n_unique): keys sorted
+    ascending by (hi, lo); counts[i] holds the multiplicity of key i exactly
+    at the first slot of each distinct key's run and 0 elsewhere; sentinel
+    (invalid-window) slots sort last with count 0. n_unique = number of
+    slots with counts > 0. Identical (key -> count) mapping as
+    count_kmers_sorted; only the layout differs.
+
+    Invalid windows carry the all-ones sentinel (single word for k <= 15,
+    pair above), which exceeds every real key except at k = 32 where the
+    genuine all-T key shares the sentinel value; there the analytically
+    known invalid count is subtracted from the final run — the trick the
+    round-1 single-word path used, now for every k, eliminating the weight
+    payload from the sort entirely (2 sorted arrays instead of 3).
+    """
+    sent = jnp.uint32(0xFFFFFFFF)
+    n_invalid = jnp.sum((~valid).astype(jnp.int32))
+
+    if k <= 15:
+        keys_s = jax.lax.sort(jnp.where(valid, lo, sent).reshape(-1))
+        lo_s, hi_s = keys_s, jnp.zeros_like(keys_s)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
+        )
+        is_sent = keys_s[-1] == sent
+    else:
+        lo_f = jnp.where(valid, lo, sent).reshape(-1)
+        hi_f = jnp.where(valid, hi, sent).reshape(-1)
+        hi_s, lo_s = jax.lax.sort((hi_f, lo_f), num_keys=2)
+        first = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]),
+            ]
+        )
+        is_sent = (lo_s[-1] == sent) & (hi_s[-1] == sent)
+
+    counts = _run_start_counts(first)
+    # subtract the invalid-slot tail from the final run (merged with a
+    # genuine all-ones key only where that key is representable)
+    N = counts.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    last_start = jnp.max(jnp.where(first, idx, -1))
+    counts = counts.at[last_start].add(
+        jnp.where(is_sent, -n_invalid, 0).astype(jnp.int32)
+    )
+    n_unique = jnp.sum((counts > 0).astype(jnp.int32))
+    return lo_s, hi_s, counts, n_unique
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_kmers_runs(
+    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Scatter-free sort-based k-mer counting, any k <= 32 — the large-k
+    throughput engine (run-start layout; see runs_from_keys for the
+    contract). Bit-identical (key -> count) content vs count_kmers_sorted,
+    ~6x faster at k=21 on v5e (docs/DESIGN.md)."""
+    lo, hi, valid = _window_keys(words, lengths, k, canonical)
+    return runs_from_keys(lo, hi, valid, k)
 
 
 def count_kmers_reads(
@@ -286,13 +369,16 @@ def count_kmers_reads(
     """Count k-mers over a batch of packed reads.
 
     mode='dense'/'mxu' -> [4^k] histogram (scatter / matmul lowering);
-    mode='sorted' -> sparse (keys, counts); 'auto' picks the matmul histogram
-    up to MAX_MXU_K, scatter-dense up to MAX_DENSE_K, sorted beyond.
+    mode='sorted' -> sparse compacted (keys, counts, n_unique);
+    mode='runs' -> same content in run-start layout, scatter-free (~6x
+    faster at k=21 — the large-k engine, see count_kmers_runs); 'auto'
+    picks the matmul histogram up to MAX_MXU_K, scatter-dense up to
+    MAX_DENSE_K, runs beyond.
     canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
     """
     if mode == "auto":
         if k > MAX_DENSE_K:
-            mode = "sorted"
+            mode = "runs"
         elif k <= MAX_MXU_K and jax.default_backend() == "tpu":
             mode = "mxu"  # scatter serializes on TPU; CPU scatter is fine
         else:
@@ -309,6 +395,8 @@ def count_kmers_reads(
         return count_kmers_dense(words, lengths, k, canonical)
     if mode == "sorted":
         return count_kmers_sorted(words, lengths, k, canonical)
+    if mode == "runs":
+        return count_kmers_runs(words, lengths, k, canonical)
     raise ValueError(f"unknown mode {mode!r}")
 
 

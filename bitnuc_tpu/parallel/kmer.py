@@ -101,7 +101,9 @@ def count_kmers_sorted_sharded(
     """
 
     def local(words_loc, lengths_loc):
-        lo, hi, counts, _ = kmer_ops.count_kmers_sorted(
+        # scatter-free runs engine locally; run-start layout merges fine
+        # because zero-count (non-start / sentinel) rows fold into the tail
+        lo, hi, counts, _ = kmer_ops.count_kmers_runs(
             words_loc, lengths_loc, k, canonical
         )
         return _allgather_merge_sorted(lo, hi, counts, axis)
@@ -219,7 +221,7 @@ def count_kmers_seqsharded_sorted(
         valid = (pos < W_loc * bitops.BASES_PER_WORD) & (
             base0 + pos <= jnp.asarray(total_len, jnp.int32) - k
         )
-        lo_u, hi_u, counts, _ = kmer_ops.sorted_count_from_keys(
+        lo_u, hi_u, counts, _ = kmer_ops.runs_from_keys(
             lo, hi, valid[None, :], k
         )
         return _allgather_merge_sorted(lo_u, hi_u, counts, axis)

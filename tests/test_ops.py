@@ -367,3 +367,50 @@ def test_packed_db_search_batch(rng):
     d, i = db.search_batch(qs, 3)
     d, i = np.asarray(d), np.asarray(i)
     assert all(d[q, 0] == 0 and i[q, 0] == q for q in range(Q))
+
+
+def _runs_to_dict(lo, hi, cnt):
+    lo, hi, cnt = np.asarray(lo), np.asarray(hi), np.asarray(cnt)
+    out = {}
+    for i in np.nonzero(cnt > 0)[0]:
+        out[(int(hi[i]) << 32) | int(lo[i])] = int(cnt[i])
+    return out
+
+
+@pytest.mark.parametrize("k", [4, 8, 15, 16, 17, 21, 31, 32])
+def test_count_kmers_runs_vs_oracle(rng, k):
+    lens = [k, 100, 500]
+    seqs, r = make_batch(rng, lens)
+    lo, hi, cnt, nu = kmer.count_kmers_runs(r.words, r.lengths, k)
+    got = _runs_to_dict(lo, hi, cnt)
+    assert int(nu) == len(got)
+    expect = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            expect[key] = expect.get(key, 0) + c
+    assert got == expect
+    # identical content to the compacted reference path
+    lo2, hi2, cnt2, nu2 = kmer.count_kmers_sorted(r.words, r.lengths, k)
+    assert got == _runs_to_dict(lo2, hi2, cnt2) and int(nu) == int(nu2)
+
+
+def test_count_kmers_runs_allT_sentinel_ambiguity():
+    # k=32: the genuine all-T key equals the invalid-slot sentinel; the
+    # analytic subtraction must leave exactly the real windows
+    r = PackedReads.from_ascii([b"T" * 40, b"ACG"])  # 9 all-T windows + all-invalid read
+    lo, hi, cnt, nu = kmer.count_kmers_runs(r.words, r.lengths, 32)
+    got = _runs_to_dict(lo, hi, cnt)
+    assert got == {(1 << 64) - 1: 9} and int(nu) == 1
+
+
+def test_count_kmers_runs_no_valid_windows():
+    r = PackedReads.from_ascii([b"ACG"])
+    lo, hi, cnt, nu = kmer.count_kmers_runs(r.words, r.lengths, 21)
+    assert int(nu) == 0 and _runs_to_dict(lo, hi, cnt) == {}
+
+
+def test_count_kmers_runs_canonical(rng):
+    seqs, r = make_batch(rng, [60, 33])
+    lo, hi, cnt, _ = kmer.count_kmers_runs(r.words, r.lengths, 17, canonical=True)
+    lo2, hi2, cnt2, _ = kmer.count_kmers_sorted(r.words, r.lengths, 17, canonical=True)
+    assert _runs_to_dict(lo, hi, cnt) == _runs_to_dict(lo2, hi2, cnt2)
