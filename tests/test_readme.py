@@ -37,6 +37,7 @@ def test_readme_code_blocks(tmp_path):
         "list_of_reads": seqs,
         "seqs": seqs,
         "query_words": bn.PackedReads.from_ascii(seqs).words[0],
+        "query_batch": bn.PackedReads.from_ascii(seqs).words[:4],
     }
     code = "\n".join(textwrap.dedent(b) for b in blocks).replace('"reads.fq.gz"', repr(str(fq))).replace(
         '"ckpt.npz"', repr(str(tmp_path / "ckpt.npz"))
