@@ -359,6 +359,16 @@ def count_kmers_runs(
     return runs_from_keys(lo, hi, valid, k)
 
 
+def compact_runs(lo, hi, counts):
+    """Host helper: run-start layout (count_kmers_runs) -> dense numpy
+    (keys_lo, keys_hi, counts) of just the distinct k-mers, ascending."""
+    import numpy as np
+
+    lo, hi, counts = np.asarray(lo), np.asarray(hi), np.asarray(counts)
+    m = counts > 0
+    return lo[m], hi[m], counts[m]
+
+
 def count_kmers_reads(
     words: jax.Array,
     lengths: jax.Array,
