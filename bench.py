@@ -48,7 +48,12 @@ def _cpu_baseline_bases_per_sec() -> float:
     return len(seq) / best
 
 
-def bench_encode(batch=1024, read_len=32768):
+def bench_encode(batch=8192, read_len=32768):
+    """268M bases/call by default: the axon tunnel charges ~6-7 ms of fixed
+    dispatch overhead per call and the chip's delivered bandwidth scales
+    with burst size (probe_encode6: 8 GB/s at 32MB bursts -> 106 GB/s at
+    512MB), so small-batch rates measure the tunnel, not the op. Headline
+    runs pair this with a size-matched copy calibration."""
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +73,7 @@ def bench_encode(batch=1024, read_len=32768):
     return batch * read_len / t
 
 
-def bench_decode(batch=1024, read_len=32768):
+def bench_decode(batch=8192, read_len=32768):
     import jax
     import jax.numpy as jnp
 
@@ -87,7 +92,7 @@ def bench_decode(batch=1024, read_len=32768):
     return batch * read_len / t
 
 
-def bench_hdist(db=1 << 20, read_len=512):
+def bench_hdist(db=1 << 22, read_len=512):
     """PackedDB scan + exact top-16: reports base-comparisons/sec.
 
     Uses the shipping search path: word-major layout, Pallas fused scan on
@@ -144,7 +149,7 @@ def bench_hdist_batch(q=64, db=1 << 20, read_len=512):
     return q * db * read_len / t
 
 
-def bench_kmer(batch=256, read_len=16384, k=8, mode="mxu"):
+def bench_kmer(batch=1024, read_len=16384, k=8, mode="mxu"):
     import jax
     import jax.numpy as jnp
 
@@ -290,9 +295,12 @@ def main():
     # the JSON records what the chip was delivering during the winning run —
     # roofline_frac tells whether the gap to 10x CPU is the code or the chip
     # (BASELINE.md "report the calibration alongside").
+    # calibration burst matched to the encode call's ~335MB of traffic —
+    # delivered bandwidth is burst-size-dependent (probe_encode6), so a
+    # mismatched calibration would misstate the roofline fraction
     tpu, cal = 0.0, float("nan")
     for attempt in range(3):
-        c = bench_memcpy()
+        c = bench_memcpy(168)
         e = bench_encode()
         if e > tpu:
             tpu, cal = e, c
