@@ -218,7 +218,7 @@ def bench_pipeline(mbytes=64, read_len=300, k=8, staged=None, batch=4096):
         total = None
         nb = 0
         for b in bnio.iter_fastq_batches(
-            path, batch, max_len=read_len, validate=False, staged=staged
+            path, batch, max_len=read_len, validate=False, staged=staged, prefetch=2
         ):
             hist = kmer.count_kmers_reads(b.words, b.lengths, k)
             total = hist if total is None else total + hist

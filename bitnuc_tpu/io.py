@@ -141,6 +141,7 @@ def iter_fastq_batches(
     max_len: Optional[int] = None,
     validate: bool = True,
     staged: Optional[bool] = None,
+    prefetch: int = 0,
 ) -> Iterator[PackedReads]:
     """Stream a FASTQ file in fixed-size PackedReads batches (the data-loader
     shape for device pipelines: host parses batch i+1 while the device
@@ -153,14 +154,27 @@ def iter_fastq_batches(
     (bn_encode_batch_mt), and the device upload is the packed words —
     0.25 B/base on the wire instead of 1 B ASCII. Pass max_len for stable
     batch shapes (one device compilation instead of one per distinct width).
+
+    prefetch > 0 runs parsing/packing on a producer thread that keeps up to
+    `prefetch` batches ready (true double buffering: the native parser and
+    packer release the GIL, so host ingestion of batch i+1 overlaps device
+    compute on batch i even when the consumer blocks on device results).
     """
     from . import native
 
     use_native = native.available() if staged is None else bool(staged)
     if use_native and native.available():
-        yield from _iter_fastq_batches_staged(path, batch_size, max_len, validate)
-        return
+        gen = _iter_fastq_batches_staged(path, batch_size, max_len, validate)
+    else:
+        gen = _iter_fastq_batches_py(path, batch_size, max_len, validate)
+    yield from _prefetched(gen, prefetch) if prefetch > 0 else gen
 
+
+def _iter_fastq_batches_py(
+    path: PathLike, batch_size: int, max_len: Optional[int], validate: bool
+) -> Iterator[PackedReads]:
+    """Line-reader fallback (no native library): per-record Python, device
+    packing via PackedReads.from_ascii."""
     buf: List[bytes] = []
     with _fastq_opener(path)(path, "rb") as f:
         while True:
@@ -180,6 +194,34 @@ def iter_fastq_batches(
                 buf = []
     if buf:
         yield PackedReads.from_ascii(buf, max_len=max_len, validate=validate)
+
+
+def _prefetched(gen: Iterator, depth: int) -> Iterator:
+    """Drain `gen` on a daemon thread into a bounded queue (data-loader
+    double buffering). Preserves order; exceptions re-raise at the
+    consumer's next pull."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _fastq_opener(path: PathLike):

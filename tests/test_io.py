@@ -183,3 +183,25 @@ def test_staged_malformed_header_raises(tmp_path):
     p.write_bytes(b"@a\nACGT\n+\nIIII\nnot-a-header\nACGT\n+\nIIII\n")
     with pytest.raises(ValueError):
         list(bnio.iter_fastq_batches(p, batch_size=2, staged=True))
+
+
+@pytest.mark.parametrize("staged", [True, False])
+def test_prefetch_matches_sync(tmp_path, rng, staged):
+    if staged:
+        _needs_native()
+    seqs = [random_seq(rng, 50).upper() for _ in range(23)]
+    p = _write_fq(tmp_path / "pf.fq", seqs)
+    sync = list(bnio.iter_fastq_batches(p, 4, max_len=64, staged=staged))
+    pref = list(
+        bnio.iter_fastq_batches(p, 4, max_len=64, staged=staged, prefetch=2)
+    )
+    _batches_equal(sync, pref)
+
+
+def test_prefetch_propagates_errors(tmp_path):
+    from bitnuc_tpu.errors import InvalidBase
+
+    p = tmp_path / "bad2.fq"
+    p.write_bytes(b"@a\nACGT\n+\nIIII\n@b\nANGT\n+\nIIII\n")
+    with pytest.raises(InvalidBase):
+        list(bnio.iter_fastq_batches(p, 1, prefetch=2))
