@@ -51,6 +51,17 @@ def main():
     for d, i in zip(np.asarray(dists), np.asarray(idx)):
         print(f"  row {int(i):>7}  distance {int(d)}")
 
+    # multi-query: a batch of queries in ONE database pass (PackedDB stores
+    # the scan-optimal word-major layout; on TPU the batched Pallas kernel
+    # reads each db tile once per 64 queries)
+    queries = bn.PackedReads.from_ascii(
+        db_ascii[:8], lengths=np.full(8, read_len)
+    )
+    pdb = bn.PackedDB.from_reads(db)
+    bd, bi = pdb.search_batch(queries.words, 3)
+    hits = sum(int(bi[qi][0]) == qi and int(bd[qi][0]) == 0 for qi in range(8))
+    print(f"batch search: {hits}/8 queries found themselves at distance 0")
+
 
 if __name__ == "__main__":
     main()

@@ -49,6 +49,7 @@ def test_hdist_search():
     out = _run(["examples/hdist_search.py", "2000", "64"])
     # the planted exact duplicate must surface at distance 0
     assert "row      17  distance 0" in out, out
+    assert "batch search: 8/8 queries found themselves at distance 0" in out, out
 
 
 def test_distributed_counting():
