@@ -70,7 +70,11 @@ def count_kmers_sharded(
 def _allgather_merge_sorted(lo, hi, counts, axis):
     """Merge per-device sorted (key, count) lists into the replicated global
     list: all_gather, push zero-count padding rows to the sentinel so they
-    fold into the tail, then one more sort + segment-sum."""
+    fold into the tail, then one more sort + gather-free weighted run
+    aggregation (ops.kmer.weighted_runs_from_sorted — the scatter-based
+    segment count runs ~10x slower on TPU). Output is RUN-START layout:
+    keys ascending, each distinct key's total at its first slot, zeros
+    elsewhere; dead (sentinel) runs total 0."""
     lo_g = jax.lax.all_gather(lo, axis).reshape(-1)
     hi_g = jax.lax.all_gather(hi, axis).reshape(-1)
     ct_g = jax.lax.all_gather(counts, axis).reshape(-1)
@@ -79,7 +83,10 @@ def _allgather_merge_sorted(lo, hi, counts, axis):
     lo_g = jnp.where(dead, sent, lo_g)
     hi_g = jnp.where(dead, sent, hi_g)
     hi_s, lo_s, ct_s = jax.lax.sort((hi_g, lo_g, ct_g), num_keys=2)
-    return kmer_ops.segment_count(hi_s, lo_s, ct_s)
+    lo_u, hi_u, totals, n_unique = kmer_ops.weighted_runs_from_sorted(
+        hi_s, lo_s, ct_s
+    )
+    return lo_u, hi_u, totals, n_unique
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "axis", "canonical"))
@@ -93,11 +100,12 @@ def count_kmers_sorted_sharded(
 ):
     """Sparse (sorted) k-mer counting over a sharded batch, any k <= 32.
 
-    Each device sort-counts its slab; per-device unique (key, count) lists
-    are all-gathered and merged with one more sort + segment-sum. Traffic is
-    O(devices * windows_per_device) keys — the dense psum path is cheaper
-    whenever 4^k fits in memory. Returns replicated (lo, hi, counts,
-    n_unique) in the same layout as ops.kmer.count_kmers_sorted.
+    Each device sort-counts its slab (the scatter-free runs engine); the
+    per-device lists are all-gathered and merged with one more sort +
+    weighted run aggregation. Traffic is O(devices * windows_per_device)
+    keys — the dense psum path is cheaper whenever 4^k fits in memory.
+    Returns replicated (lo, hi, counts, n_unique) in RUN-START layout
+    (ops.kmer.count_kmers_runs contract; ops.kmer.compact_runs densifies).
     """
 
     def local(words_loc, lengths_loc):
@@ -198,9 +206,10 @@ def count_kmers_seqsharded_sorted(
     scalar int32 total bases. Windows crossing shard boundaries are covered
     by the same (k-1)-base ppermute halo (HALO_WORDS = 2 words = 32 bases
     suffices for k <= 32); each shard sort-counts its own windows and the
-    per-shard unique lists merge with one all_gather + sort + segment-sum.
-    Returns replicated (lo, hi, counts, n_unique) in the
-    ops.kmer.count_kmers_sorted layout, equal to the unsharded result.
+    per-shard lists merge with one all_gather + sort + weighted run
+    aggregation. Returns replicated (lo, hi, counts, n_unique) in RUN-START
+    layout (ops.kmer.count_kmers_runs contract), same (key -> count)
+    content as the unsharded result.
     """
     n_shards = mesh.shape[axis]
 

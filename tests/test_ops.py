@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from bitnuc_tpu import oracle
@@ -414,3 +415,25 @@ def test_count_kmers_runs_canonical(rng):
     lo, hi, cnt, _ = kmer.count_kmers_runs(r.words, r.lengths, 17, canonical=True)
     lo2, hi2, cnt2, _ = kmer.count_kmers_sorted(r.words, r.lengths, 17, canonical=True)
     assert _runs_to_dict(lo, hi, cnt) == _runs_to_dict(lo2, hi2, cnt2)
+
+
+def test_weighted_runs_from_sorted(rng):
+    # random duplicated keys with weights; zero-weight sentinel tail
+    n_real, n_dead = 500, 37
+    hi = rng.integers(0, 4, n_real).astype(np.uint32)
+    lo = rng.integers(0, 10, n_real).astype(np.uint32)
+    w = rng.integers(1, 7, n_real).astype(np.int32)
+    sent = np.uint32(0xFFFFFFFF)
+    hi = np.concatenate([hi, np.full(n_dead, sent)])
+    lo = np.concatenate([lo, np.full(n_dead, sent)])
+    w = np.concatenate([w, np.zeros(n_dead, np.int32)])
+    hi_s, lo_s, w_s = jax.lax.sort(
+        (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(w)), num_keys=2
+    )
+    lo_o, hi_o, tot, nu = kmer.weighted_runs_from_sorted(hi_s, lo_s, w_s)
+    glo, ghi, gct = kmer.compact_runs(lo_o, hi_o, tot)
+    got = {(int(ghi[i]), int(glo[i])): int(gct[i]) for i in range(len(gct))}
+    expect = {}
+    for h, l, ww in zip(hi[:n_real], lo[:n_real], w[:n_real]):
+        expect[(int(h), int(l))] = expect.get((int(h), int(l)), 0) + int(ww)
+    assert got == expect and int(nu) == len(expect)

@@ -146,10 +146,12 @@ def test_count_kmers_sorted_sharded(rng):
     ws = jax.device_put(words, NamedSharding(m, P("data", None)))
     ls = jax.device_put(jnp.asarray(lens), NamedSharding(m, P("data")))
     lo2, hi2, c2, n2 = pkmer.count_kmers_sorted_sharded(ws, ls, k, m, "data")
+    # run-start layout: distinct keys are the positive-count slots
+    glo, ghi, gct = kmer_ops.compact_runs(lo2, hi2, c2)
     got = {
-        (int(np.asarray(hi2)[i]), int(np.asarray(lo2)[i])): int(np.asarray(c2)[i])
-        for i in range(int(n2))
+        (int(ghi[i]), int(glo[i])): int(gct[i]) for i in range(len(gct))
     }
+    assert int(n2) == len(gct)
     assert got == want
 
 
@@ -250,17 +252,18 @@ def test_count_kmers_seqsharded_sorted_matches_oracle(rng, k):
     lo, hi, cnt, nu = parallel.count_kmers_seqsharded_sorted(
         words, jnp.int32(n), k, seq_mesh
     )
-    lo, hi, cnt = np.asarray(lo), np.asarray(hi), np.asarray(cnt)
-    got = {}
-    for i in range(int(nu)):
-        if cnt[i] > 0:
-            got[(int(hi[i]) << 32) | int(lo[i])] = int(cnt[i])
+    # run-start layout: distinct keys are the positive-count slots
+    glo, ghi, gct = kmer.compact_runs(lo, hi, cnt)
+    assert int(nu) == len(gct)
+    got = {
+        (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))
+    }
     expect = oracle.count_kmers(s, k)
     assert got == expect
-    # and equals the unsharded sorted path entry-for-entry
+    # and equals the unsharded sorted path's content
     lo1, hi1, cnt1, nu1 = kmer.count_kmers_sorted(reads.words, reads.lengths, k)
     nu1 = int(nu1)
-    assert int(nu) == nu1
-    np.testing.assert_array_equal(lo[:nu1], np.asarray(lo1)[:nu1])
-    np.testing.assert_array_equal(hi[:nu1], np.asarray(hi1)[:nu1])
-    np.testing.assert_array_equal(cnt[:nu1], np.asarray(cnt1)[:nu1])
+    lo1, hi1, cnt1 = np.asarray(lo1), np.asarray(hi1), np.asarray(cnt1)
+    np.testing.assert_array_equal(glo, lo1[:nu1])
+    np.testing.assert_array_equal(ghi, hi1[:nu1])
+    np.testing.assert_array_equal(gct, cnt1[:nu1])
