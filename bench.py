@@ -199,7 +199,7 @@ def _synth_fastq(path, n_reads, read_len):
     return path
 
 
-def bench_pipeline(mbytes=64, read_len=300, k=8, staged=None, batch=4096):
+def bench_pipeline(mbytes=192, read_len=300, k=8, staged=None, batch=16384):
     """End-to-end ingestion pipeline: FASTQ file -> (native scan + host pack
     + packed upload when staged) -> device k-mer histogram, host parse of
     batch i+1 overlapped with device compute on batch i via JAX async

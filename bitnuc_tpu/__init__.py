@@ -43,7 +43,7 @@ from .ops.kmer import (  # noqa: F401
     minimizers,
 )
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
-from . import io  # noqa: F401
+from . import io, pipeline  # noqa: F401
 from .errors import (  # noqa: F401
     IndexOutOfBounds,
     InvalidBase,

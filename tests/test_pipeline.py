@@ -1,0 +1,108 @@
+"""Streaming restartable counting (bitnuc_tpu.pipeline): oracle parity,
+crash/resume via checkpoints, sparse accumulator growth, mesh mode."""
+
+import numpy as np
+import pytest
+import jax
+
+from bitnuc_tpu import io as bnio, oracle, pipeline
+from conftest import random_seq
+
+
+@pytest.fixture
+def fastq(tmp_path, rng):
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(30, 120, 57)]
+    p = tmp_path / "stream.fq"
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    return p, seqs
+
+
+def _expect(seqs, k):
+    out = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            out[key] = out.get(key, 0) + c
+    return out
+
+
+def test_count_fastq_dense_vs_oracle(fastq):
+    p, seqs = fastq
+    hist = pipeline.count_fastq(p, 5, batch_size=8)
+    expect = _expect(seqs, 5)
+    assert hist.sum() == sum(expect.values())
+    for key, c in expect.items():
+        assert hist[key] == c
+
+
+def test_count_fastq_sparse_vs_oracle(fastq):
+    p, seqs = fastq
+    got = pipeline.count_fastq(p, 21, batch_size=8, sparse_capacity=4096)
+    assert got == _expect(seqs, 21)
+
+
+def test_count_fastq_sparse_capacity_growth(fastq):
+    p, seqs = fastq
+    # force repeated doubling from a tiny accumulator
+    got = pipeline.count_fastq(p, 17, batch_size=8, sparse_capacity=64)
+    assert got == _expect(seqs, 17)
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crashing_iter(real_iter, crash_after):
+    def wrapper(*args, **kwargs):
+        for i, b in enumerate(real_iter(*args, **kwargs)):
+            if i == crash_after:
+                raise _Boom()
+            yield b
+
+    return wrapper
+
+
+@pytest.mark.parametrize("k", [5, 21])
+def test_count_fastq_crash_resume(fastq, tmp_path, monkeypatch, k):
+    p, seqs = fastq
+    ckpt = str(tmp_path / f"count{k}.npz")
+    kwargs = dict(
+        batch_size=8, checkpoint=ckpt, checkpoint_every=1, sparse_capacity=4096
+    )
+
+    real = bnio.iter_fastq_batches
+    monkeypatch.setattr(bnio, "iter_fastq_batches", _crashing_iter(real, 4))
+    with pytest.raises(_Boom):
+        pipeline.count_fastq(p, k, **kwargs)
+    monkeypatch.setattr(bnio, "iter_fastq_batches", real)
+
+    # resume from the checkpoint; result must equal the one-shot count
+    got = pipeline.count_fastq(p, k, **kwargs)
+    expect = _expect(seqs, k)
+    if k <= 12:
+        for key, c in expect.items():
+            assert got[key] == c
+        assert got.sum() == sum(expect.values())
+    else:
+        assert got == expect
+
+
+def test_count_fastq_checkpoint_framing_mismatch(fastq, tmp_path):
+    p, _ = fastq
+    ckpt = str(tmp_path / "frame.npz")
+    pipeline.count_fastq(p, 5, batch_size=8, checkpoint=ckpt)
+    with pytest.raises(AssertionError):
+        pipeline.count_fastq(p, 5, batch_size=16, checkpoint=ckpt)
+
+
+def test_count_fastq_mesh(fastq):
+    p, seqs = fastq
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.make_mesh((8,), ("data",))
+    hist = pipeline.count_fastq(p, 6, batch_size=16, mesh=mesh)
+    expect = _expect(seqs, 6)
+    assert hist.sum() == sum(expect.values())
+    for key, c in expect.items():
+        assert hist[key] == c
