@@ -142,6 +142,7 @@ def iter_fastq_batches(
     validate: bool = True,
     staged: Optional[bool] = None,
     prefetch: int = 0,
+    with_validity: bool = False,
 ) -> Iterator[PackedReads]:
     """Stream a FASTQ file in fixed-size PackedReads batches (the data-loader
     shape for device pipelines: host parses batch i+1 while the device
@@ -159,19 +160,44 @@ def iter_fastq_batches(
     `prefetch` batches ready (true double buffering: the native parser and
     packer release the GIL, so host ingestion of batch i+1 overlaps device
     compute on batch i even when the consumer blocks on device results).
+
+    with_validity=True yields (PackedReads, base_valid bool[B, L]) pairs
+    instead — the per-base validity computed at parse time (N info is
+    unrecoverable after 2-bit packing). Pair with
+    count_kmers_reads(base_valid=...) to skip N-containing windows;
+    usually combined with validate=False.
     """
     from . import native
 
     use_native = native.available() if staged is None else bool(staged)
     if use_native and native.available():
-        gen = _iter_fastq_batches_staged(path, batch_size, max_len, validate)
+        gen = _iter_fastq_batches_staged(
+            path, batch_size, max_len, validate, with_validity
+        )
     else:
-        gen = _iter_fastq_batches_py(path, batch_size, max_len, validate)
+        gen = _iter_fastq_batches_py(
+            path, batch_size, max_len, validate, with_validity
+        )
     yield from _prefetched(gen, prefetch) if prefetch > 0 else gen
 
 
+def _emit_batch_py(buf, max_len, validate, with_validity):
+    from .sequence import _rectangularize
+
+    ascii_arr, lens = _rectangularize(buf, None, max_len)
+    reads = PackedReads.from_ascii(ascii_arr, lengths=lens, validate=validate)
+    if not with_validity:
+        return reads
+    in_range = np.arange(ascii_arr.shape[1])[None, :] < lens[:, None]
+    return reads, _VALID_BASE[ascii_arr] & in_range
+
+
 def _iter_fastq_batches_py(
-    path: PathLike, batch_size: int, max_len: Optional[int], validate: bool
+    path: PathLike,
+    batch_size: int,
+    max_len: Optional[int],
+    validate: bool,
+    with_validity: bool = False,
 ) -> Iterator[PackedReads]:
     """Line-reader fallback (no native library): per-record Python, device
     packing via PackedReads.from_ascii."""
@@ -190,10 +216,10 @@ def _iter_fastq_batches_py(
             f.readline()  # quality
             buf.append(seq)
             if len(buf) == batch_size:
-                yield PackedReads.from_ascii(buf, max_len=max_len, validate=validate)
+                yield _emit_batch_py(buf, max_len, validate, with_validity)
                 buf = []
     if buf:
-        yield PackedReads.from_ascii(buf, max_len=max_len, validate=validate)
+        yield _emit_batch_py(buf, max_len, validate, with_validity)
 
 
 def _prefetched(gen: Iterator, depth: int) -> Iterator:
@@ -241,26 +267,41 @@ _VALID_BASE[np.frombuffer(b"ACGTacgt", np.uint8)] = True
 
 
 def _staged_to_packed(
-    ascii_arr: np.ndarray, lens: np.ndarray, validate: bool
-) -> PackedReads:
+    ascii_arr: np.ndarray,
+    lens: np.ndarray,
+    validate: bool,
+    with_validity: bool = False,
+):
     """Host-pack a rectangular ASCII batch with the native codec and upload
     the 2-bit words (4x fewer transfer bytes than ASCII)."""
     from . import native
     from .errors import InvalidBase
 
     B, L = ascii_arr.shape
-    if validate and B:
+    valid = None
+    if (validate or with_validity) and B:
         in_range = np.arange(L)[None, :] < lens[:, None]
-        bad = in_range & ~_VALID_BASE[ascii_arr]
-        if bad.any():
-            r, c = np.argwhere(bad)[0]  # row-major: first bad read first
-            raise InvalidBase(int(ascii_arr[r, c]))
+        valid = _VALID_BASE[ascii_arr] & in_range
+        if validate:
+            bad = in_range & ~valid
+            if bad.any():
+                r, c = np.argwhere(bad)[0]  # row-major: first bad read first
+                raise InvalidBase(int(ascii_arr[r, c]))
     words_u64 = native.encode_batch(ascii_arr, max(1, -(-L // 32)))
-    return PackedReads.from_u64(words_u64, lens)
+    reads = PackedReads.from_u64(words_u64, lens)
+    if not with_validity:
+        return reads
+    if valid is None:  # B == 0
+        valid = np.zeros((B, L), dtype=bool)
+    return reads, valid
 
 
 def _iter_fastq_batches_staged(
-    path: PathLike, batch_size: int, max_len: Optional[int], validate: bool
+    path: PathLike,
+    batch_size: int,
+    max_len: Optional[int],
+    validate: bool,
+    with_validity: bool = False,
 ) -> Iterator[PackedReads]:
     """Chunked native framing: numpy newline scan groups non-blank lines into
     4-line records; whole-record byte spans feed the native parser + packer.
@@ -301,9 +342,9 @@ def _iter_fastq_batches_staged(
                     data[emitted:end], max_len or 0
                 )
                 emitted = end
-                yield _staged_to_packed(ascii_arr, lens, validate)
+                yield _staged_to_packed(ascii_arr, lens, validate, with_validity)
             carry = data[emitted:]
     if carry.strip():
         ascii_arr, lens = native.fastq_to_batch(carry, max_len or 0)
         if len(lens):
-            yield _staged_to_packed(ascii_arr, lens, validate)
+            yield _staged_to_packed(ascii_arr, lens, validate, with_validity)

@@ -151,6 +151,20 @@ def decode_reads(
 
 
 @jax.jit
+def validity_mask(ascii_u8: jax.Array, lengths: jax.Array) -> jax.Array:
+    """[..., L] bool: True where the byte is an in-range ACGT/acgt base.
+
+    Pair with count_kmers_reads(base_valid=...) to DROP windows containing
+    N/ambiguous bases instead of raising — the reference can only refuse
+    the whole sequence (InvalidBase, src/error.rs:5); a streaming engine
+    needs the skip policy."""
+    L = ascii_u8.shape[-1]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    in_range = pos < jnp.asarray(lengths, jnp.int32)[..., None]
+    return in_range & bitops.ascii_is_valid(ascii_u8)
+
+
+@jax.jit
 def pack_kmers(ascii_u8: jax.Array, lengths: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Batched as_2bit (src/utils/packing/mod.rs:81): [..., k<=32] ASCII ->
     [..., 2] uint32 (one u64 pair per k-mer) + first_bad."""

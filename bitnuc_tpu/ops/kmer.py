@@ -90,9 +90,28 @@ def window_valid_mask(L: int, lengths: jax.Array, k: int) -> jax.Array:
     return pos <= (jnp.asarray(lengths, jnp.int32)[..., None] - k)
 
 
-def _window_keys(words, lengths, k: int, canonical: bool):
+def sliding_all(valid: jax.Array, k: int) -> jax.Array:
+    """out[..., p] = all(valid[..., p:p+k]) — O(L log k) doubling ANDs.
+
+    The window-level lift of a per-base validity mask: a window counts only
+    if every base in it is valid (how k-mer engines skip N/ambiguous bases
+    — the reference instead refuses the whole sequence, src/error.rs:5).
+    Tail positions conservatively False; they are length-masked anyway.
+    """
+    assert k >= 1
+    pows = {1: valid}
+    m = 1
+    while 2 * m <= k:
+        pows[2 * m] = pows[m] & _shift_positions(pows[m], m)
+        m *= 2
+    acc = pows[m]
+    return acc & _shift_positions(acc, k - m) if k > m else acc
+
+
+def _window_keys(words, lengths, k: int, canonical: bool, base_valid=None):
     """(lo, hi, valid) window keys over a packed batch; canonical=True maps
-    each key to min(key, revcomp(key)) (strand-insensitive counting)."""
+    each key to min(key, revcomp(key)) (strand-insensitive counting);
+    base_valid [..., L] bool restricts to windows of all-valid bases."""
     codes = bitops.unpack_words(words)
     L = codes.shape[-1]
     lo, hi = kmer_keys(codes, k)
@@ -100,12 +119,23 @@ def _window_keys(words, lengths, k: int, canonical: bool):
         from . import revcomp
 
         lo, hi = revcomp.canonical_keys(lo, hi, k)
-    return lo, hi, window_valid_mask(L, lengths, k)
+    valid = window_valid_mask(L, lengths, k)
+    if base_valid is not None:
+        bv = jnp.asarray(base_valid)
+        if bv.shape[-1] < L:  # pad to the word-aligned code length
+            pad = [(0, 0)] * (bv.ndim - 1) + [(0, L - bv.shape[-1])]
+            bv = jnp.pad(bv, pad)
+        valid = valid & sliding_all(bv, k)
+    return lo, hi, valid
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_dense(
-    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = False,
+    base_valid=None,
 ) -> jax.Array:
     """Dense k-mer histogram over a batch: [B, W] packed words -> [4^k] int32.
 
@@ -113,7 +143,7 @@ def count_kmers_dense(
     the count of windows whose as_2bit value is i. k <= MAX_DENSE_K.
     """
     assert k <= MAX_DENSE_K, f"dense histogram capped at k={MAX_DENSE_K}"
-    lo, _, valid = _window_keys(words, lengths, k, canonical)
+    lo, _, valid = _window_keys(words, lengths, k, canonical, base_valid)
     keys = jnp.where(valid, lo, 0).reshape(-1).astype(jnp.int32)
     wts = valid.astype(jnp.int32).reshape(-1)
     return jnp.zeros(4**k, jnp.int32).at[keys].add(wts)
@@ -124,7 +154,11 @@ MAX_MXU_K = 8  # matmul histogram: FLOPs scale as 4^k * N, wins up to ~k=8
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_dense_mxu(
-    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = False,
+    base_valid=None,
 ) -> jax.Array:
     """Dense k-mer histogram as an MXU contraction (scatter-free).
 
@@ -141,7 +175,7 @@ def count_kmers_dense_mxu(
     value is i — identical to the README HashMap semantics (README.md:164-180).
     """
     assert k <= MAX_MXU_K, f"matmul histogram capped at k={MAX_MXU_K}"
-    lo_keys, _, valid = _window_keys(words, lengths, k, canonical)
+    lo_keys, _, valid = _window_keys(words, lengths, k, canonical, base_valid)
     keys = jnp.where(valid, lo_keys, 0).astype(jnp.int32).reshape(-1)
     wts = valid.reshape(-1)
 
@@ -177,6 +211,7 @@ def count_kmers_dense_pallas(
     k: int,
     canonical: bool = False,
     interpret: bool = False,
+    base_valid=None,
 ) -> jax.Array:
     """Dense histogram via the Pallas MXU kernel (one-hots never leave VMEM;
     HBM traffic is 4 bytes/window vs ~512 for the XLA matmul lowering).
@@ -184,7 +219,7 @@ def count_kmers_dense_pallas(
     assert k <= MAX_MXU_K
     from .pallas import histogram
 
-    lo, _, valid = _window_keys(words, lengths, k, canonical)
+    lo, _, valid = _window_keys(words, lengths, k, canonical, base_valid)
     keys = jnp.where(valid, lo, jnp.uint32(4**k)).astype(jnp.int32).reshape(-1)
     return histogram.histogram_from_keys(keys, k, interpret=interpret)
 
@@ -262,7 +297,11 @@ def sorted_count_from_keys(
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_sorted(
-    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = False,
+    base_valid=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort-based k-mer counting for any k <= 32 (the large-k HashMap analog).
 
@@ -276,7 +315,7 @@ def count_kmers_sorted(
     (~43 Mkeys/s on v5e). The throughput engine is count_kmers_runs (same
     counts, run-start layout, no scatters — measured ~6x faster at k=21).
     """
-    lo, hi, valid = _window_keys(words, lengths, k, canonical)
+    lo, hi, valid = _window_keys(words, lengths, k, canonical, base_valid)
     return sorted_count_from_keys(lo, hi, valid, k)
 
 
@@ -349,13 +388,17 @@ def runs_from_keys(
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_runs(
-    words: jax.Array, lengths: jax.Array, k: int, canonical: bool = False
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = False,
+    base_valid=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Scatter-free sort-based k-mer counting, any k <= 32 — the large-k
     throughput engine (run-start layout; see runs_from_keys for the
     contract). Bit-identical (key -> count) content vs count_kmers_sorted,
     ~6x faster at k=21 on v5e (docs/DESIGN.md)."""
-    lo, hi, valid = _window_keys(words, lengths, k, canonical)
+    lo, hi, valid = _window_keys(words, lengths, k, canonical, base_valid)
     return runs_from_keys(lo, hi, valid, k)
 
 
@@ -409,6 +452,7 @@ def count_kmers_reads(
     k: int,
     mode: str = "auto",
     canonical: bool = False,
+    base_valid=None,
 ):
     """Count k-mers over a batch of packed reads.
 
@@ -419,6 +463,8 @@ def count_kmers_reads(
     picks the matmul histogram up to MAX_MXU_K, scatter-dense up to
     MAX_DENSE_K, runs beyond.
     canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
+    base_valid [B, L] bool (e.g. codec.validity_mask) drops every window
+    containing an invalid/ambiguous base (N handling) instead of erroring.
     """
     if mode == "auto":
         if k > MAX_DENSE_K:
@@ -432,15 +478,20 @@ def count_kmers_reads(
 
         if config.use_pallas():
             return count_kmers_dense_pallas(
-                words, lengths, k, canonical, interpret=config.pallas_interpret()
+                words,
+                lengths,
+                k,
+                canonical,
+                interpret=config.pallas_interpret(),
+                base_valid=base_valid,
             )
-        return count_kmers_dense_mxu(words, lengths, k, canonical)
+        return count_kmers_dense_mxu(words, lengths, k, canonical, base_valid)
     if mode == "dense":
-        return count_kmers_dense(words, lengths, k, canonical)
+        return count_kmers_dense(words, lengths, k, canonical, base_valid)
     if mode == "sorted":
-        return count_kmers_sorted(words, lengths, k, canonical)
+        return count_kmers_sorted(words, lengths, k, canonical, base_valid)
     if mode == "runs":
-        return count_kmers_runs(words, lengths, k, canonical)
+        return count_kmers_runs(words, lengths, k, canonical, base_valid)
     raise ValueError(f"unknown mode {mode!r}")
 
 

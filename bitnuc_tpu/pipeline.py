@@ -70,6 +70,7 @@ def count_fastq(
     checkpoint_every: int = 50,
     prefetch: int = 2,
     sparse_capacity: int = 1 << 20,
+    on_invalid: str = "raise",
 ):
     """Stream a FASTQ file into k-mer counts, optionally crash-resumable.
 
@@ -82,6 +83,9 @@ def count_fastq(
     it covers; the finished checkpoint is left in place.
     mesh: optional jax Mesh — dense-mode batches are sharded on `axis` and
     merged with one psum per batch (k <= MAX_DENSE_K only).
+    on_invalid: "raise" (reference InvalidBase semantics) or "skip" — drop
+    every window containing an N/ambiguous base (parse-time validity mask
+    threaded through count_kmers_reads(base_valid=...)).
     """
     import jax.numpy as jnp
 
@@ -94,6 +98,11 @@ def count_fastq(
     dense = k <= kmer_ops.MAX_DENSE_K
     if mesh is not None and not dense:
         raise ValueError("mesh counting supports dense k <= MAX_DENSE_K")
+    if on_invalid not in ("raise", "skip"):
+        raise ValueError(f"on_invalid must be 'raise' or 'skip', got {on_invalid!r}")
+    skip = on_invalid == "skip"
+    if skip and mesh is not None:
+        raise ValueError("on_invalid='skip' is not supported with a mesh yet")
 
     # -- resume state ---------------------------------------------------------
     start_batch = 0
@@ -147,13 +156,21 @@ def count_fastq(
 
     # -- stream ---------------------------------------------------------------
     n_batches = start_batch
-    for i, batch in enumerate(
+    for i, item in enumerate(
         bnio.iter_fastq_batches(
-            path, batch_size, max_len=max_len, validate=validate, prefetch=prefetch
+            path,
+            batch_size,
+            max_len=max_len,
+            validate=validate and not skip,
+            prefetch=prefetch,
+            with_validity=skip,
         )
     ):
         if i < start_batch:
             continue  # resume: deterministic framing replays past batches
+        batch, base_valid = item if skip else (item, None)
+        if base_valid is not None:
+            base_valid = jnp.asarray(base_valid)
         if dense:
             if mesh is not None:
                 from .parallel import kmer as pkmer, mesh as pmesh
@@ -165,12 +182,13 @@ def count_fastq(
                 )
             else:
                 h = kmer_ops.count_kmers_reads(
-                    batch.words, batch.lengths, k, canonical=canonical
+                    batch.words, batch.lengths, k, canonical=canonical,
+                    base_valid=base_valid,
                 )
             hist = hist + h
         else:
             lo, hi, ct, n_u = kmer_ops.count_kmers_runs(
-                batch.words, batch.lengths, k, canonical
+                batch.words, batch.lengths, k, canonical, base_valid
             )
             while True:
                 merged, n_unique = _merge_runs_host(acc, (lo, hi, ct), cap)

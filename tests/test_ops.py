@@ -437,3 +437,47 @@ def test_weighted_runs_from_sorted(rng):
     for h, l, ww in zip(hi[:n_real], lo[:n_real], w[:n_real]):
         expect[(int(h), int(l))] = expect.get((int(h), int(l)), 0) + int(ww)
     assert got == expect and int(nu) == len(expect)
+
+
+@pytest.mark.parametrize("mode,k", [("dense", 4), ("mxu", 5), ("runs", 21), ("sorted", 17)])
+def test_count_kmers_skip_invalid_windows(rng, mode, k):
+    """base_valid drops exactly the windows containing an N (the reference
+    can only refuse the sequence; streaming engines need the skip policy)."""
+    from bitnuc_tpu.ops import codec
+
+    B, L = 6, 80
+    a = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    for _ in range(12):
+        a[rng.integers(B), rng.integers(L)] = ord("N")
+    lens = rng.integers(k, L + 1, size=B).astype(np.int32)
+    words, _ = codec.encode_reads(jnp.asarray(a), jnp.asarray(lens))
+    bv = codec.validity_mask(jnp.asarray(a), jnp.asarray(lens))
+
+    out = kmer.count_kmers_reads(
+        words, jnp.asarray(lens), k, mode=mode, base_valid=bv
+    )
+    expect = {}
+    for r in range(B):
+        s = bytes(a[r, : lens[r]])
+        for p in range(len(s) - k + 1):
+            win = s[p : p + k]
+            if b"N" in win:
+                continue
+            expect[oracle.as_2bit(win)] = expect.get(oracle.as_2bit(win), 0) + 1
+    if mode in ("dense", "mxu"):
+        hist = np.asarray(out)
+        assert hist.sum() == sum(expect.values())
+        for key, c in expect.items():
+            assert hist[key] == c
+    else:
+        lo, hi, cnt, nu = out
+        if mode == "runs":
+            glo, ghi, gct = kmer.compact_runs(lo, hi, cnt)
+        else:
+            glo = np.asarray(lo)[: int(nu)]
+            ghi = np.asarray(hi)[: int(nu)]
+            gct = np.asarray(cnt)[: int(nu)]
+        got = {
+            (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))
+        }
+        assert got == expect

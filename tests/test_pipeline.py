@@ -106,3 +106,46 @@ def test_count_fastq_mesh(fastq):
     assert hist.sum() == sum(expect.values())
     for key, c in expect.items():
         assert hist[key] == c
+
+
+@pytest.mark.parametrize("k", [6, 21])
+def test_count_fastq_skip_invalid(tmp_path, rng, k):
+    """on_invalid='skip' drops exactly the N-containing windows."""
+    seqs = []
+    for n in rng.integers(40, 90, 20):
+        s = bytearray(random_seq(rng, int(n)).upper())
+        for _ in range(3):
+            s[rng.integers(len(s))] = ord("N")
+        seqs.append(bytes(s))
+    p = tmp_path / "ns.fq"
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@n%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+
+    expect = {}
+    for s in seqs:
+        for q in range(len(s) - k + 1):
+            win = s[q : q + k]
+            if any(c not in b"ACGT" for c in win):
+                continue
+            key = oracle.as_2bit(win)
+            expect[key] = expect.get(key, 0) + 1
+
+    got = pipeline.count_fastq(
+        p, k, batch_size=8, on_invalid="skip", sparse_capacity=4096
+    )
+    if k <= 12:
+        assert got.sum() == sum(expect.values())
+        for key, c in expect.items():
+            assert got[key] == c
+    else:
+        assert got == expect
+
+
+def test_count_fastq_raises_on_n_by_default(tmp_path):
+    from bitnuc_tpu.errors import InvalidBase
+
+    p = tmp_path / "n1.fq"
+    p.write_bytes(b"@a\nACNT\n+\nIIII\n")
+    with pytest.raises(InvalidBase):
+        pipeline.count_fastq(p, 2, batch_size=4)
