@@ -71,6 +71,8 @@ def count_fastq(
     prefetch: int = 2,
     sparse_capacity: int = 1 << 20,
     on_invalid: str = "raise",
+    on_progress=None,
+    progress_every: int = 50,
 ):
     """Stream a FASTQ file into k-mer counts, optionally crash-resumable.
 
@@ -86,7 +88,12 @@ def count_fastq(
     on_invalid: "raise" (reference InvalidBase semantics) or "skip" — drop
     every window containing an N/ambiguous base (parse-time validity mask
     threaded through count_kmers_reads(base_valid=...)).
+    on_progress: optional callable receiving a metrics dict every
+    `progress_every` batches ({"batches", "reads", "bases",
+    "bases_per_sec"} — the SURVEY §5 observability hook; wire it to
+    logging/JSON as the deployment prefers).
     """
+    import time as _time
     import jax.numpy as jnp
 
     from . import io as bnio
@@ -156,6 +163,9 @@ def count_fastq(
 
     # -- stream ---------------------------------------------------------------
     n_batches = start_batch
+    n_reads = 0
+    n_bases = 0
+    t0 = _time.perf_counter()
     for i, item in enumerate(
         bnio.iter_fastq_batches(
             path,
@@ -203,8 +213,20 @@ def count_fastq(
                     for a, f in zip(acc, (0xFFFFFFFF, 0xFFFFFFFF, 0))
                 )
         n_batches = i + 1
+        n_reads += len(batch)
+        n_bases += int(np.asarray(batch.lengths).sum())
         if checkpoint and (n_batches - start_batch) % checkpoint_every == 0:
             save(n_batches)
+        if on_progress and (n_batches - start_batch) % progress_every == 0:
+            dt = max(_time.perf_counter() - t0, 1e-9)
+            on_progress(
+                {
+                    "batches": n_batches,
+                    "reads": n_reads,
+                    "bases": n_bases,
+                    "bases_per_sec": n_bases / dt,
+                }
+            )
 
     if checkpoint:
         save(n_batches)

@@ -61,6 +61,25 @@ def main():
             break
         print(f"  {bn.from_2bit(int(key), k).decode()}  x{int(c)}")
 
+    # the same job through the managed pipeline: crash-safe checkpointing,
+    # N-tolerant windows, double-buffered staged ingestion, progress metrics
+    ckpt = path + ".ckpt.npz"
+    hist = bn.pipeline.count_fastq(
+        path,
+        k,
+        batch_size=4096,
+        on_invalid="skip",
+        checkpoint=ckpt,
+        checkpoint_every=10,
+        on_progress=lambda m: print(
+            f"  progress: {m['reads']} reads, "
+            f"{m['bases_per_sec'] / 1e6:.0f} Mbases/s"
+        ),
+        progress_every=5,
+    )
+    n_win = int(hist.sum()) if not isinstance(hist, dict) else sum(hist.values())
+    print(f"pipeline recount: {n_win} windows (checkpoint at {ckpt})")
+
 
 if __name__ == "__main__":
     main()

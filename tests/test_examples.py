@@ -43,6 +43,7 @@ def test_kmer_pipeline(tmp_path, rng):
     out = _run(["examples/kmer_pipeline.py", str(fastq), "5"])
     assert "40 reads, 3200 bases, k=5" in out
     assert "top canonical k-mers:" in out
+    assert "pipeline recount: 3040 windows" in out, out  # 40 * (80 - 4)
 
 
 def test_hdist_search():

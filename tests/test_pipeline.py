@@ -149,3 +149,15 @@ def test_count_fastq_raises_on_n_by_default(tmp_path):
     p.write_bytes(b"@a\nACNT\n+\nIIII\n")
     with pytest.raises(InvalidBase):
         pipeline.count_fastq(p, 2, batch_size=4)
+
+
+def test_count_fastq_progress_hook(fastq):
+    p, seqs = fastq
+    events = []
+    pipeline.count_fastq(
+        p, 5, batch_size=8, on_progress=events.append, progress_every=2
+    )
+    assert events, "progress hook never fired"
+    assert events[-1]["reads"] <= len(seqs)
+    assert all(e["bases_per_sec"] > 0 for e in events)
+    assert [e["batches"] for e in events] == sorted(e["batches"] for e in events)
