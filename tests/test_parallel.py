@@ -267,3 +267,25 @@ def test_count_kmers_seqsharded_sorted_matches_oracle(rng, k):
     np.testing.assert_array_equal(glo, lo1[:nu1])
     np.testing.assert_array_equal(ghi, hi1[:nu1])
     np.testing.assert_array_equal(gct, cnt1[:nu1])
+
+
+def test_analysis_on_sharded_reads(rng, mesh):
+    """Per-read analytics need no collectives: GSPMD partitions the batch
+    axis automatically from the input sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitnuc_tpu.ops import analysis
+
+    seqs = [random_seq(rng, 96).upper() for _ in range(32)]
+    reads = PackedReads.from_ascii(seqs)
+    ws = jax.device_put(reads.words, NamedSharding(mesh, P("data", None)))
+    ls = jax.device_put(reads.lengths, NamedSharding(mesh, P("data")))
+    gc_sh = np.asarray(analysis.gc_content_reads(ws, ls))
+    bc_sh = np.asarray(analysis.base_counts_reads(ws, ls))
+    np.testing.assert_allclose(
+        gc_sh, np.asarray(analysis.gc_content_reads(reads.words, reads.lengths)),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        bc_sh, np.asarray(analysis.base_counts_reads(reads.words, reads.lengths))
+    )
