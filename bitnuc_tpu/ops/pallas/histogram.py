@@ -57,6 +57,117 @@ def _hist_kernel(keys_ref, out_ref, *, k: int, n_hi: int, n_lo: int):
     out_ref[:] = out_ref[:] + acc
 
 
+CW = 512  # word columns per fused-kernel grid step
+
+
+def _fused_kernel(words_ref, nxt_ref, lens_ref, out_ref, *, k, n_hi, n_lo):
+    """Words -> histogram with the window keys GENERATED in VMEM.
+
+    The XLA key-generation path materializes ~8 B/base of intermediates in
+    HBM (codes + position-doubled keys); here each u32 word and its right
+    neighbor yield their 16 funnel-shifted window keys on the VPU, one-hots
+    feed the MXU directly, and HBM traffic is just the packed words
+    (0.25 B/base) plus the shifted copy. Validity (p <= len - k, the
+    window_valid_mask contract) is computed in-kernel from the per-read
+    lengths; invalid windows take the sentinel 4^k whose hi digit falls
+    outside the one-hot iota range.
+    """
+    i, j_col = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (j_col == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = words_ref[:]  # [8, CW] uint32
+    nx = nxt_ref[:]
+    lens = lens_ref[:, 0:1].astype(jnp.int32)  # [8, 1]
+    col0 = j_col * CW
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, CW), 1) + col0
+    mask_k = jnp.uint32((1 << (2 * k)) - 1)
+    sent = jnp.int32(4**k)
+
+    acc = jnp.zeros((n_hi, n_lo), jnp.float32)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CW, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CW, n_lo), 1)
+    for j in range(16):
+        if j == 0:
+            kj = w & mask_k
+        else:
+            kj = ((w >> jnp.uint32(2 * j)) | (nx << jnp.uint32(32 - 2 * j))) & mask_k
+        p = 16 * iota_c + j  # global base index of the window start
+        keys = jnp.where(p <= lens - k, kj.astype(jnp.int32), sent)
+        hi = keys >> k
+        lo = keys & ((1 << k) - 1)
+        for r in range(8):
+            a = (hi[r, :][:, None] == iota_hi).astype(jnp.bfloat16)
+            b = (lo[r, :][:, None] == iota_lo).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                a,
+                b,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = out_ref[:] + acc
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def histogram_from_words(
+    words: jax.Array, lengths: jax.Array, k: int, *, interpret: bool = False
+) -> jax.Array:
+    """Fused dense k-mer histogram straight from packed words, k <= 8.
+
+    words: [B, W] uint32; lengths: [B] int32. Returns [4^k] int32, equal to
+    ops.kmer.count_kmers_dense (tests/test_pallas.py parity battery).
+    Row-slabbed so f32 in-kernel accumulation stays exact (< 2^24/bin per
+    slab), int32-accumulated across slabs.
+    """
+    assert 1 <= k <= 8
+    B, W = words.shape
+    # windows per slab <= 2^23 keeps any single bin below the f32 bound
+    rows_per_slab = max(8, (1 << 23) // max(16 * W, 1) // 8 * 8)
+    if B > rows_per_slab:
+        total = None
+        for s in range(0, B, rows_per_slab):
+            part = histogram_from_words(
+                words[s : s + rows_per_slab],
+                lengths[s : s + rows_per_slab],
+                k,
+                interpret=interpret,
+            )
+            total = part if total is None else total + part
+        return total
+
+    n_lo = 1 << k
+    n_hi = (4**k) >> k
+    n_hi_p = max(n_hi, 128)
+    n_lo_p = max(n_lo, 128)
+
+    Bp = -(-B // 8) * 8
+    Wp = -(-W // CW) * CW
+    w = jnp.pad(words, ((0, Bp - B), (0, Wp - W)))
+    nxt = jnp.pad(words[:, 1:], ((0, Bp - B), (0, Wp - W + 1)))
+    lens = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, Bp - B))
+    lens2d = jnp.broadcast_to(lens[:, None], (Bp, 128))
+
+    grid = (Bp // 8, Wp // CW)
+    hist2d = pl.pallas_call(
+        partial(_fused_kernel, k=k, n_hi=n_hi_p, n_lo=n_lo_p),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, CW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_hi_p, n_lo_p), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_hi_p, n_lo_p), jnp.float32),
+        interpret=interpret,
+    )(w, nxt, lens2d)
+
+    return hist2d[:n_hi, :n_lo].astype(jnp.int32).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def histogram_from_keys(
     keys: jax.Array, k: int, *, interpret: bool = False

@@ -179,3 +179,23 @@ def test_hdist_scan_batch_parity(rng, Q, D, n_bases):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("B,L,k", [(3, 40, 4), (9, 700, 8), (1, 16, 1), (20, 33, 6)])
+def test_fused_words_histogram_parity(rng, B, L, k):
+    """histogram_from_words (in-VMEM key generation) == dense scatter path,
+    mixed lengths incl. reads shorter than k."""
+    from bitnuc_tpu.ops import kmer
+    from bitnuc_tpu.ops.pallas import histogram as ph
+    from bitnuc_tpu.sequence import PackedReads
+
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=int(n)))
+        for n in rng.integers(1, L + 1, B)
+    ]
+    r = PackedReads.from_ascii(seqs, max_len=L)
+    want = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, k))
+    got = np.asarray(
+        ph.histogram_from_words(r.words, r.lengths, k, interpret=True)
+    )
+    np.testing.assert_array_equal(want, got)
