@@ -57,10 +57,15 @@ def _hist_kernel(keys_ref, out_ref, *, k: int, n_hi: int, n_lo: int):
     out_ref[:] = out_ref[:] + acc
 
 
-CW = 512  # word columns per fused-kernel grid step
+def _fused_cw(k: int) -> int:
+    """Word columns per fused-kernel grid step. The 16x8 unrolled dot loop
+    keeps one-hot temporaries live on the Mosaic stack; at padded one-hot
+    width 128 (k <= 7) a 512-wide tile blows the 16MB scoped-vmem limit
+    (measured), so narrow the tile there."""
+    return 512 if k == 8 else 128
 
 
-def _fused_kernel(words_ref, nxt_ref, lens_ref, out_ref, *, k, n_hi, n_lo):
+def _fused_kernel(words_ref, nxt_ref, lens_ref, out_ref, *, k, n_hi, n_lo, cw):
     """Words -> histogram with the window keys GENERATED in VMEM.
 
     The XLA key-generation path materializes ~8 B/base of intermediates in
@@ -81,14 +86,14 @@ def _fused_kernel(words_ref, nxt_ref, lens_ref, out_ref, *, k, n_hi, n_lo):
     w = words_ref[:]  # [8, CW] uint32
     nx = nxt_ref[:]
     lens = lens_ref[:, 0:1].astype(jnp.int32)  # [8, 1]
-    col0 = j_col * CW
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, CW), 1) + col0
+    col0 = j_col * cw
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1) + col0
     mask_k = jnp.uint32((1 << (2 * k)) - 1)
     sent = jnp.int32(4**k)
 
     acc = jnp.zeros((n_hi, n_lo), jnp.float32)
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CW, n_hi), 1)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CW, n_lo), 1)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (cw, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (cw, n_lo), 1)
     for j in range(16):
         if j == 0:
             kj = w & mask_k
@@ -142,20 +147,21 @@ def histogram_from_words(
     n_hi_p = max(n_hi, 128)
     n_lo_p = max(n_lo, 128)
 
+    cw = _fused_cw(k)
     Bp = -(-B // 8) * 8
-    Wp = -(-W // CW) * CW
+    Wp = -(-W // cw) * cw
     w = jnp.pad(words, ((0, Bp - B), (0, Wp - W)))
     nxt = jnp.pad(words[:, 1:], ((0, Bp - B), (0, Wp - W + 1)))
     lens = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, Bp - B))
     lens2d = jnp.broadcast_to(lens[:, None], (Bp, 128))
 
-    grid = (Bp // 8, Wp // CW)
+    grid = (Bp // 8, Wp // cw)
     hist2d = pl.pallas_call(
-        partial(_fused_kernel, k=k, n_hi=n_hi_p, n_lo=n_lo_p),
+        partial(_fused_kernel, k=k, n_hi=n_hi_p, n_lo=n_lo_p, cw=cw),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, CW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, CW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
