@@ -59,6 +59,14 @@ def initialize(
     ):
         # single-process (incl. single-host multi-chip): nothing to do
         return
+    # env-driven cluster spec (the launcher-friendly path): honored when the
+    # explicit arguments are absent
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
     jax.distributed.initialize(

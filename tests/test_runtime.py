@@ -26,9 +26,16 @@ from bitnuc_tpu.parallel import runtime
 # jax.process_count() in the guard locked in a single-process runtime)
 assert not runtime.is_initialized()
 
-runtime.initialize(
-    coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
-)
+if len(sys.argv) > 3 and sys.argv[3] == "env":
+    # launcher-style env spec instead of explicit arguments
+    os.environ["JAX_COORDINATOR_ADDRESS"] = sys.argv[1]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = sys.argv[2]
+    runtime.initialize()
+else:
+    runtime.initialize(
+        coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+    )
 assert runtime.is_initialized()
 runtime.initialize()  # idempotent second call is a no-op
 
@@ -53,7 +60,11 @@ print("PSUM_OK", jax.process_index(), flush=True)
 """
 
 
-def test_two_process_psum(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("spec", ["args", "env"])
+def test_two_process_psum(tmp_path, spec):
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -64,7 +75,7 @@ def test_two_process_psum(tmp_path):
     worker.write_text(_WORKER)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), addr, str(i)],
+            [sys.executable, str(worker), addr, str(i), spec],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
