@@ -143,6 +143,8 @@ def iter_fastq_batches(
     staged: Optional[bool] = None,
     prefetch: int = 0,
     with_validity: bool = False,
+    with_offsets: bool = False,
+    start_offset: int = 0,
 ) -> Iterator[PackedReads]:
     """Stream a FASTQ file in fixed-size PackedReads batches (the data-loader
     shape for device pipelines: host parses batch i+1 while the device
@@ -166,30 +168,49 @@ def iter_fastq_batches(
     unrecoverable after 2-bit packing). Pair with
     count_kmers_reads(base_valid=...) to skip N-containing windows;
     usually combined with validate=False.
+
+    with_offsets=True appends the (uncompressed-stream) byte offset just
+    past each batch's last record as the item's final element; feeding it
+    back as start_offset resumes framing at that exact boundary in O(1)
+    file work — the crash-resume fast path (pipeline.count_fastq). For .gz
+    files offsets are decompressed-stream positions (seek decompresses and
+    discards the prefix — still no re-parse/re-pack).
     """
     from . import native
 
     use_native = native.available() if staged is None else bool(staged)
-    if use_native and native.available():
+    if use_native and not native.available():
+        # a forced backend must fail loudly, not silently benchmark the
+        # wrong path (same contract as config backend='pallas')
+        raise RuntimeError(
+            "staged=True but the native library is not built "
+            "(make -C bitnuc_tpu/native); use staged=None for auto-fallback"
+        )
+    if use_native:
         gen = _iter_fastq_batches_staged(
-            path, batch_size, max_len, validate, with_validity
+            path, batch_size, max_len, validate, with_validity,
+            with_offsets, start_offset,
         )
     else:
         gen = _iter_fastq_batches_py(
-            path, batch_size, max_len, validate, with_validity
+            path, batch_size, max_len, validate, with_validity,
+            with_offsets, start_offset,
         )
     yield from _prefetched(gen, prefetch) if prefetch > 0 else gen
 
 
-def _emit_batch_py(buf, max_len, validate, with_validity):
+def _emit_batch_py(buf, max_len, validate, with_validity, offset):
     from .sequence import _rectangularize
 
     ascii_arr, lens = _rectangularize(buf, None, max_len)
     reads = PackedReads.from_ascii(ascii_arr, lengths=lens, validate=validate)
-    if not with_validity:
-        return reads
-    in_range = np.arange(ascii_arr.shape[1])[None, :] < lens[:, None]
-    return reads, _VALID_BASE[ascii_arr] & in_range
+    item = (reads,)
+    if with_validity:
+        in_range = np.arange(ascii_arr.shape[1])[None, :] < lens[:, None]
+        item = item + (_VALID_BASE[ascii_arr] & in_range,)
+    if offset is not None:
+        item = item + (offset,)
+    return item[0] if len(item) == 1 else item
 
 
 def _iter_fastq_batches_py(
@@ -198,11 +219,16 @@ def _iter_fastq_batches_py(
     max_len: Optional[int],
     validate: bool,
     with_validity: bool = False,
+    with_offsets: bool = False,
+    start_offset: int = 0,
 ) -> Iterator[PackedReads]:
     """Line-reader fallback (no native library): per-record Python, device
     packing via PackedReads.from_ascii."""
     buf: List[bytes] = []
     with _fastq_opener(path)(path, "rb") as f:
+        if start_offset:
+            f.seek(start_offset)
+        end_pos = start_offset
         while True:
             header = f.readline()
             if not header:
@@ -216,38 +242,67 @@ def _iter_fastq_batches_py(
             f.readline()  # quality
             buf.append(seq)
             if len(buf) == batch_size:
-                yield _emit_batch_py(buf, max_len, validate, with_validity)
+                end_pos = f.tell() if with_offsets else 0
+                yield _emit_batch_py(
+                    buf, max_len, validate, with_validity,
+                    end_pos if with_offsets else None,
+                )
                 buf = []
-    if buf:
-        yield _emit_batch_py(buf, max_len, validate, with_validity)
+        if buf:
+            end_pos = f.tell() if with_offsets else 0
+            yield _emit_batch_py(
+                buf, max_len, validate, with_validity,
+                end_pos if with_offsets else None,
+            )
 
 
 def _prefetched(gen: Iterator, depth: int) -> Iterator:
     """Drain `gen` on a daemon thread into a bounded queue (data-loader
     double buffering). Preserves order; exceptions re-raise at the
-    consumer's next pull."""
+    consumer's next pull. An abandoned consumer (break / exception /
+    GeneratorExit) stops the worker and closes the source generator —
+    otherwise the thread would block forever on the full queue, pinning the
+    open file handle and the buffered batches."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     DONE = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for item in gen:
-                q.put(item)
-            q.put(DONE)
-        except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            try:
+                for item in gen:
+                    if not _put(item):
+                        return
+                _put(DONE)
+            except BaseException as e:  # propagate into the consumer
+                _put(e)
+        finally:
+            gen.close()
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _fastq_opener(path: PathLike):
@@ -271,6 +326,7 @@ def _staged_to_packed(
     lens: np.ndarray,
     validate: bool,
     with_validity: bool = False,
+    offset=None,
 ):
     """Host-pack a rectangular ASCII batch with the native codec and upload
     the 2-bit words (4x fewer transfer bytes than ASCII)."""
@@ -289,11 +345,14 @@ def _staged_to_packed(
                 raise InvalidBase(int(ascii_arr[r, c]))
     words_u64 = native.encode_batch(ascii_arr, max(1, -(-L // 32)))
     reads = PackedReads.from_u64(words_u64, lens)
-    if not with_validity:
-        return reads
-    if valid is None:  # B == 0
-        valid = np.zeros((B, L), dtype=bool)
-    return reads, valid
+    item = (reads,)
+    if with_validity:
+        if valid is None:  # B == 0
+            valid = np.zeros((B, L), dtype=bool)
+        item = item + (valid,)
+    if offset is not None:
+        item = item + (offset,)
+    return item[0] if len(item) == 1 else item
 
 
 def _iter_fastq_batches_staged(
@@ -302,6 +361,8 @@ def _iter_fastq_batches_staged(
     max_len: Optional[int],
     validate: bool,
     with_validity: bool = False,
+    with_offsets: bool = False,
+    start_offset: int = 0,
 ) -> Iterator[PackedReads]:
     """Chunked native framing: numpy newline scan groups non-blank lines into
     4-line records; whole-record byte spans feed the native parser + packer.
@@ -309,7 +370,10 @@ def _iter_fastq_batches_staged(
     from . import native
 
     carry = b""
+    abs_base = start_offset  # file offset of data[0] (uncompressed stream)
     with _fastq_opener(path)(path, "rb") as f:
+        if start_offset:
+            f.seek(start_offset)
         while True:
             block = f.read(_STREAM_BLOCK)
             if not block:
@@ -342,9 +406,16 @@ def _iter_fastq_batches_staged(
                     data[emitted:end], max_len or 0
                 )
                 emitted = end
-                yield _staged_to_packed(ascii_arr, lens, validate, with_validity)
+                yield _staged_to_packed(
+                    ascii_arr, lens, validate, with_validity,
+                    abs_base + end if with_offsets else None,
+                )
             carry = data[emitted:]
+            abs_base += emitted  # carry[0] now sits at abs_base
     if carry.strip():
         ascii_arr, lens = native.fastq_to_batch(carry, max_len or 0)
         if len(lens):
-            yield _staged_to_packed(ascii_arr, lens, validate, with_validity)
+            yield _staged_to_packed(
+                ascii_arr, lens, validate, with_validity,
+                abs_base + len(carry) if with_offsets else None,
+            )

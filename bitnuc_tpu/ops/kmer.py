@@ -443,6 +443,21 @@ def weighted_runs_from_sorted(
     return lo_s, hi_s, totals, n_unique
 
 
+def merge_sorted_runs(lo, hi, counts):
+    """Merge CONCATENATED run-start lists into one global run-start list:
+    push dead (count 0) rows to the all-ones sentinel, sort, aggregate with
+    the gather-free weighted-run scheme. The shared core of the collective
+    merge (parallel/kmer.py) and the streaming accumulator (pipeline.py).
+    """
+    sent = jnp.uint32(0xFFFFFFFF)
+    counts = counts.astype(jnp.int32)
+    dead = counts == 0
+    lo = jnp.where(dead, sent, lo)
+    hi = jnp.where(dead, sent, hi)
+    hi_s, lo_s, ct_s = jax.lax.sort((hi, lo, counts), num_keys=2)
+    return weighted_runs_from_sorted(hi_s, lo_s, ct_s)
+
+
 def compact_runs(lo, hi, counts):
     """Host helper: run-start layout (count_kmers_runs) -> dense numpy
     (keys_lo, keys_hi, counts) of just the distinct k-mers, ascending."""

@@ -115,7 +115,9 @@ def _fused_kernel(words_ref, nxt_ref, lens_ref, out_ref, *, k, n_hi, n_lo, cw):
     out_ref[:] = out_ref[:] + acc
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+FUSED_COLS_PER_SLAB = (1 << 23) // (16 * 8)
+
+
 def histogram_from_words(
     words: jax.Array, lengths: jax.Array, k: int, *, interpret: bool = False
 ) -> jax.Array:
@@ -128,6 +130,7 @@ def histogram_from_words(
     """
     assert 1 <= k <= 8
     B, W = words.shape
+    lengths = jnp.asarray(lengths, jnp.int32)
     # windows per slab <= 2^23 keeps any single bin below the f32 bound
     rows_per_slab = max(8, (1 << 23) // max(16 * W, 1) // 8 * 8)
     if B > rows_per_slab:
@@ -141,6 +144,52 @@ def histogram_from_words(
             )
             total = part if total is None else total + part
         return total
+    # a single row-slab can still exceed the bound when reads are very long
+    # (8 rows x 16W windows > 2^23 for W > 65536): slab the WORD axis too.
+    # Column slab c covers global bases [16c, 16(c+CS)); shifting lengths by
+    # 16c reproduces the global p <= len - k validity in slab-local terms,
+    # and the cross-slab windows come from the full shifted-words array.
+    if W > FUSED_COLS_PER_SLAB:
+        nxt_full = jnp.pad(words[:, 1:], ((0, 0), (0, 1)))
+        total = None
+        for c in range(0, W, FUSED_COLS_PER_SLAB):
+            w_real = min(FUSED_COLS_PER_SLAB, W - c)
+            # clamp to the slab's REAL word span: windows must start inside
+            # it (p <= 16*w_real - 1, i.e. len_eff - k) or the in-kernel
+            # lane padding would count phantom all-A windows; the k-1 slack
+            # lets last-word windows spill into nxt as usual.
+            lens_slab = jnp.minimum(
+                jnp.maximum(lengths - 16 * c, 0), 16 * w_real + k - 1
+            )
+            part = _histogram_from_words_slab(
+                words[:, c : c + FUSED_COLS_PER_SLAB],
+                nxt_full[:, c : c + FUSED_COLS_PER_SLAB],
+                lens_slab,
+                k,
+                interpret=interpret,
+            )
+            total = part if total is None else total + part
+        return total
+    return _histogram_from_words_slab(
+        words,
+        jnp.pad(words[:, 1:], ((0, 0), (0, 1))),
+        lengths,
+        k,
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _histogram_from_words_slab(
+    words: jax.Array,
+    nxt: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """One exact-f32 slab of the fused histogram (<= 2^23 windows)."""
+    B, W = words.shape
 
     n_lo = 1 << k
     n_hi = (4**k) >> k
@@ -151,7 +200,7 @@ def histogram_from_words(
     Bp = -(-B // 8) * 8
     Wp = -(-W // cw) * cw
     w = jnp.pad(words, ((0, Bp - B), (0, Wp - W)))
-    nxt = jnp.pad(words[:, 1:], ((0, Bp - B), (0, Wp - W + 1)))
+    nxt = jnp.pad(nxt, ((0, Bp - B), (0, Wp - W)))
     lens = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, Bp - B))
     lens2d = jnp.broadcast_to(lens[:, None], (Bp, 128))
 

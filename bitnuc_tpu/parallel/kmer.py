@@ -78,15 +78,7 @@ def _allgather_merge_sorted(lo, hi, counts, axis):
     lo_g = jax.lax.all_gather(lo, axis).reshape(-1)
     hi_g = jax.lax.all_gather(hi, axis).reshape(-1)
     ct_g = jax.lax.all_gather(counts, axis).reshape(-1)
-    sent = jnp.uint32(0xFFFFFFFF)
-    dead = ct_g == 0
-    lo_g = jnp.where(dead, sent, lo_g)
-    hi_g = jnp.where(dead, sent, hi_g)
-    hi_s, lo_s, ct_s = jax.lax.sort((hi_g, lo_g, ct_g), num_keys=2)
-    lo_u, hi_u, totals, n_unique = kmer_ops.weighted_runs_from_sorted(
-        hi_s, lo_s, ct_s
-    )
-    return lo_u, hi_u, totals, n_unique
+    return kmer_ops.merge_sorted_runs(lo_g, hi_g, ct_g)
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "axis", "canonical"))

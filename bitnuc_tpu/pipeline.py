@@ -7,21 +7,26 @@ scan + host pack + 2-bit upload, prefetch thread), accumulates k-mer counts
 on device, and optionally checkpoints progress to disk every N batches so a
 killed job resumes where it left off.
 
-Resume correctness rests on deterministic batch framing: for a fixed
-(path, batch_size), the loader always yields identical batches in order, so
-"skip the first n_batches" replays exactly (deterministic kernels make the
-recount of an in-flight batch safe — SURVEY.md §5 recovery plan).
+Resume is O(1) in file work: the loader reports the byte offset past each
+batch's last record, the checkpoint stores it, and the restart seeks there
+— no re-parse of consumed data. Checkpoints are fingerprinted (file size +
+head hash + every framing/semantics parameter) so a stale or mismatched
+checkpoint refuses loudly instead of silently corrupting counts.
 
 Accumulators:
-  * k <= ops.kmer.MAX_DENSE_K: dense [4^k] int32 histogram (device add per
-    batch; one psum per batch when a mesh is given).
-  * larger k: sparse run lists merged per batch with the same gather-free
-    sort + weighted-run primitive the distributed merge uses
-    (ops.kmer.weighted_runs_from_sorted); capacity doubles on demand.
+  * k <= ops.kmer.MAX_DENSE_K: int32 device partials folded into an int64
+    HOST histogram before any bin can saturate — totals are exact at any
+    job size. One psum per batch when a mesh is given.
+  * larger k: sparse run lists merged per batch with the shared
+    sort + weighted-run primitive (ops.kmer.merge_sorted_runs); capacity
+    doubles on demand. The device-side prefix sums are int32, so jobs are
+    capped at 2^31 - 2 windows per run (~2.1 Gwindows) and refuse loudly
+    beyond.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Optional
 
@@ -29,27 +34,30 @@ import numpy as np
 
 from .ops import kmer as kmer_ops
 
-CKPT_VERSION = 1
+CKPT_VERSION = 2
+_FOLD_WINDOWS = 1 << 30  # fold device int32 partial into host int64 before this
+_SPARSE_MAX_WINDOWS = (1 << 31) - 2
 
 
-def _merge_runs_host(acc, batch_runs, cap):
-    """Merge two run-start lists (device) -> run-start list of size cap."""
+def _file_fingerprint(path) -> dict:
+    """Cheap identity for resume safety: size + sha1 of the first 1 MiB."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    return {"file_size": size, "file_sha1_head": hashlib.sha1(head).hexdigest()}
+
+
+def _merge_runs_device(acc, batch_runs, cap):
+    """Merge two run-start lists -> (run-start list of size cap, n_unique)."""
     import jax
     import jax.numpy as jnp
 
-    lo1, hi1, ct1 = acc
-    lo2, hi2, ct2 = batch_runs
-    lo = jnp.concatenate([lo1, lo2])
-    hi = jnp.concatenate([hi1, hi2])
-    ct = jnp.concatenate([ct1, ct2]).astype(jnp.int32)
-    sent = jnp.uint32(0xFFFFFFFF)
-    dead = ct == 0
-    lo = jnp.where(dead, sent, lo)
-    hi = jnp.where(dead, sent, hi)
-    hi_s, lo_s, ct_s = jax.lax.sort((hi, lo, ct), num_keys=2)
-    lo_u, hi_u, tot, n_u = kmer_ops.weighted_runs_from_sorted(hi_s, lo_s, ct_s)
-    # compact to the front so the accumulator stays bounded by #distinct:
-    # one sort by (count==0) is stable on the key order
+    lo = jnp.concatenate([acc[0], batch_runs[0]])
+    hi = jnp.concatenate([acc[1], batch_runs[1]])
+    ct = jnp.concatenate([acc[2], batch_runs[2]]).astype(jnp.int32)
+    lo_u, hi_u, tot, n_u = kmer_ops.merge_sorted_runs(lo, hi, ct)
+    # compact live runs to the front (stable sort on the dead flag keeps
+    # ascending key order) so the accumulator stays bounded by #distinct
     order_key = (tot == 0).astype(jnp.int32)
     _, lo_c, hi_c, tot_c = jax.lax.sort(
         (order_key, lo_u, hi_u, tot), num_keys=1, is_stable=True
@@ -76,24 +84,25 @@ def count_fastq(
 ):
     """Stream a FASTQ file into k-mer counts, optionally crash-resumable.
 
-    Returns a dense numpy histogram [4^k] for k <= MAX_DENSE_K, else a dict
-    {packed_kmer_value: count} (reference README HashMap semantics,
+    Returns a dense int64 numpy histogram [4^k] for k <= MAX_DENSE_K, else
+    a dict {packed_kmer_value: count} (reference README HashMap semantics,
     /root/reference/README.md:164-180, at streaming scale).
 
     checkpoint: path to an .npz written every `checkpoint_every` batches
-    (atomic rename). If the file exists, counting resumes after the batches
-    it covers; the finished checkpoint is left in place.
+    (atomic rename). An existing checkpoint resumes counting at the stored
+    byte offset — O(1) file work — after verifying the stored fingerprint
+    (file identity, k, batch_size, max_len, canonical, on_invalid); any
+    mismatch raises instead of silently mixing counts.
     mesh: optional jax Mesh — dense-mode batches are sharded on `axis` and
     merged with one psum per batch (k <= MAX_DENSE_K only).
     on_invalid: "raise" (reference InvalidBase semantics) or "skip" — drop
-    every window containing an N/ambiguous base (parse-time validity mask
-    threaded through count_kmers_reads(base_valid=...)).
+    every window containing an N/ambiguous base.
     on_progress: optional callable receiving a metrics dict every
     `progress_every` batches ({"batches", "reads", "bases",
-    "bases_per_sec"} — the SURVEY §5 observability hook; wire it to
-    logging/JSON as the deployment prefers).
+    "bases_per_sec"} — the SURVEY §5 observability hook).
     """
     import time as _time
+
     import jax.numpy as jnp
 
     from . import io as bnio
@@ -111,20 +120,42 @@ def count_fastq(
     if skip and mesh is not None:
         raise ValueError("on_invalid='skip' is not supported with a mesh yet")
 
+    params = {
+        "k": k,
+        "batch_size": batch_size,
+        "max_len": -1 if max_len is None else int(max_len),
+        "canonical": int(canonical),
+        "on_invalid": on_invalid,
+        **_file_fingerprint(path),
+    }
+
     # -- resume state ---------------------------------------------------------
-    start_batch = 0
-    hist = None
+    start_batches = 0
+    start_offset = 0
+    host_hist = None  # np.int64 [4^k]
     acc = None
     cap = int(sparse_capacity)
     if checkpoint and os.path.exists(checkpoint):
-        with np.load(checkpoint) as z:
-            assert int(z["version"]) == CKPT_VERSION
-            assert int(z["k"]) == k and int(z["batch_size"]) == batch_size, (
-                "checkpoint was written with different framing parameters"
-            )
-            start_batch = int(z["n_batches"])
+        with np.load(checkpoint, allow_pickle=False) as z:
+            if int(z["version"]) != CKPT_VERSION:
+                raise ValueError(
+                    f"checkpoint {checkpoint!r} has version {int(z['version'])}, "
+                    f"expected {CKPT_VERSION}"
+                )
+            for key, want in params.items():
+                got = z[key][()] if z[key].shape == () else z[key]
+                got = got.item() if hasattr(got, "item") else got
+                if isinstance(want, str):
+                    got = str(got)
+                if got != want:
+                    raise ValueError(
+                        f"checkpoint {checkpoint!r} was written with {key}="
+                        f"{got!r}, current run has {want!r} — refusing to mix"
+                    )
+            start_batches = int(z["n_batches"])
+            start_offset = int(z["offset"])
             if dense:
-                hist = jnp.asarray(z["hist"])
+                host_hist = z["hist"].astype(np.int64)
             else:
                 cap = int(z["lo"].shape[0])
                 acc = (
@@ -133,18 +164,18 @@ def count_fastq(
                     jnp.asarray(z["counts"]),
                 )
 
-    def save(n_batches):
+    def save(n_batches, offset):
         if not checkpoint:
             return
         tmp = f"{checkpoint}.tmp.{os.getpid()}.npz"
         payload = {
             "version": CKPT_VERSION,
-            "k": k,
-            "batch_size": batch_size,
             "n_batches": n_batches,
+            "offset": offset,
+            **params,
         }
         if dense:
-            payload["hist"] = np.asarray(hist, np.int32)
+            payload["hist"] = host_hist  # int64, post-fold
         else:
             payload["lo"] = np.asarray(acc[0], np.uint32)
             payload["hi"] = np.asarray(acc[1], np.uint32)
@@ -152,8 +183,8 @@ def count_fastq(
         np.savez_compressed(tmp, **payload)  # keeps the .npz name as-is
         os.replace(tmp, checkpoint)
 
-    if dense and hist is None:
-        hist = jnp.zeros(4**k, jnp.int32)
+    if dense and host_hist is None:
+        host_hist = np.zeros(4**k, np.int64)
     if not dense and acc is None:
         acc = (
             jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
@@ -162,25 +193,40 @@ def count_fastq(
         )
 
     # -- stream ---------------------------------------------------------------
-    n_batches = start_batch
+    partial = jnp.zeros(4**k, jnp.int32) if dense else None
+    windows_in_partial = 0
+    n_batches = start_batches
     n_reads = 0
     n_bases = 0
+    total_windows = 0
+    last_offset = start_offset
     t0 = _time.perf_counter()
-    for i, item in enumerate(
-        bnio.iter_fastq_batches(
-            path,
-            batch_size,
-            max_len=max_len,
-            validate=validate and not skip,
-            prefetch=prefetch,
-            with_validity=skip,
-        )
+
+    def fold():
+        nonlocal host_hist, partial, windows_in_partial
+        if windows_in_partial:
+            host_hist = host_hist + np.asarray(partial, np.int64)
+            partial = jnp.zeros(4**k, jnp.int32)
+            windows_in_partial = 0
+
+    for item in bnio.iter_fastq_batches(
+        path,
+        batch_size,
+        max_len=max_len,
+        validate=validate and not skip,
+        prefetch=prefetch,
+        with_validity=skip,
+        with_offsets=True,
+        start_offset=start_offset,
     ):
-        if i < start_batch:
-            continue  # resume: deterministic framing replays past batches
-        batch, base_valid = item if skip else (item, None)
-        if base_valid is not None:
+        if skip:
+            batch, base_valid, offset = item
             base_valid = jnp.asarray(base_valid)
+        else:
+            batch, offset = item
+            base_valid = None
+        batch_bases = int(np.asarray(batch.lengths).sum())
+        batch_windows = batch_bases  # safe upper bound for fold/overflow math
         if dense:
             if mesh is not None:
                 from .parallel import kmer as pkmer, mesh as pmesh
@@ -195,13 +241,23 @@ def count_fastq(
                     batch.words, batch.lengths, k, canonical=canonical,
                     base_valid=base_valid,
                 )
-            hist = hist + h
+            partial = partial + h
+            windows_in_partial += batch_windows
+            if windows_in_partial >= _FOLD_WINDOWS:
+                fold()  # before any int32 bin could saturate
         else:
-            lo, hi, ct, n_u = kmer_ops.count_kmers_runs(
+            total_windows += batch_windows
+            if total_windows > _SPARSE_MAX_WINDOWS:
+                raise OverflowError(
+                    "sparse streaming counts are int32-bounded at "
+                    f"{_SPARSE_MAX_WINDOWS} windows per job; shard the input "
+                    "across jobs/hosts and merge the run lists"
+                )
+            lo, hi, ct, _ = kmer_ops.count_kmers_runs(
                 batch.words, batch.lengths, k, canonical, base_valid
             )
             while True:
-                merged, n_unique = _merge_runs_host(acc, (lo, hi, ct), cap)
+                merged, n_unique = _merge_runs_device(acc, (lo, hi, ct), cap)
                 if int(n_unique) <= int(0.95 * cap):
                     acc = merged
                     break
@@ -212,12 +268,14 @@ def count_fastq(
                     )
                     for a, f in zip(acc, (0xFFFFFFFF, 0xFFFFFFFF, 0))
                 )
-        n_batches = i + 1
+        n_batches += 1
         n_reads += len(batch)
-        n_bases += int(np.asarray(batch.lengths).sum())
-        if checkpoint and (n_batches - start_batch) % checkpoint_every == 0:
-            save(n_batches)
-        if on_progress and (n_batches - start_batch) % progress_every == 0:
+        n_bases += batch_bases
+        if checkpoint and (n_batches - start_batches) % checkpoint_every == 0:
+            if dense:
+                fold()
+            save(n_batches, offset)
+        if on_progress and (n_batches - start_batches) % progress_every == 0:
             dt = max(_time.perf_counter() - t0, 1e-9)
             on_progress(
                 {
@@ -227,12 +285,15 @@ def count_fastq(
                     "bases_per_sec": n_bases / dt,
                 }
             )
-
-    if checkpoint:
-        save(n_batches)
+        last_offset = offset
 
     if dense:
-        return np.asarray(hist)
+        fold()
+    if checkpoint:
+        save(n_batches, last_offset)
+
+    if dense:
+        return host_hist
     glo, ghi, gct = kmer_ops.compact_runs(*acc)
     return {
         (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))

@@ -205,3 +205,67 @@ def test_prefetch_propagates_errors(tmp_path):
     p.write_bytes(b"@a\nACGT\n+\nIIII\n@b\nANGT\n+\nIIII\n")
     with pytest.raises(InvalidBase):
         list(bnio.iter_fastq_batches(p, 1, prefetch=2))
+
+
+def test_prefetch_no_thread_leak_on_early_exit(tmp_path, rng):
+    """Abandoning a prefetching iterator must stop the worker and close the
+    source (no thread blocked forever on the full queue)."""
+    import threading
+    import time
+
+    seqs = [random_seq(rng, 50).upper() for _ in range(64)]
+    p = _write_fq(tmp_path / "leak.fq", seqs)
+    before = threading.active_count()
+    for _ in range(5):
+        it = bnio.iter_fastq_batches(p, 4, max_len=64, prefetch=1)
+        next(it)
+        it.close()  # same path as `break` in a for loop
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"{threading.active_count() - before} prefetch worker(s) leaked"
+    )
+
+
+@pytest.mark.parametrize("staged", [True, False])
+def test_offsets_resume_exact(tmp_path, rng, staged):
+    """with_offsets + start_offset resume the framing at the exact record
+    boundary: batches after the cut equal the tail of a full pass."""
+    if staged:
+        _needs_native()
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(20, 70, 33)]
+    p = _write_fq(tmp_path / "off.fq", seqs)
+    full = list(
+        bnio.iter_fastq_batches(
+            p, 4, max_len=80, staged=staged, with_offsets=True
+        )
+    )
+    reads_full = [it[0] for it in full]
+    offs = [it[-1] for it in full]
+    got = [r for b in reads_full for r in b.to_ascii()]
+    assert got == seqs
+    # resume from after batch 3
+    resumed = list(
+        bnio.iter_fastq_batches(
+            p, 4, max_len=80, staged=staged, start_offset=offs[3]
+        )
+    )
+    _batches_equal(resumed, reads_full[4:])
+
+
+def test_offsets_gz_staged(tmp_path, rng):
+    _needs_native()
+    import gzip as _gz
+
+    seqs = [random_seq(rng, 40).upper() for _ in range(12)]
+    raw = b"".join(
+        b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * 40) for i, s in enumerate(seqs)
+    )
+    p = tmp_path / "o.fq.gz"
+    p.write_bytes(_gz.compress(raw))
+    full = list(bnio.iter_fastq_batches(p, 4, max_len=48, with_offsets=True))
+    resumed = list(
+        bnio.iter_fastq_batches(p, 4, max_len=48, start_offset=full[0][-1])
+    )
+    _batches_equal(resumed, [it[0] for it in full[1:]])

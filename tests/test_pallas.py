@@ -199,3 +199,27 @@ def test_fused_words_histogram_parity(rng, B, L, k):
         ph.histogram_from_words(r.words, r.lengths, k, interpret=True)
     )
     np.testing.assert_array_equal(want, got)
+
+
+def test_fused_words_histogram_column_slabbing(rng, monkeypatch):
+    """Very long reads must slab along the word axis too (f32-exactness
+    guard); forced small slabs must still match the scatter path including
+    windows crossing slab boundaries."""
+    from bitnuc_tpu.ops import kmer
+    from bitnuc_tpu.ops.pallas import histogram as ph
+
+    monkeypatch.setattr(ph, "FUSED_COLS_PER_SLAB", 16)
+    from bitnuc_tpu.sequence import PackedReads
+
+    n = 16 * 40 - 3  # 40 words per read, several slabs, ragged tail
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+        for _ in range(3)
+    ]
+    r = PackedReads.from_ascii(seqs)
+    for k in (2, 8):
+        want = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, k))
+        got = np.asarray(
+            ph.histogram_from_words(r.words, r.lengths, k, interpret=True)
+        )
+        np.testing.assert_array_equal(want, got)

@@ -92,8 +92,30 @@ def test_count_fastq_checkpoint_framing_mismatch(fastq, tmp_path):
     p, _ = fastq
     ckpt = str(tmp_path / "frame.npz")
     pipeline.count_fastq(p, 5, batch_size=8, checkpoint=ckpt)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="batch_size"):
         pipeline.count_fastq(p, 5, batch_size=16, checkpoint=ckpt)
+    with pytest.raises(ValueError, match="canonical"):
+        pipeline.count_fastq(p, 5, batch_size=8, checkpoint=ckpt, canonical=True)
+
+
+def test_count_fastq_checkpoint_file_mismatch(fastq, tmp_path, rng):
+    """A checkpoint from a DIFFERENT file must refuse, not silently skip."""
+    p, _ = fastq
+    ckpt = str(tmp_path / "fid.npz")
+    pipeline.count_fastq(p, 5, batch_size=8, checkpoint=ckpt)
+    other = tmp_path / "other.fq"
+    seqs2 = [random_seq(rng, 44).upper() for _ in range(30)]
+    with open(other, "wb") as f:
+        for i, s in enumerate(seqs2):
+            f.write(b"@o%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    with pytest.raises(ValueError, match="file_"):
+        pipeline.count_fastq(other, 5, batch_size=8, checkpoint=ckpt)
+
+
+def test_count_fastq_dense_returns_int64(fastq):
+    p, _ = fastq
+    hist = pipeline.count_fastq(p, 5, batch_size=8)
+    assert hist.dtype == np.int64
 
 
 def test_count_fastq_mesh(fastq):

@@ -41,7 +41,7 @@ def test_readme_code_blocks(tmp_path):
     }
     code = "\n".join(textwrap.dedent(b) for b in blocks).replace('"reads.fq.gz"', repr(str(fq))).replace(
         '"ckpt.npz"', repr(str(tmp_path / "ckpt.npz"))
-    )
+    ).replace('"count.ckpt.npz"', repr(str(tmp_path / "count.ckpt.npz")))
     exec(code, env)  # noqa: S102 — the point of the test
 
     # spot-check the claims made inline in block 1
