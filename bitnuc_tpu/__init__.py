@@ -41,6 +41,9 @@ from .ops.kmer import (  # noqa: F401
     count_kmers_reads,
     minimizer_positions,
     minimizers,
+    minimizer_sketch,
+    sketch_containment,
+    sketch_jaccard,
 )
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
 from . import io, pipeline  # noqa: F401
@@ -77,6 +80,9 @@ __all__ = [
     "decode_reads",
     "count_kmers_reads",
     "minimizers",
+    "minimizer_sketch",
+    "sketch_containment",
+    "sketch_jaccard",
     "minimizer_positions",
     "hdist_search",
     "hdist_search_batch",

@@ -640,6 +640,74 @@ def minimizers(
     return jnp.where(valid, vals, sent), valid
 
 
+@partial(jax.jit, static_argnames=("k", "w", "canonical"))
+def minimizer_sketch(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    canonical: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """The DISTINCT (w,k)-minimizer values of a packed batch, sorted
+    ascending — a MinHash-class sketch of the sequence content (the
+    Mash/sourmash comparison primitive, built on the reference's k-mer
+    value semantics).
+
+    Returns (vals [N] uint32, n_unique): entries [0, n_unique) are the
+    distinct minimizer values; the tail is the all-ones sentinel. Compare
+    sketches with sketch_jaccard / sketch_containment.
+    """
+    vals, valid = minimizers(words, lengths, k, w, canonical)
+    sent = jnp.uint32(0xFFFFFFFF)
+    flat = jnp.where(valid, vals, sent).reshape(-1)
+    s = jax.lax.sort(flat)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    live = first & (s != sent)
+    # duplicates -> sentinel, then one more sort compacts the distinct
+    # values ascending at the front (a real k<=16 key never equals the
+    # sentinel: max value 4^16 - 1)
+    compact = jax.lax.sort(jnp.where(live, s, sent))
+    return compact, jnp.sum(live.astype(jnp.int32))
+
+
+def _sketch_overlap(a_vals: jax.Array, b_vals: jax.Array):
+    """(intersection, union) sizes of two sorted-distinct sketches
+    (sentinel-padded). Scatter/gather-free: concat + sort; a value present
+    in both sketches forms a run of length exactly 2."""
+    merged = jax.lax.sort(jnp.concatenate([a_vals, b_vals]))
+    sent = jnp.uint32(0xFFFFFFFF)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), merged[1:] != merged[:-1]]
+    )
+    counts = _run_start_counts(first)
+    live = first & (merged != sent)
+    inter = jnp.sum((live & (counts == 2)).astype(jnp.int32))
+    union = jnp.sum(live.astype(jnp.int32))
+    return inter, union
+
+
+@jax.jit
+def sketch_jaccard(a_vals: jax.Array, b_vals: jax.Array) -> jax.Array:
+    """Jaccard similarity |A n B| / |A u B| of two minimizer_sketch outputs
+    (0.0 when both sketches are empty)."""
+    inter, union = _sketch_overlap(a_vals, b_vals)
+    return jnp.where(
+        union > 0, inter.astype(jnp.float32) / jnp.maximum(union, 1), 0.0
+    )
+
+
+@jax.jit
+def sketch_containment(a_vals: jax.Array, b_vals: jax.Array) -> jax.Array:
+    """Containment |A n B| / |A| of sketch A within sketch B (0.0 for an
+    empty A) — the asymmetric variant used for contig-in-genome queries."""
+    inter, _ = _sketch_overlap(a_vals, b_vals)
+    sent = jnp.uint32(0xFFFFFFFF)
+    n_a = jnp.sum((a_vals != sent).astype(jnp.int32))
+    return jnp.where(
+        n_a > 0, inter.astype(jnp.float32) / jnp.maximum(n_a, 1), 0.0
+    )
+
+
 @jax.jit
 def minimizer_sketch_mask(positions: jax.Array, valid: jax.Array) -> jax.Array:
     """Select one window per distinct minimizer occurrence: True where a

@@ -481,3 +481,38 @@ def test_count_kmers_skip_invalid_windows(rng, mode, k):
             (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))
         }
         assert got == expect
+
+
+def test_minimizer_sketch_and_jaccard(rng):
+    """Sketch = distinct minimizer values; jaccard/containment match python
+    set arithmetic on independently computed minimizer sets."""
+    k, w = 7, 5
+
+    def py_minimizers(seq):
+        keys = [oracle.as_2bit(seq[p : p + k]) for p in range(len(seq) - k + 1)]
+        return {min(keys[p : p + w]) for p in range(len(keys) - w + 1)}
+
+    a = random_seq(rng, 300).upper()
+    b = bytearray(a)
+    for _ in range(30):  # mutate ~10%
+        b[rng.integers(len(b))] = ord("ACGT"[rng.integers(4)])
+    b = bytes(b)
+
+    ra, rb = PackedReads.from_ascii([a]), PackedReads.from_ascii([b])
+    va, na = kmer.minimizer_sketch(ra.words, ra.lengths, k, w)
+    vb, nb = kmer.minimizer_sketch(rb.words, rb.lengths, k, w)
+    sa, sb = py_minimizers(a), py_minimizers(b)
+    assert int(na) == len(sa) and int(nb) == len(sb)
+    got_a = set(int(v) for v in np.asarray(va)[: int(na)])
+    assert got_a == sa
+
+    jac = float(kmer.sketch_jaccard(va, vb))
+    want = len(sa & sb) / len(sa | sb)
+    assert abs(jac - want) < 1e-6
+    con = float(kmer.sketch_containment(va, vb))
+    assert abs(con - len(sa & sb) / len(sa)) < 1e-6
+    # identity and empty edges
+    assert float(kmer.sketch_jaccard(va, va)) == 1.0
+    empty = jnp.full_like(va, 0xFFFFFFFF)
+    assert float(kmer.sketch_jaccard(empty, empty)) == 0.0
+    assert float(kmer.sketch_containment(empty, va)) == 0.0
