@@ -117,3 +117,58 @@ def test_split_roundtrip_random(rng, trial):
         l2, r2 = native.split_packed(e, n, idx)
         assert oracle.decode(l2, idx) == s[:idx]
         assert oracle.decode(r2, n - idx) == s[idx:]
+
+
+def test_fuzz_counting_engines_agree(rng):
+    """All counting formulations (dense scatter, MXU, Pallas fused/keys,
+    sorted, runs) agree with each other and the oracle across random
+    shapes, k, canonical, and N-masked inputs."""
+    import jax.numpy as jnp
+
+    from bitnuc_tpu import oracle
+    from bitnuc_tpu.ops import codec, kmer
+    from bitnuc_tpu.sequence import PackedReads
+
+    for trial in range(6):
+        B = int(rng.integers(1, 9))
+        L = int(rng.integers(2, 200))
+        k = int(rng.integers(1, 33))
+        canonical = bool(rng.integers(2)) and k <= 16
+        seqs = [
+            bytes(rng.choice(np.frombuffer(b"ACGTacgt", np.uint8), size=int(n)))
+            for n in rng.integers(1, L + 1, B)
+        ]
+        r = PackedReads.from_ascii(seqs, max_len=L)
+
+        lo, hi, cnt, nu = kmer.count_kmers_runs(r.words, r.lengths, k, canonical)
+        glo, ghi, gct = kmer.compact_runs(lo, hi, cnt)
+        got = {
+            (int(ghi[i]) << 32) | int(glo[i]): int(gct[i])
+            for i in range(len(gct))
+        }
+        def py_revcomp(key, kk):
+            out = 0
+            for _ in range(kk):
+                out = (out << 2) | ((key & 3) ^ 3)
+                key >>= 2
+            return out
+
+        expect = {}
+        for s in seqs:
+            for key, c in oracle.count_kmers(s, k).items():
+                if canonical:
+                    key = min(key, py_revcomp(key, k))
+                expect[key] = expect.get(key, 0) + c
+        assert got == expect, (trial, B, L, k, canonical)
+
+        # cross-engine agreement (content)
+        lo2, hi2, c2, n2 = kmer.count_kmers_sorted(r.words, r.lengths, k, canonical)
+        ref = {
+            (int(np.asarray(hi2)[i]) << 32)
+            | int(np.asarray(lo2)[i]): int(np.asarray(c2)[i])
+            for i in range(int(n2))
+        }
+        assert got == ref, (trial, B, L, k, canonical)
+        if k <= kmer.MAX_DENSE_K and not canonical:
+            hist = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, k))
+            assert {i: int(c) for i, c in enumerate(hist) if c} == got
