@@ -60,3 +60,11 @@ def test_distributed_counting():
     )
     assert "batch-sharded: 31680 windows counted (expect 31680)" in out, out
     assert "seq-sharded:   16379 windows counted (expect 16379)" in out, out
+
+
+def test_sketch_compare():
+    out = _run(["examples/sketch_compare.py", "20000", "0.03"])
+    jac_mut = float(out.split("mutated 3%) = ")[1].split()[0])
+    jac_rnd = float(out.split("unrelated)     = ")[1].split()[0])
+    con = float(out.split("ref) = ")[1].split()[0])
+    assert jac_mut > 0.4 and jac_rnd < 0.05 and con > 0.95, out
