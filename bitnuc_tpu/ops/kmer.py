@@ -656,16 +656,19 @@ def minimizer_sketch(
     Returns (vals [N] uint32, n_unique): entries [0, n_unique) are the
     distinct minimizer values; the tail is the all-ones sentinel. Compare
     sketches with sketch_jaccard / sketch_containment.
+
+    k <= 15: at k = 16 the genuine all-T key equals the 0xFFFFFFFF
+    sentinel (4^16 - 1 == 2^32 - 1) and would be indistinguishable from
+    padding in the value-only sketch arrays.
     """
+    assert 1 <= k <= 15, "sketch keys must leave sentinel headroom (k <= 15)"
     vals, valid = minimizers(words, lengths, k, w, canonical)
     sent = jnp.uint32(0xFFFFFFFF)
-    flat = jnp.where(valid, vals, sent).reshape(-1)
-    s = jax.lax.sort(flat)
+    s = jax.lax.sort(vals.reshape(-1))  # invalid slots already sentinel
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     live = first & (s != sent)
     # duplicates -> sentinel, then one more sort compacts the distinct
-    # values ascending at the front (a real k<=16 key never equals the
-    # sentinel: max value 4^16 - 1)
+    # values ascending at the front (real keys < sentinel for k <= 15)
     compact = jax.lax.sort(jnp.where(live, s, sent))
     return compact, jnp.sum(live.astype(jnp.int32))
 

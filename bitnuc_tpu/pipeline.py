@@ -132,6 +132,7 @@ def count_fastq(
     # -- resume state ---------------------------------------------------------
     start_batches = 0
     start_offset = 0
+    resumed_windows = 0
     host_hist = None  # np.int64 [4^k]
     acc = None
     cap = int(sparse_capacity)
@@ -154,6 +155,7 @@ def count_fastq(
                     )
             start_batches = int(z["n_batches"])
             start_offset = int(z["offset"])
+            resumed_windows = int(z["total_windows"])
             if dense:
                 host_hist = z["hist"].astype(np.int64)
             else:
@@ -172,6 +174,7 @@ def count_fastq(
             "version": CKPT_VERSION,
             "n_batches": n_batches,
             "offset": offset,
+            "total_windows": total_windows,
             **params,
         }
         if dense:
@@ -198,7 +201,8 @@ def count_fastq(
     n_batches = start_batches
     n_reads = 0
     n_bases = 0
-    total_windows = 0
+    # the sparse int32 cap spans the WHOLE job incl. resumed work
+    total_windows = resumed_windows
     last_offset = start_offset
     t0 = _time.perf_counter()
 
@@ -227,6 +231,7 @@ def count_fastq(
             base_valid = None
         batch_bases = int(np.asarray(batch.lengths).sum())
         batch_windows = batch_bases  # safe upper bound for fold/overflow math
+        total_windows += batch_windows
         if dense:
             if mesh is not None:
                 from .parallel import kmer as pkmer, mesh as pmesh
@@ -241,12 +246,11 @@ def count_fastq(
                     batch.words, batch.lengths, k, canonical=canonical,
                     base_valid=base_valid,
                 )
+            if windows_in_partial + batch_windows >= _FOLD_WINDOWS:
+                fold()  # BEFORE the add: no bin may cross int32 mid-batch
             partial = partial + h
             windows_in_partial += batch_windows
-            if windows_in_partial >= _FOLD_WINDOWS:
-                fold()  # before any int32 bin could saturate
         else:
-            total_windows += batch_windows
             if total_windows > _SPARSE_MAX_WINDOWS:
                 raise OverflowError(
                     "sparse streaming counts are int32-bounded at "

@@ -516,3 +516,9 @@ def test_minimizer_sketch_and_jaccard(rng):
     empty = jnp.full_like(va, 0xFFFFFFFF)
     assert float(kmer.sketch_jaccard(empty, empty)) == 0.0
     assert float(kmer.sketch_containment(empty, va)) == 0.0
+
+
+def test_minimizer_sketch_rejects_k16():
+    r = PackedReads.from_ascii([b"ACGT" * 20])
+    with pytest.raises(AssertionError):
+        kmer.minimizer_sketch(r.words, r.lengths, 16, 4)
