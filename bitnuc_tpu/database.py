@@ -52,6 +52,44 @@ class PackedDB:
         return cls(words_wm=jnp.transpose(reads.words), n_bases=nb)
 
     @classmethod
+    def from_fastq(
+        cls,
+        path,
+        n_bases: int,
+        batch_size: int = 8192,
+        validate: bool = True,
+    ) -> "PackedDB":
+        """Stream a FASTQ file straight into the word-major search layout.
+
+        Entries are truncated/zero-padded to exactly n_bases (fixed-length
+        index semantics). The build never materializes the whole file's
+        ASCII: batches flow through the staged loader (native parse + host
+        pack when built) and transpose into a preallocated host buffer —
+        2 bits/base resident (a 1e8 x 512-base database is 3.2 GB packed vs
+        51 GB as ASCII) — uploaded to device once at the end.
+        """
+        from . import io as bnio
+        from .utils.bitops import n_words_for
+
+        W = n_words_for(n_bases)
+        slabs = []
+        for batch in bnio.iter_fastq_batches(
+            path, batch_size, max_len=int(n_bases), validate=validate
+        ):
+            w = np.asarray(batch.words, np.uint32)
+            if w.shape[1] < W:  # short batch padded below read capacity
+                w = np.pad(w, ((0, 0), (0, W - w.shape[1])))
+            slabs.append(np.ascontiguousarray(w[:, :W].T))
+        if not slabs:
+            return cls(
+                words_wm=jnp.zeros((W, 0), jnp.uint32), n_bases=int(n_bases)
+            )
+        return cls(
+            words_wm=jnp.asarray(np.concatenate(slabs, axis=1)),
+            n_bases=int(n_bases),
+        )
+
+    @classmethod
     def from_u64(cls, words_u64: np.ndarray, n_bases: int) -> "PackedDB":
         """From host reference-layout u64 words [D, n_u64]."""
         lanes = bitops.words_u64_to_u32_np(np.asarray(words_u64, np.uint64))

@@ -522,3 +522,27 @@ def test_minimizer_sketch_rejects_k16():
     r = PackedReads.from_ascii([b"ACGT" * 20])
     with pytest.raises(AssertionError):
         kmer.minimizer_sketch(r.words, r.lengths, 16, 4)
+
+
+def test_packed_db_from_fastq(tmp_path, rng):
+    import bitnuc_tpu as bn
+
+    L, D = 64, 37
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L))
+        for _ in range(D)
+    ]
+    p = tmp_path / "db.fq"
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@d%d\n%s\n+\n%s\n" % (i, s, b"I" * L))
+    db = bn.PackedDB.from_fastq(p, L, batch_size=8)
+    assert len(db) == D and db.n_bases == L
+    want = bn.PackedDB.from_reads(
+        bn.PackedReads.from_ascii(seqs, lengths=np.full(D, L, np.int32))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(db.words_wm), np.asarray(want.words_wm)
+    )
+    d, i = db.search(want.words_wm[:, 11], 1)
+    assert int(d[0]) == 0 and int(i[0]) == 11
