@@ -65,6 +65,122 @@ def _merge_runs_device(acc, batch_runs, cap):
     return (lo_c[:cap], hi_c[:cap], tot_c[:cap]), n_u
 
 
+def count_fasta(
+    path,
+    k: int,
+    canonical: bool = False,
+    on_invalid: str = "raise",
+    seg_bases: int = 1 << 24,
+    sparse_capacity: int = 1 << 20,
+):
+    """Count k-mers over every contig of a FASTA file (path, .gz, or bytes).
+
+    Genome-scale contigs never materialize on device: each contig is
+    processed in segments of `seg_bases` with a (k-1)-base overlap — a
+    segment counts exactly the windows STARTING in its span (the host-side
+    twin of the distributed halo exchange, parallel/kmer.py), so segment
+    sums equal the whole-contig count. Windows never span contigs
+    (reference per-sequence semantics).
+
+    Returns the same shapes as count_fastq: int64 [4^k] histogram for
+    k <= MAX_DENSE_K, else {packed_kmer: count}. on_invalid="skip" drops
+    windows touching N/ambiguous bases (the realistic genome default —
+    assemblies are full of Ns; "raise" keeps reference semantics).
+    """
+    import jax.numpy as jnp
+
+    from . import io as bnio
+    from .ops import codec
+    from .sequence import PackedReads
+
+    if not 1 <= k <= 32:
+        from .errors import InvalidLength
+
+        raise InvalidLength(k)
+    if on_invalid not in ("raise", "skip"):
+        raise ValueError(f"on_invalid must be 'raise' or 'skip', got {on_invalid!r}")
+    skip = on_invalid == "skip"
+    dense = k <= kmer_ops.MAX_DENSE_K
+    seg = int(seg_bases)
+    assert seg >= 16, "segments must hold at least one word"
+
+    _, seqs = bnio._split_records_fasta(bnio._read_bytes(path))
+
+    host_hist = np.zeros(4**k, np.int64) if dense else None
+    partial = jnp.zeros(4**k, jnp.int32) if dense else None
+    windows_in_partial = 0
+    cap = int(sparse_capacity)
+    acc = None
+    if not dense:
+        acc = (
+            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
+            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
+            jnp.zeros(cap, jnp.int32),
+        )
+    total_windows = 0
+
+    for contig in seqs:
+        n = len(contig)
+        if n < k:
+            continue
+        arr = np.frombuffer(contig, np.uint8)
+        for s in range(0, n, seg):
+            # cover bases [s, s + seg + k - 1): window starts restricted to
+            # [s, s + seg) via the length argument — no double counting
+            chunk = arr[s : s + seg + k - 1]
+            L = len(chunk)
+            reads = PackedReads.from_ascii(
+                chunk[None, :], lengths=np.array([L], np.int32),
+                validate=not skip,
+            )
+            bv = None
+            if skip:
+                bv = codec.validity_mask(
+                    jnp.asarray(chunk[None, :]), reads.lengths
+                )
+            total_windows += L
+            if dense:
+                if windows_in_partial + L >= _FOLD_WINDOWS:
+                    host_hist = host_hist + np.asarray(partial, np.int64)
+                    partial = jnp.zeros(4**k, jnp.int32)
+                    windows_in_partial = 0
+                partial = partial + kmer_ops.count_kmers_reads(
+                    reads.words, reads.lengths, k, canonical=canonical,
+                    base_valid=bv,
+                )
+                windows_in_partial += L
+            else:
+                if total_windows > _SPARSE_MAX_WINDOWS:
+                    raise OverflowError(
+                        "sparse counts are int32-bounded at "
+                        f"{_SPARSE_MAX_WINDOWS} windows per job"
+                    )
+                lo, hi, ct, _ = kmer_ops.count_kmers_runs(
+                    reads.words, reads.lengths, k, canonical, bv
+                )
+                while True:
+                    merged, n_unique = _merge_runs_device(acc, (lo, hi, ct), cap)
+                    if int(n_unique) <= int(0.95 * cap):
+                        acc = merged
+                        break
+                    cap *= 2
+                    acc = tuple(
+                        jnp.concatenate(
+                            [a, jnp.full(cap - a.shape[0], f, a.dtype)]
+                        )
+                        for a, f in zip(acc, (0xFFFFFFFF, 0xFFFFFFFF, 0))
+                    )
+
+    if dense:
+        if windows_in_partial:
+            host_hist = host_hist + np.asarray(partial, np.int64)
+        return host_hist
+    glo, ghi, gct = kmer_ops.compact_runs(*acc)
+    return {
+        (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))
+    }
+
+
 def count_fastq(
     path,
     k: int,

@@ -183,3 +183,42 @@ def test_count_fastq_progress_hook(fastq):
     assert events[-1]["reads"] <= len(seqs)
     assert all(e["bases_per_sec"] > 0 for e in events)
     assert [e["batches"] for e in events] == sorted(e["batches"] for e in events)
+
+
+@pytest.mark.parametrize("k", [6, 21])
+def test_count_fasta_segmented_vs_oracle(tmp_path, rng, k):
+    """FASTA counting with forced tiny segments: segment sums must equal
+    whole-contig counts (host-side halo), N windows skipped, contigs never
+    bridged."""
+    contigs = [random_seq(rng, int(n)).upper() for n in (300, 45, 5, 130)]
+    contigs[0] = contigs[0][:50] + b"N" + contigs[0][51:]
+    fa = b"".join(b">c%d\n%s\n" % (i, c) for i, c in enumerate(contigs))
+    p = tmp_path / "g.fa"
+    p.write_bytes(fa)
+
+    got = pipeline.count_fasta(
+        p, k, on_invalid="skip", seg_bases=64, sparse_capacity=2048
+    )
+    expect = {}
+    for c in contigs:
+        for q in range(len(c) - k + 1):
+            win = c[q : q + k]
+            if b"N" in win:
+                continue
+            key = oracle.as_2bit(win)
+            expect[key] = expect.get(key, 0) + 1
+    if k <= 12:
+        assert got.sum() == sum(expect.values())
+        for key, cnt in expect.items():
+            assert got[key] == cnt
+    else:
+        assert got == expect
+
+
+def test_count_fasta_raise_on_n(tmp_path):
+    from bitnuc_tpu.errors import InvalidBase
+
+    p = tmp_path / "n.fa"
+    p.write_bytes(b">c\nACGNT\n")
+    with pytest.raises(InvalidBase):
+        pipeline.count_fasta(p, 2)
