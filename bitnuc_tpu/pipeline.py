@@ -65,6 +65,43 @@ def _merge_runs_device(acc, batch_runs, cap):
     return (lo_c[:cap], hi_c[:cap], tot_c[:cap]), n_u
 
 
+class _SparseAcc:
+    """Device-resident run-list accumulator with capacity doubling —
+    shared by count_fastq and count_fasta so the merge/growth logic cannot
+    diverge."""
+
+    def __init__(self, cap, state=None):
+        import jax.numpy as jnp
+
+        self.cap = int(cap)
+        self.state = state or (
+            jnp.full(self.cap, 0xFFFFFFFF, jnp.uint32),
+            jnp.full(self.cap, 0xFFFFFFFF, jnp.uint32),
+            jnp.zeros(self.cap, jnp.int32),
+        )
+
+    def add(self, lo, hi, ct):
+        import jax.numpy as jnp
+
+        while True:
+            merged, n_unique = _merge_runs_device(self.state, (lo, hi, ct), self.cap)
+            if int(n_unique) <= int(0.95 * self.cap):
+                self.state = merged
+                return
+            self.cap *= 2  # rare: re-merge at doubled capacity (recompiles)
+            self.state = tuple(
+                jnp.concatenate([a, jnp.full(self.cap - a.shape[0], f, a.dtype)])
+                for a, f in zip(self.state, (0xFFFFFFFF, 0xFFFFFFFF, 0))
+            )
+
+    def to_dict(self):
+        glo, ghi, gct = kmer_ops.compact_runs(*self.state)
+        return {
+            (int(ghi[i]) << 32) | int(glo[i]): int(gct[i])
+            for i in range(len(gct))
+        }
+
+
 def count_fasta(
     path,
     k: int,
@@ -109,14 +146,7 @@ def count_fasta(
     host_hist = np.zeros(4**k, np.int64) if dense else None
     partial = jnp.zeros(4**k, jnp.int32) if dense else None
     windows_in_partial = 0
-    cap = int(sparse_capacity)
-    acc = None
-    if not dense:
-        acc = (
-            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-            jnp.zeros(cap, jnp.int32),
-        )
+    acc = None if dense else _SparseAcc(sparse_capacity)
     total_windows = 0
 
     for contig in seqs:
@@ -158,27 +188,13 @@ def count_fasta(
                 lo, hi, ct, _ = kmer_ops.count_kmers_runs(
                     reads.words, reads.lengths, k, canonical, bv
                 )
-                while True:
-                    merged, n_unique = _merge_runs_device(acc, (lo, hi, ct), cap)
-                    if int(n_unique) <= int(0.95 * cap):
-                        acc = merged
-                        break
-                    cap *= 2
-                    acc = tuple(
-                        jnp.concatenate(
-                            [a, jnp.full(cap - a.shape[0], f, a.dtype)]
-                        )
-                        for a, f in zip(acc, (0xFFFFFFFF, 0xFFFFFFFF, 0))
-                    )
+                acc.add(lo, hi, ct)
 
     if dense:
         if windows_in_partial:
             host_hist = host_hist + np.asarray(partial, np.int64)
         return host_hist
-    glo, ghi, gct = kmer_ops.compact_runs(*acc)
-    return {
-        (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))
-    }
+    return acc.to_dict()
 
 
 def count_fastq(
@@ -275,11 +291,13 @@ def count_fastq(
             if dense:
                 host_hist = z["hist"].astype(np.int64)
             else:
-                cap = int(z["lo"].shape[0])
-                acc = (
-                    jnp.asarray(z["lo"]),
-                    jnp.asarray(z["hi"]),
-                    jnp.asarray(z["counts"]),
+                acc = _SparseAcc(
+                    int(z["lo"].shape[0]),
+                    state=(
+                        jnp.asarray(z["lo"]),
+                        jnp.asarray(z["hi"]),
+                        jnp.asarray(z["counts"]),
+                    ),
                 )
 
     def save(n_batches, offset):
@@ -296,20 +314,16 @@ def count_fastq(
         if dense:
             payload["hist"] = host_hist  # int64, post-fold
         else:
-            payload["lo"] = np.asarray(acc[0], np.uint32)
-            payload["hi"] = np.asarray(acc[1], np.uint32)
-            payload["counts"] = np.asarray(acc[2], np.int32)
+            payload["lo"] = np.asarray(acc.state[0], np.uint32)
+            payload["hi"] = np.asarray(acc.state[1], np.uint32)
+            payload["counts"] = np.asarray(acc.state[2], np.int32)
         np.savez_compressed(tmp, **payload)  # keeps the .npz name as-is
         os.replace(tmp, checkpoint)
 
     if dense and host_hist is None:
         host_hist = np.zeros(4**k, np.int64)
     if not dense and acc is None:
-        acc = (
-            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-            jnp.full(cap, 0xFFFFFFFF, jnp.uint32),
-            jnp.zeros(cap, jnp.int32),
-        )
+        acc = _SparseAcc(cap)
 
     # -- stream ---------------------------------------------------------------
     partial = jnp.zeros(4**k, jnp.int32) if dense else None
@@ -376,18 +390,7 @@ def count_fastq(
             lo, hi, ct, _ = kmer_ops.count_kmers_runs(
                 batch.words, batch.lengths, k, canonical, base_valid
             )
-            while True:
-                merged, n_unique = _merge_runs_device(acc, (lo, hi, ct), cap)
-                if int(n_unique) <= int(0.95 * cap):
-                    acc = merged
-                    break
-                cap *= 2  # rare: re-merge at doubled capacity (recompiles)
-                acc = tuple(
-                    jnp.concatenate(
-                        [a, jnp.full(cap - a.shape[0], f, a.dtype)]
-                    )
-                    for a, f in zip(acc, (0xFFFFFFFF, 0xFFFFFFFF, 0))
-                )
+            acc.add(lo, hi, ct)
         n_batches += 1
         n_reads += len(batch)
         n_bases += batch_bases
@@ -414,7 +417,4 @@ def count_fastq(
 
     if dense:
         return host_hist
-    glo, ghi, gct = kmer_ops.compact_runs(*acc)
-    return {
-        (int(ghi[i]) << 32) | int(glo[i]): int(gct[i]) for i in range(len(gct))
-    }
+    return acc.to_dict()
