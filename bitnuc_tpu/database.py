@@ -62,24 +62,46 @@ class PackedDB:
         """Stream a FASTQ file straight into the word-major search layout.
 
         Entries are truncated/zero-padded to exactly n_bases (fixed-length
-        index semantics). The build never materializes the whole file's
-        ASCII: batches flow through the staged loader (native parse + host
-        pack when built) and transpose into a preallocated host buffer —
-        2 bits/base resident (a 1e8 x 512-base database is 3.2 GB packed vs
-        51 GB as ASCII) — uploaded to device once at the end.
+        index semantics). With the native library the build is HOST-side end
+        to end — native parse + multithreaded host pack into word-major
+        slabs, ONE device upload at the end (2 bits/base over the link; a
+        1e8 x 512-base database uploads 3.2 GB once, vs 51 GB as ASCII or
+        per-batch round trips). Host peak is ~2x the packed size (slabs +
+        final concatenate). Falls back to the device loader when the
+        native library is absent.
         """
-        from . import io as bnio
+        from . import io as bnio, native
         from .utils.bitops import n_words_for
 
         W = n_words_for(n_bases)
         slabs = []
-        for batch in bnio.iter_fastq_batches(
-            path, batch_size, max_len=int(n_bases), validate=validate
-        ):
-            w = np.asarray(batch.words, np.uint32)
-            if w.shape[1] < W:  # short batch padded below read capacity
-                w = np.pad(w, ((0, 0), (0, W - w.shape[1])))
-            slabs.append(np.ascontiguousarray(w[:, :W].T))
+        if native.available():
+            for ascii_arr, lens, _ in bnio.iter_fastq_ascii_batches(
+                path, batch_size, max_len=int(n_bases)
+            ):
+                if validate and len(lens):
+                    in_range = (
+                        np.arange(ascii_arr.shape[1])[None, :] < lens[:, None]
+                    )
+                    bad = in_range & ~bnio._VALID_BASE[ascii_arr]
+                    if bad.any():
+                        from .errors import InvalidBase
+
+                        r, c = np.argwhere(bad)[0]
+                        raise InvalidBase(int(ascii_arr[r, c]))
+                # zero padding bytes encode as code 0 (((0>>1)^(0>>2))&3),
+                # reproducing the zero-padded-word contract for short reads
+                w64 = native.encode_batch(ascii_arr, max(1, W // 2))
+                lanes = bitops.words_u64_to_u32_np(w64)
+                slabs.append(np.ascontiguousarray(lanes[:, :W].T))
+        else:
+            for batch in bnio.iter_fastq_batches(
+                path, batch_size, max_len=int(n_bases), validate=validate
+            ):
+                w = np.asarray(batch.words, np.uint32)
+                if w.shape[1] < W:
+                    w = np.pad(w, ((0, 0), (0, W - w.shape[1])))
+                slabs.append(np.ascontiguousarray(w[:, :W].T))
         if not slabs:
             return cls(
                 words_wm=jnp.zeros((W, 0), jnp.uint32), n_bases=int(n_bases)

@@ -355,18 +355,21 @@ def _staged_to_packed(
     return item[0] if len(item) == 1 else item
 
 
-def _iter_fastq_batches_staged(
+def iter_fastq_ascii_batches(
     path: PathLike,
     batch_size: int,
-    max_len: Optional[int],
-    validate: bool,
-    with_validity: bool = False,
-    with_offsets: bool = False,
+    max_len: Optional[int] = None,
     start_offset: int = 0,
-) -> Iterator[PackedReads]:
-    """Chunked native framing: numpy newline scan groups non-blank lines into
-    4-line records; whole-record byte spans feed the native parser + packer.
-    The trailing incomplete record of each block carries into the next."""
+):
+    """HOST-level streaming parse (native two-pass scanner, no device work):
+    yields (ascii uint8[B, L], lengths int32[B], end_byte_offset) per batch.
+
+    The framing core of the staged loader, exposed so host-side consumers
+    (PackedDB.from_fastq) can parse+pack without shipping batches through
+    the device. Chunked numpy newline scan groups non-blank lines into
+    4-line records; the trailing incomplete record of each block carries
+    into the next. Requires the native library.
+    """
     from . import native
 
     carry = b""
@@ -406,16 +409,29 @@ def _iter_fastq_batches_staged(
                     data[emitted:end], max_len or 0
                 )
                 emitted = end
-                yield _staged_to_packed(
-                    ascii_arr, lens, validate, with_validity,
-                    abs_base + end if with_offsets else None,
-                )
+                yield ascii_arr, lens, abs_base + end
             carry = data[emitted:]
             abs_base += emitted  # carry[0] now sits at abs_base
     if carry.strip():
         ascii_arr, lens = native.fastq_to_batch(carry, max_len or 0)
         if len(lens):
-            yield _staged_to_packed(
-                ascii_arr, lens, validate, with_validity,
-                abs_base + len(carry) if with_offsets else None,
-            )
+            yield ascii_arr, lens, abs_base + len(carry)
+
+
+def _iter_fastq_batches_staged(
+    path: PathLike,
+    batch_size: int,
+    max_len: Optional[int],
+    validate: bool,
+    with_validity: bool = False,
+    with_offsets: bool = False,
+    start_offset: int = 0,
+) -> Iterator[PackedReads]:
+    """Staged device loader: host ascii batches -> host pack -> 2-bit upload."""
+    for ascii_arr, lens, end in iter_fastq_ascii_batches(
+        path, batch_size, max_len, start_offset
+    ):
+        yield _staged_to_packed(
+            ascii_arr, lens, validate, with_validity,
+            end if with_offsets else None,
+        )

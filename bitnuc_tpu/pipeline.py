@@ -65,6 +65,38 @@ def _merge_runs_device(acc, batch_runs, cap):
     return (lo_c[:cap], hi_c[:cap], tot_c[:cap]), n_u
 
 
+class _DenseAcc:
+    """int32 device partial folded into an int64 host histogram before any
+    bin can saturate — shared by count_fastq and count_fasta."""
+
+    def __init__(self, k, host_hist=None):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.k = k
+        self.host = (
+            host_hist if host_hist is not None else np.zeros(4**k, np.int64)
+        )
+        self.partial = jnp.zeros(4**k, jnp.int32)
+        self.windows = 0
+
+    def add(self, hist_delta, n_windows):
+        if self.windows + n_windows >= _FOLD_WINDOWS:
+            self.fold()  # BEFORE the add: no bin may cross int32 mid-batch
+        self.partial = self.partial + hist_delta
+        self.windows += n_windows
+
+    def fold(self):
+        if self.windows:
+            self.host = self.host + np.asarray(self.partial, np.int64)
+            self.partial = self._jnp.zeros(4**self.k, self._jnp.int32)
+            self.windows = 0
+
+    def result(self):
+        self.fold()
+        return self.host
+
+
 class _SparseAcc:
     """Device-resident run-list accumulator with capacity doubling —
     shared by count_fastq and count_fasta so the merge/growth logic cannot
@@ -139,15 +171,19 @@ def count_fasta(
     skip = on_invalid == "skip"
     dense = k <= kmer_ops.MAX_DENSE_K
     seg = int(seg_bases)
-    assert seg >= 16, "segments must hold at least one word"
+    if seg < 16:
+        raise ValueError(f"seg_bases must be >= 16, got {seg}")
 
     _, seqs = bnio._split_records_fasta(bnio._read_bytes(path))
 
-    host_hist = np.zeros(4**k, np.int64) if dense else None
-    partial = jnp.zeros(4**k, jnp.int32) if dense else None
-    windows_in_partial = 0
+    dacc = _DenseAcc(k) if dense else None
     acc = None if dense else _SparseAcc(sparse_capacity)
     total_windows = 0
+    # fixed chunk width -> ONE compilation per k (distinct shapes would
+    # recompile per contig tail; the remote compile service charges minutes
+    # per program). Real span is carried by the lengths argument.
+    width = seg + k - 1
+    buf = np.zeros(width, np.uint8)
 
     for contig in seqs:
         n = len(contig)
@@ -159,26 +195,28 @@ def count_fasta(
             # [s, s + seg) via the length argument — no double counting
             chunk = arr[s : s + seg + k - 1]
             L = len(chunk)
+            if L < k:
+                continue  # tail shorter than a window: nothing to count
+            buf[:L] = chunk
+            buf[L:] = 0
+            lengths = np.array([L], np.int32)
             reads = PackedReads.from_ascii(
-                chunk[None, :], lengths=np.array([L], np.int32),
-                validate=not skip,
+                buf[None, :], lengths=lengths, validate=not skip,
             )
             bv = None
             if skip:
-                bv = codec.validity_mask(
-                    jnp.asarray(chunk[None, :]), reads.lengths
-                )
+                # host LUT (io._VALID_BASE): no second ASCII upload and no
+                # extra compiled program for the validity mask
+                bv = (bnio._VALID_BASE[buf] & (np.arange(width) < L))[None, :]
             total_windows += L
             if dense:
-                if windows_in_partial + L >= _FOLD_WINDOWS:
-                    host_hist = host_hist + np.asarray(partial, np.int64)
-                    partial = jnp.zeros(4**k, jnp.int32)
-                    windows_in_partial = 0
-                partial = partial + kmer_ops.count_kmers_reads(
-                    reads.words, reads.lengths, k, canonical=canonical,
-                    base_valid=bv,
+                dacc.add(
+                    kmer_ops.count_kmers_reads(
+                        reads.words, reads.lengths, k, canonical=canonical,
+                        base_valid=bv,
+                    ),
+                    L,
                 )
-                windows_in_partial += L
             else:
                 if total_windows > _SPARSE_MAX_WINDOWS:
                     raise OverflowError(
@@ -191,9 +229,7 @@ def count_fasta(
                 acc.add(lo, hi, ct)
 
     if dense:
-        if windows_in_partial:
-            host_hist = host_hist + np.asarray(partial, np.int64)
-        return host_hist
+        return dacc.result()
     return acc.to_dict()
 
 
@@ -312,7 +348,7 @@ def count_fastq(
             **params,
         }
         if dense:
-            payload["hist"] = host_hist  # int64, post-fold
+            payload["hist"] = dacc.host  # int64, post-fold
         else:
             payload["lo"] = np.asarray(acc.state[0], np.uint32)
             payload["hi"] = np.asarray(acc.state[1], np.uint32)
@@ -320,14 +356,11 @@ def count_fastq(
         np.savez_compressed(tmp, **payload)  # keeps the .npz name as-is
         os.replace(tmp, checkpoint)
 
-    if dense and host_hist is None:
-        host_hist = np.zeros(4**k, np.int64)
+    dacc = _DenseAcc(k, host_hist) if dense else None
     if not dense and acc is None:
         acc = _SparseAcc(cap)
 
     # -- stream ---------------------------------------------------------------
-    partial = jnp.zeros(4**k, jnp.int32) if dense else None
-    windows_in_partial = 0
     n_batches = start_batches
     n_reads = 0
     n_bases = 0
@@ -335,13 +368,6 @@ def count_fastq(
     total_windows = resumed_windows
     last_offset = start_offset
     t0 = _time.perf_counter()
-
-    def fold():
-        nonlocal host_hist, partial, windows_in_partial
-        if windows_in_partial:
-            host_hist = host_hist + np.asarray(partial, np.int64)
-            partial = jnp.zeros(4**k, jnp.int32)
-            windows_in_partial = 0
 
     for item in bnio.iter_fastq_batches(
         path,
@@ -376,10 +402,7 @@ def count_fastq(
                     batch.words, batch.lengths, k, canonical=canonical,
                     base_valid=base_valid,
                 )
-            if windows_in_partial + batch_windows >= _FOLD_WINDOWS:
-                fold()  # BEFORE the add: no bin may cross int32 mid-batch
-            partial = partial + h
-            windows_in_partial += batch_windows
+            dacc.add(h, batch_windows)
         else:
             if total_windows > _SPARSE_MAX_WINDOWS:
                 raise OverflowError(
@@ -396,7 +419,7 @@ def count_fastq(
         n_bases += batch_bases
         if checkpoint and (n_batches - start_batches) % checkpoint_every == 0:
             if dense:
-                fold()
+                dacc.fold()
             save(n_batches, offset)
         if on_progress and (n_batches - start_batches) % progress_every == 0:
             dt = max(_time.perf_counter() - t0, 1e-9)
@@ -411,10 +434,10 @@ def count_fastq(
         last_offset = offset
 
     if dense:
-        fold()
+        dacc.fold()
     if checkpoint:
         save(n_batches, last_offset)
 
     if dense:
-        return host_hist
+        return dacc.host
     return acc.to_dict()
