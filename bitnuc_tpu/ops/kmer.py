@@ -219,13 +219,13 @@ def count_kmers_dense_pallas(
     assert k <= MAX_MXU_K
     from .pallas import histogram
 
-    if not canonical and base_valid is None:
+    if not canonical and base_valid is None and not interpret:
         # fully fused: window keys generated in VMEM from the packed words
         # (no XLA key materialization; +6% end-to-end and ~8 B/base less
-        # HBM traffic, docs/DESIGN.md)
-        return histogram.histogram_from_words(
-            words, lengths, k, interpret=interpret
-        )
+        # HBM traffic, docs/DESIGN.md). Compiled mode only: the 16x8
+        # unrolled dot loop is pathologically slow under CPU interpret
+        # emulation (the parity tests exercise it explicitly instead).
+        return histogram.histogram_from_words(words, lengths, k)
     lo, _, valid = _window_keys(words, lengths, k, canonical, base_valid)
     keys = jnp.where(valid, lo, jnp.uint32(4**k)).astype(jnp.int32).reshape(-1)
     return histogram.histogram_from_keys(keys, k, interpret=interpret)

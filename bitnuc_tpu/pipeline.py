@@ -179,9 +179,14 @@ def count_fasta(
     dacc = _DenseAcc(k) if dense else None
     acc = None if dense else _SparseAcc(sparse_capacity)
     total_windows = 0
-    # fixed chunk width -> ONE compilation per k (distinct shapes would
+    # fixed chunk width -> ONE compilation per file (distinct shapes would
     # recompile per contig tail; the remote compile service charges minutes
-    # per program). Real span is carried by the lengths argument.
+    # per program). Clamp to the longest contig so small inputs don't pay
+    # seg_bases-sized arrays; real span is carried by the lengths argument.
+    longest = max((len(c) for c in seqs), default=0)
+    if longest < k:
+        return dacc.result() if dense else acc.to_dict()
+    seg = min(seg, longest)
     width = seg + k - 1
     buf = np.zeros(width, np.uint8)
 
