@@ -44,6 +44,7 @@ from .ops.kmer import (  # noqa: F401
     minimizer_sketch,
     sketch_containment,
     sketch_jaccard,
+    spectrum,
 )
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
 from . import io, pipeline  # noqa: F401
@@ -84,6 +85,7 @@ __all__ = [
     "sketch_containment",
     "sketch_jaccard",
     "minimizer_positions",
+    "spectrum",
     "hdist_search",
     "hdist_search_batch",
     "hdist_one_to_many",

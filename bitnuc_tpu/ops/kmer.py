@@ -394,6 +394,32 @@ def runs_from_keys(
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
+def raw_window_keys(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    canonical: bool = False,
+    base_valid=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """UNSORTED flat window keys (lo [N], hi [N], weight [N] int32) of a
+    packed batch — weight 1 for valid windows, 0 for invalid/padding slots
+    (whose key lanes are garbage and must be ignored).
+
+    The streaming accumulator's input: merge_sorted_runs pushes weight-0
+    rows to the sentinel and aggregates, so feeding raw keys straight into a
+    deferred merge skips the per-batch count_kmers_runs sort entirely —
+    one sort per merged superbatch instead of one per batch
+    (docs/DESIGN.md §6; the single-batch result is still bit-identical to
+    count_kmers_runs' key -> count content)."""
+    lo, hi, valid = _window_keys(words, lengths, k, canonical, base_valid)
+    return (
+        lo.reshape(-1),
+        hi.reshape(-1),
+        valid.astype(jnp.int32).reshape(-1),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_runs(
     words: jax.Array,
     lengths: jax.Array,
@@ -532,6 +558,41 @@ def top_kmers(hist: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
 
     neg, keys = topk_smallest(-hist.astype(jnp.int32), n)
     return -neg, keys
+
+
+@partial(jax.jit, static_argnames=("max_mult",))
+def spectrum(counts: jax.Array, max_mult: int = 255) -> jax.Array:
+    """K-mer abundance spectrum: out[m] = number of distinct k-mers occurring
+    exactly m times (m in [1, max_mult)); out[max_mult] pools every k-mer at
+    or above max_mult; out[0] is always 0. The KMC-`histogram` / GenomeScope
+    primitive built on the reference's count semantics (README.md:164-180 —
+    a spectrum is the value-histogram of that HashMap).
+
+    `counts` is any counting layout — a dense 4^k histogram, the compacted
+    count_kmers_sorted counts, or the run-start count_kmers_runs counts —
+    because zero entries (absent keys / non-run slots / padding) are ignored.
+    Scatter-free: multiplicities are clipped, one-hot encoded, and contracted
+    against ones on the MXU (scatter-add serializes on TPU, docs/DESIGN.md);
+    bf16 one-hots accumulate exactly in f32 below 2^24 per bin, guaranteed by
+    the <=2^22-row chunking.
+    """
+    assert 1 <= max_mult <= 4096
+    c = jnp.minimum(counts, max_mult).astype(jnp.int32).reshape(-1)
+    bins = max_mult + 1
+    CHUNK = 1 << 22
+    N = c.shape[0]
+    out = jnp.zeros((bins,), jnp.int32)
+    for s in range(0, N, CHUNK):
+        cc = c[s : s + CHUNK]
+        oh = (cc[:, None] == jnp.arange(1, bins, dtype=jnp.int32)[None, :])
+        part = jax.lax.dot_general(
+            oh.astype(jnp.bfloat16),
+            jnp.ones((cc.shape[0],), jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.at[1:].add(part.astype(jnp.int32))
+    return out
 
 
 def _shift_tail(x: jax.Array, m: int, fill) -> jax.Array:

@@ -17,11 +17,15 @@ Accumulators:
   * k <= ops.kmer.MAX_DENSE_K: int32 device partials folded into an int64
     HOST histogram before any bin can saturate — totals are exact at any
     job size. One psum per batch when a mesh is given.
-  * larger k: sparse run lists merged per batch with the shared
-    sort + weighted-run primitive (ops.kmer.merge_sorted_runs); capacity
-    doubles on demand. The device-side prefix sums are int32, so jobs are
-    capped at 2^31 - 2 windows per run (~2.1 Gwindows) and refuse loudly
-    beyond.
+  * larger k: batches contribute RAW window keys (ops.kmer.raw_window_keys
+    — no per-batch sort) that buffer device-side and fold into the sorted
+    run-list accumulator with one deferred 2-sort merge per
+    capacity-sized superbatch (ops.kmer.merge_sorted_runs + a 3-array
+    compaction sort; measured 1.8x faster per batch than the round-2
+    merge-every-batch scheme at cap=2N, benchmarks/probe_merge.py).
+    Capacity doubles on demand. The device-side
+    prefix sums are int32, so jobs are capped at 2^31 - 2 windows per run
+    (~2.1 Gwindows) and refuse loudly beyond.
 """
 
 from __future__ import annotations
@@ -47,22 +51,36 @@ def _file_fingerprint(path) -> dict:
     return {"file_size": size, "file_sha1_head": hashlib.sha1(head).hexdigest()}
 
 
-def _merge_runs_device(acc, batch_runs, cap):
-    """Merge two run-start lists -> (run-start list of size cap, n_unique)."""
+def _merge_runs_device(acc, pending, cap):
+    """Merge the accumulator run list with any number of pending raw/run
+    lists -> (run-start list of size cap, n_unique).
+
+    Two sorts total (the structural minimum: aggregation needs sorted order,
+    compaction needs deadness known only after aggregation), both 3-array:
+    the compaction sort reuses the key lanes by pushing dead rows to the
+    all-ones sentinel and carries NEGATED totals as a third sort key, so
+    live runs order ascending by key with no fourth payload array — and a
+    genuine all-ones key (k=32 all-T, total > 0, negated < 0) sorts ahead
+    of every dead sentinel row instead of racing it for the cap boundary."""
     import jax
     import jax.numpy as jnp
 
-    lo = jnp.concatenate([acc[0], batch_runs[0]])
-    hi = jnp.concatenate([acc[1], batch_runs[1]])
-    ct = jnp.concatenate([acc[2], batch_runs[2]]).astype(jnp.int32)
+    parts = [acc, *pending]
+    lo = jnp.concatenate([p[0] for p in parts])
+    hi = jnp.concatenate([p[1] for p in parts])
+    ct = jnp.concatenate([p[2].astype(jnp.int32) for p in parts])
     lo_u, hi_u, tot, n_u = kmer_ops.merge_sorted_runs(lo, hi, ct)
-    # compact live runs to the front (stable sort on the dead flag keeps
-    # ascending key order) so the accumulator stays bounded by #distinct
-    order_key = (tot == 0).astype(jnp.int32)
-    _, lo_c, hi_c, tot_c = jax.lax.sort(
-        (order_key, lo_u, hi_u, tot), num_keys=1, is_stable=True
+    sent = jnp.uint32(0xFFFFFFFF)
+    dead = tot == 0
+    hi_c, lo_c, neg_c = jax.lax.sort(
+        (
+            jnp.where(dead, sent, hi_u),
+            jnp.where(dead, sent, lo_u),
+            -tot,
+        ),
+        num_keys=3,
     )
-    return (lo_c[:cap], hi_c[:cap], tot_c[:cap]), n_u
+    return (lo_c[:cap], hi_c[:cap], -neg_c[:cap]), n_u
 
 
 class _DenseAcc:
@@ -98,9 +116,17 @@ class _DenseAcc:
 
 
 class _SparseAcc:
-    """Device-resident run-list accumulator with capacity doubling —
-    shared by count_fastq and count_fasta so the merge/growth logic cannot
-    diverge."""
+    """Device-resident run-list accumulator with capacity doubling and
+    LSM-style deferred merging — shared by count_fastq and count_fasta so
+    the merge/growth logic cannot diverge.
+
+    Batches arrive as RAW unsorted window keys (ops.kmer.raw_window_keys,
+    weight 0 on invalid slots) and buffer device-side until the pending rows
+    reach the accumulator capacity; one 2-sort merge then folds the whole
+    superbatch (measured 1.8x faster per batch than the round-2
+    merge-every-batch scheme, benchmarks/probe_merge.py). Sorted run lists
+    (e.g. a resumed checkpoint state) are equally valid pending entries —
+    the merge sorts everything it is fed."""
 
     def __init__(self, cap, state=None):
         import jax.numpy as jnp
@@ -111,14 +137,28 @@ class _SparseAcc:
             jnp.full(self.cap, 0xFFFFFFFF, jnp.uint32),
             jnp.zeros(self.cap, jnp.int32),
         )
+        self.pending = []
+        self.pending_rows = 0
 
     def add(self, lo, hi, ct):
+        self.pending.append((lo, hi, ct))
+        self.pending_rows += int(lo.shape[0])
+        if self.pending_rows >= self.cap:
+            self.flush()
+
+    def flush(self):
         import jax.numpy as jnp
 
+        if not self.pending:
+            return
         while True:
-            merged, n_unique = _merge_runs_device(self.state, (lo, hi, ct), self.cap)
+            merged, n_unique = _merge_runs_device(
+                self.state, self.pending, self.cap
+            )
             if int(n_unique) <= int(0.95 * self.cap):
                 self.state = merged
+                self.pending = []
+                self.pending_rows = 0
                 return
             self.cap *= 2  # rare: re-merge at doubled capacity (recompiles)
             self.state = tuple(
@@ -127,6 +167,7 @@ class _SparseAcc:
             )
 
     def to_dict(self):
+        self.flush()
         glo, ghi, gct = kmer_ops.compact_runs(*self.state)
         return {
             (int(ghi[i]) << 32) | int(glo[i]): int(gct[i])
@@ -228,10 +269,11 @@ def count_fasta(
                         "sparse counts are int32-bounded at "
                         f"{_SPARSE_MAX_WINDOWS} windows per job"
                     )
-                lo, hi, ct, _ = kmer_ops.count_kmers_runs(
-                    reads.words, reads.lengths, k, canonical, bv
+                acc.add(
+                    *kmer_ops.raw_window_keys(
+                        reads.words, reads.lengths, k, canonical, bv
+                    )
                 )
-                acc.add(lo, hi, ct)
 
     if dense:
         return dacc.result()
@@ -355,6 +397,7 @@ def count_fastq(
         if dense:
             payload["hist"] = dacc.host  # int64, post-fold
         else:
+            acc.flush()  # the stored offset covers every pending batch
             payload["lo"] = np.asarray(acc.state[0], np.uint32)
             payload["hi"] = np.asarray(acc.state[1], np.uint32)
             payload["counts"] = np.asarray(acc.state[2], np.int32)
@@ -415,10 +458,11 @@ def count_fastq(
                     f"{_SPARSE_MAX_WINDOWS} windows per job; shard the input "
                     "across jobs/hosts and merge the run lists"
                 )
-            lo, hi, ct, _ = kmer_ops.count_kmers_runs(
-                batch.words, batch.lengths, k, canonical, base_valid
+            acc.add(
+                *kmer_ops.raw_window_keys(
+                    batch.words, batch.lengths, k, canonical, base_valid
+                )
             )
-            acc.add(lo, hi, ct)
         n_batches += 1
         n_reads += len(batch)
         n_bases += batch_bases

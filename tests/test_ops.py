@@ -546,3 +546,41 @@ def test_packed_db_from_fastq(tmp_path, rng):
     )
     d, i = db.search(want.words_wm[:, 11], 1)
     assert int(d[0]) == 0 and int(i[0]) == 11
+
+
+# --- abundance spectrum --------------------------------------------------------
+
+def _naive_spectrum(count_dict, max_mult):
+    out = [0] * (max_mult + 1)
+    for c in count_dict.values():
+        out[min(c, max_mult)] += 1
+    return out
+
+
+@pytest.mark.parametrize("k", [4, 8, 17, 21])
+def test_spectrum_vs_oracle_all_layouts(rng, k):
+    # repeats guaranteed: small alphabet windows over repeated + random reads
+    seqs, r = make_batch(rng, [200, 64, k + 3])
+    seqs2 = [seqs[0], seqs[0][:150]]  # duplicate content -> multiplicities > 1
+    seqs = seqs + seqs2
+    r = PackedReads.from_ascii(seqs)
+    expect_counts = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            expect_counts[key] = expect_counts.get(key, 0) + c
+    expect = _naive_spectrum(expect_counts, 7)
+
+    lo, hi, cnt, _ = kmer.count_kmers_runs(r.words, r.lengths, k)
+    assert list(np.asarray(kmer.spectrum(cnt, 7))) == expect
+    lo2, hi2, cnt2, _ = kmer.count_kmers_sorted(r.words, r.lengths, k)
+    assert list(np.asarray(kmer.spectrum(cnt2, 7))) == expect
+    if k <= kmer.MAX_DENSE_K:
+        hist = kmer.count_kmers_dense(r.words, r.lengths, k)
+        assert list(np.asarray(kmer.spectrum(hist, 7))) == expect
+
+
+def test_spectrum_clips_and_ignores_zeros():
+    counts = jnp.asarray([0, 1, 1, 5, 9, 200, 0, 3], jnp.int64)
+    got = list(np.asarray(kmer.spectrum(counts, 4)))
+    # 1:2, 3:1, >=4 pools {5, 9, 200} -> 3
+    assert got == [0, 2, 0, 1, 3]

@@ -222,3 +222,46 @@ def test_count_fasta_raise_on_n(tmp_path):
     p.write_bytes(b">c\nACGNT\n")
     with pytest.raises(InvalidBase):
         pipeline.count_fasta(p, 2)
+
+
+def test_count_fastq_sparse_k32_sentinel(tmp_path):
+    # k=32: the genuine all-T key equals the dead-row sentinel; the deferred
+    # merge's negated-totals compaction must keep the live all-T run inside
+    # the capacity slice and sum it exactly
+    seqs = [b"T" * 40, b"T" * 40, b"ACGT" * 10]
+    p = tmp_path / "t32.fq"
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    got = pipeline.count_fastq(str(p), 32, batch_size=2, sparse_capacity=64)
+    assert got == _expect(seqs, 32)
+    assert got[(1 << 64) - 1] == 18  # 9 all-T windows per all-T read
+
+
+def test_sparse_acc_deferred_merge_equals_eager(rng):
+    # raw-key batches buffered across several adds must fold to the same
+    # dict as merging each batch alone with a huge capacity
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops import kmer as kmer_ops
+    from bitnuc_tpu.pipeline import _SparseAcc
+    from bitnuc_tpu.sequence import PackedReads
+
+    batches = []
+    expect = {}
+    for _ in range(5):
+        seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(25, 60, 6)]
+        r = PackedReads.from_ascii(seqs)
+        batches.append(kmer_ops.raw_window_keys(r.words, r.lengths, 21))
+        for s in seqs:
+            for key, c in oracle.count_kmers(s, 21).items():
+                expect[key] = expect.get(key, 0) + c
+
+    small = _SparseAcc(128)  # forces interleaved flush + growth
+    big = _SparseAcc(1 << 14)  # everything stays pending until to_dict
+    for lo, hi, ct in batches:
+        small.add(lo, hi, ct)
+        big.add(lo, hi, ct)
+    assert small.to_dict() == expect
+    assert big.to_dict() == expect
+    assert big.pending == []
