@@ -1,0 +1,301 @@
+"""Command-line front end: ``python -m bitnuc_tpu <command> ...``.
+
+The reference is a library crate with no binary, but a complete framework
+needs a door that doesn't require writing Python: count/spectrum cover the
+KMC-style workflows, sketch the Mash-style comparisons, search the
+fixed-length database scans (reference hdist semantics,
+src/utils/functions/hamming/multi.rs:122-160), pack/unpack the codec
+(src/utils/packing/mod.rs:81-142). Every command is a thin shell over the
+public API — all counting/search logic lives in pipeline.py / database.py /
+ops so the CLI cannot drift from the library semantics.
+
+Input format is sniffed from the first byte ('>' FASTA, '@' FASTQ) unless
+the extension already says; .gz is handled by the io readers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import sys
+
+
+def _sniff_format(path: str) -> str:
+    """'fasta' | 'fastq' from extension, falling back to the first byte."""
+    low = path.lower()
+    for ext, fmt in (
+        (".fa", "fasta"), (".fasta", "fasta"), (".fna", "fasta"),
+        (".fq", "fastq"), (".fastq", "fastq"),
+    ):
+        if low.endswith(ext) or low.endswith(ext + ".gz"):
+            return fmt
+    opener = gzip.open if low.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise SystemExit(f"{path}: cannot sniff format (first byte {first!r})")
+
+
+def _read_any(path: str):
+    """(names, PackedReads) from a FASTA or FASTQ path."""
+    from . import io as bnio
+
+    reader = bnio.read_fasta if _sniff_format(path) == "fasta" else bnio.read_fastq
+    return reader(path)
+
+
+def _count_file(path: str, args):
+    """Dispatch to the streaming counting pipeline; returns the pipeline's
+    native result (int64 histogram for dense k, else {key: count})."""
+    from . import pipeline
+
+    on_invalid = "skip" if args.skip_invalid else "raise"
+    if _sniff_format(path) == "fasta":
+        return pipeline.count_fasta(
+            path, args.k, canonical=args.canonical, on_invalid=on_invalid
+        )
+    return pipeline.count_fastq(
+        path,
+        args.k,
+        batch_size=args.batch_size,
+        canonical=args.canonical,
+        checkpoint=args.checkpoint,
+        on_invalid=on_invalid,
+    )
+
+
+def _iter_counts(result, k: int):
+    """Yield (packed_key, count) with count > 0 from either counting layout,
+    ascending by key."""
+    import numpy as np
+
+    if isinstance(result, dict):
+        yield from sorted(result.items())
+    else:
+        hist = np.asarray(result)
+        for key in np.nonzero(hist)[0]:
+            yield int(key), int(hist[key])
+
+
+def cmd_count(args) -> int:
+    from . import api
+
+    result = _count_file(args.path, args)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        if args.top:
+            import heapq
+
+            rows = heapq.nlargest(
+                args.top, _iter_counts(result, args.k), key=lambda kv: kv[1]
+            )
+        else:
+            rows = _iter_counts(result, args.k)
+        for key, count in rows:
+            out.write(f"{api.from_2bit(key, args.k).decode()}\t{count}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_spectrum(args) -> int:
+    import numpy as np
+
+    from .ops import kmer as kmer_ops
+
+    result = _count_file(args.path, args)
+    if isinstance(result, dict):
+        counts = np.fromiter(result.values(), np.int64, len(result))
+    else:
+        counts = result  # dense histogram; zeros are ignored by spectrum
+    spec = np.asarray(kmer_ops.spectrum(counts, args.max_mult))
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for mult in range(1, args.max_mult + 1):
+            out.write(f"{mult}\t{int(spec[mult])}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_sketch(args) -> int:
+    from .ops import kmer as kmer_ops
+
+    sketches = []
+    for path in (args.a, args.b):
+        _, reads = _read_any(path)
+        vals, _ = kmer_ops.minimizer_sketch(
+            reads.words, reads.lengths, args.k, args.w, canonical=args.canonical
+        )
+        sketches.append(vals)
+    a, b = sketches
+    print(
+        json.dumps(
+            {
+                "jaccard": round(float(kmer_ops.sketch_jaccard(a, b)), 6),
+                "containment_a_in_b": round(
+                    float(kmer_ops.sketch_containment(a, b)), 6
+                ),
+                "k": args.k,
+                "w": args.w,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    import numpy as np
+
+    from .database import PackedDB
+    from .sequence import PackedReads
+
+    if args.db.endswith(".npz"):
+        db = PackedDB.load(args.db)
+    else:
+        if args.n_bases is None:
+            raise SystemExit("--n-bases is required when building from FASTQ")
+        db = PackedDB.from_fastq(args.db, args.n_bases)
+    # queries: a readable file of sequences, or ASCII literals
+    import os
+
+    if len(args.query) == 1 and os.path.exists(args.query[0]):
+        names, reads = _read_any(args.query[0])
+        labels = [n.decode() for n in names]
+    else:
+        seqs = [q.upper().encode() for q in args.query]
+        reads = PackedReads.from_ascii(seqs, max_len=db.n_bases)
+        labels = [q for q in args.query]
+    w = np.asarray(reads.words, np.uint32)
+    if w.shape[1] < db.n_words:
+        w = np.pad(w, ((0, 0), (0, db.n_words - w.shape[1])))
+    dists, idxs = db.search_batch(w[:, : db.n_words], args.n)
+    dists, idxs = np.asarray(dists), np.asarray(idxs)
+    for qi, label in enumerate(labels):
+        for rank in range(args.n):
+            print(f"{label}\t{rank}\t{int(idxs[qi, rank])}\t{int(dists[qi, rank])}")
+    return 0
+
+
+def cmd_pack(args) -> int:
+    from . import io as bnio
+
+    _, reads = _read_any(args.path)
+    bnio.save_packed(args.out, reads)
+    n = len(reads)
+    total = int(sum(int(x) for x in reads.lengths))
+    print(f"packed {n} reads / {total} bases -> {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_unpack(args) -> int:
+    from . import io as bnio
+    from .ops import codec
+
+    reads = bnio.load_packed(args.path)
+    n = len(reads) if args.limit is None else min(args.limit, len(reads))
+    import numpy as np
+
+    ascii_out = np.asarray(codec.decode_reads(reads.words, reads.lengths))
+    lens = np.asarray(reads.lengths)
+    for i in range(n):
+        sys.stdout.write(ascii_out[i, : lens[i]].tobytes().decode() + "\n")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import config, native
+
+    print(
+        json.dumps(
+            {
+                "backend": config.get_backend(),
+                "jax_platform": jax.devices()[0].platform,
+                "devices": len(jax.devices()),
+                "native": native.available(),
+            }
+        )
+    )
+    return 0
+
+
+def _add_count_args(p):
+    p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
+    p.add_argument("--canonical", action="store_true",
+                   help="count min(kmer, revcomp(kmer))")
+    p.add_argument("--skip-invalid", action="store_true",
+                   help="drop windows containing N/ambiguous bases")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--checkpoint", default=None,
+                   help="crash-resume checkpoint path (FASTQ only)")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="bitnuc_tpu", description="TPU-native 2-bit nucleotide toolkit"
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("count", help="k-mer counts as KMER\\tCOUNT lines")
+    _add_count_args(p)
+    p.add_argument("--top", type=int, default=None,
+                   help="only the N most frequent")
+    p.set_defaults(fn=cmd_count)
+
+    p = sub.add_parser("spectrum", help="abundance spectrum (MULT\\tN_KMERS)")
+    _add_count_args(p)
+    p.add_argument("--max-mult", type=int, default=255,
+                   help="last bin pools multiplicities >= this")
+    p.set_defaults(fn=cmd_spectrum)
+
+    p = sub.add_parser("sketch", help="minimizer-sketch similarity of two files")
+    p.add_argument("a")
+    p.add_argument("b")
+    p.add_argument("-k", type=int, default=15, help="sketch k (1..15)")
+    p.add_argument("-w", type=int, default=10, help="minimizer window")
+    p.add_argument("--canonical", action="store_true")
+    p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser(
+        "search", help="top-n nearest database entries per query (Hamming)"
+    )
+    p.add_argument("db", help="PackedDB .npz, or FASTQ to build from")
+    p.add_argument("query", nargs="+",
+                   help="ASCII sequence(s), or one FASTA/FASTQ file")
+    p.add_argument("-n", type=int, default=1, help="hits per query")
+    p.add_argument("--n-bases", type=int, default=None,
+                   help="entry length when building a DB from FASTQ")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("pack", help="encode a FASTA/FASTQ into a packed .npz")
+    p.add_argument("path")
+    p.add_argument("-o", "--out", required=True)
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("unpack", help="print sequences from a packed .npz")
+    p.add_argument("path")
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_unpack)
+
+    p = sub.add_parser("info", help="backend/device/native status as JSON")
+    p.set_defaults(fn=cmd_info)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

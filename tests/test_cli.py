@@ -1,0 +1,138 @@
+"""CLI contract tests: every subcommand driven in-process via cli.main(argv),
+outputs checked against the python oracle (the CLI is a shell over the
+library, so these are end-to-end pipeline checks too)."""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu import api, cli, oracle
+
+
+def _write_fastq(path, seqs):
+    with open(path, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    return str(path)
+
+
+def _write_fasta(path, contigs):
+    with open(path, "wb") as f:
+        for i, s in enumerate(contigs):
+            f.write(b">c%d\n%s\n" % (i, s))
+    return str(path)
+
+
+def _expect_counts(seqs, k):
+    out = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            out[key] = out.get(key, 0) + c
+    return out
+
+
+def _parse_count_lines(text, k):
+    got = {}
+    for line in text.strip().splitlines():
+        kmer, n = line.split("\t")
+        assert len(kmer) == k
+        got[oracle.as_2bit(kmer.encode())] = int(n)
+    return got
+
+
+@pytest.mark.parametrize("k", [4, 17])
+def test_cli_count_fastq(tmp_path, capsys, rng, k):
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(30, 70, 12)]
+    p = _write_fastq(tmp_path / "r.fq", seqs)
+    assert cli.main(["count", p, "-k", str(k)]) == 0
+    got = _parse_count_lines(capsys.readouterr().out, k)
+    assert got == _expect_counts(seqs, k)
+
+
+def test_cli_count_fasta_top_and_out(tmp_path, capsys, rng):
+    contigs = [b"ACGT" * 30, random_seq(rng, 100).upper()]
+    p = _write_fasta(tmp_path / "g.fa", contigs)
+    out = tmp_path / "counts.tsv"
+    assert cli.main(["count", p, "-k", "4", "--top", "1", "--out", str(out)]) == 0
+    kmer, n = out.read_text().strip().split("\t")
+    expect = _expect_counts(contigs, 4)
+    best = max(expect.values())
+    assert expect[oracle.as_2bit(kmer.encode())] == int(n) == best
+
+
+def test_cli_count_gz_sniffing(tmp_path, capsys):
+    # no fasta/fastq extension: format comes from the first byte, through .gz
+    raw = b">x\nACGTACGT\n"
+    p = tmp_path / "mystery.gz"
+    p.write_bytes(gzip.compress(raw))
+    assert cli.main(["count", str(p), "-k", "8"]) == 0
+    got = _parse_count_lines(capsys.readouterr().out, 8)
+    assert got == _expect_counts([b"ACGTACGT"], 8)
+
+
+def test_cli_spectrum_matches_counts(tmp_path, capsys, rng):
+    seqs = [b"A" * 40, random_seq(rng, 60).upper()]
+    p = _write_fastq(tmp_path / "r.fq", seqs)
+    assert cli.main(["spectrum", p, "-k", "21", "--max-mult", "6"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    got = {int(m): int(n) for m, n in (ln.split("\t") for ln in lines)}
+    expect = {m: 0 for m in range(1, 7)}
+    for c in _expect_counts(seqs, 21).values():
+        expect[min(c, 6)] += 1
+    assert got == expect
+
+
+def test_cli_sketch_identical_and_disjoint(tmp_path, capsys, rng):
+    a = _write_fasta(tmp_path / "a.fa", [random_seq(rng, 300).upper()])
+    b = _write_fasta(tmp_path / "b.fa", [b"A" * 300])
+    assert cli.main(["sketch", a, a, "-k", "9", "-w", "5"]) == 0
+    same = json.loads(capsys.readouterr().out)
+    assert same["jaccard"] == 1.0 and same["containment_a_in_b"] == 1.0
+    assert cli.main(["sketch", a, b, "-k", "9", "-w", "5"]) == 0
+    diff = json.loads(capsys.readouterr().out)
+    assert diff["jaccard"] < 0.1
+
+
+def test_cli_search_literal_and_file(tmp_path, capsys, rng):
+    seqs = [random_seq(rng, 24).upper() for _ in range(20)]
+    dbp = _write_fastq(tmp_path / "db.fq", seqs)
+    q = seqs[7].decode()
+    assert cli.main(
+        ["search", dbp, q, "-n", "2", "--n-bases", "24"]
+    ) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2
+    assert rows[0][0] == q and int(rows[0][2]) == 7 and int(rows[0][3]) == 0
+
+    # query from a file, against a saved PackedDB
+    from bitnuc_tpu.database import PackedDB
+
+    db = PackedDB.from_fastq(dbp, 24)
+    npz = tmp_path / "db.npz"
+    db.save(npz)
+    qf = _write_fasta(tmp_path / "q.fa", [seqs[3]])
+    assert cli.main(["search", str(npz), qf, "-n", "1"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert int(rows[0][2]) == 3 and int(rows[0][3]) == 0
+
+
+def test_cli_pack_unpack_roundtrip(tmp_path, capsys, rng):
+    seqs = [random_seq(rng, int(n)).upper() for n in (33, 7, 64)]
+    p = _write_fastq(tmp_path / "r.fq", seqs)
+    npz = tmp_path / "packed.npz"
+    assert cli.main(["pack", p, "-o", str(npz)]) == 0
+    capsys.readouterr()
+    assert cli.main(["unpack", str(npz)]) == 0
+    got = capsys.readouterr().out.strip().splitlines()
+    assert [g.encode() for g in got] == seqs
+
+
+def test_cli_info(capsys):
+    assert cli.main(["info"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["backend"] in ("auto", "xla", "pallas")
+    assert info["devices"] >= 1
