@@ -47,6 +47,7 @@ from .ops.kmer import (  # noqa: F401
     spectrum,
 )
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
+from .ops.dedupe import dedupe_reads, mark_duplicates  # noqa: F401
 from . import io, pipeline  # noqa: F401
 from .errors import (  # noqa: F401
     IndexOutOfBounds,
@@ -93,6 +94,8 @@ __all__ = [
     "gc_content_reads",
     "base_counts_reads",
     "reverse_complement_reads",
+    "mark_duplicates",
+    "dedupe_reads",
     "io",
     "NucleotideError",
     "InvalidBase",

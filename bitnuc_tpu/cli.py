@@ -16,28 +16,18 @@ the extension already says; .gz is handled by the io readers.
 from __future__ import annotations
 
 import argparse
-import gzip
 import json
 import sys
 
 
 def _sniff_format(path: str) -> str:
-    """'fasta' | 'fastq' from extension, falling back to the first byte."""
-    low = path.lower()
-    for ext, fmt in (
-        (".fa", "fasta"), (".fasta", "fasta"), (".fna", "fasta"),
-        (".fq", "fastq"), (".fastq", "fastq"),
-    ):
-        if low.endswith(ext) or low.endswith(ext + ".gz"):
-            return fmt
-    opener = gzip.open if low.endswith(".gz") else open
-    with opener(path, "rb") as f:
-        first = f.read(1)
-    if first == b">":
-        return "fasta"
-    if first == b"@":
-        return "fastq"
-    raise SystemExit(f"{path}: cannot sniff format (first byte {first!r})")
+    """io.sniff_format with CLI-friendly failure."""
+    from . import io as bnio
+
+    try:
+        return bnio.sniff_format(path)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _read_any(path: str):
@@ -209,6 +199,44 @@ def cmd_unpack(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    from . import pipeline
+
+    print(json.dumps(pipeline.stats(args.path, batch_size=args.batch_size)))
+    return 0
+
+
+def cmd_dedupe(args) -> int:
+    import numpy as np
+
+    from .ops import codec
+    from .ops.dedupe import dedupe_reads
+
+    names, reads = _read_any(args.path)
+    keep, counts = dedupe_reads(reads)
+    keep, counts = np.asarray(keep), np.asarray(counts)
+    ascii_out = np.asarray(codec.decode_reads(reads.words, reads.lengths))
+    lens = np.asarray(reads.lengths)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i in np.nonzero(keep)[0]:
+            name = names[i].decode() if i < len(names) else f"r{i}"
+            out.write(
+                f">{name} count={int(counts[i])}\n"
+                f"{ascii_out[i, : lens[i]].tobytes().decode()}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    n_uniq = int(keep.sum())
+    print(
+        f"{len(reads)} reads -> {n_uniq} unique "
+        f"({len(reads) - n_uniq} duplicates)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -286,6 +314,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path")
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_unpack)
+
+    p = sub.add_parser("stats", help="composition statistics as JSON")
+    p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser(
+        "dedupe", help="drop exact-duplicate reads (FASTA out, count= headers)"
+    )
+    p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_dedupe)
 
     p = sub.add_parser("info", help="backend/device/native status as JSON")
     p.set_defaults(fn=cmd_info)

@@ -104,6 +104,33 @@ def _read_bytes(path_or_data) -> bytes:
         return f.read()
 
 
+def sniff_format(path: PathLike) -> str:
+    """'fasta' | 'fastq' from the extension, falling back to the first byte
+    ('>' FASTA, '@' FASTQ); .gz-transparent. Raises ValueError when neither
+    signal identifies the file."""
+    p = os.fspath(path)
+    low = p.lower()
+    for ext, fmt in (
+        (".fa", "fasta"), (".fasta", "fasta"), (".fna", "fasta"),
+        (".fq", "fastq"), (".fastq", "fastq"),
+    ):
+        if low.endswith(ext) or low.endswith(ext + ".gz"):
+            return fmt
+    if low.endswith(".gz"):
+        import gzip
+
+        with gzip.open(p, "rb") as f:
+            first = f.read(1)
+    else:
+        with open(p, "rb") as f:
+            first = f.read(1)
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise ValueError(f"{p}: cannot sniff format (first byte {first!r})")
+
+
 def read_fasta(
     path_or_data, max_len: Optional[int] = None, validate: bool = True
 ) -> Tuple[List[bytes], PackedReads]:

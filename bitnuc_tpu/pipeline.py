@@ -490,3 +490,64 @@ def count_fastq(
     if dense:
         return dacc.host
     return acc.to_dict()
+
+
+def stats(path, batch_size: int = 4096, validate: bool = True) -> dict:
+    """Streaming composition statistics of a FASTA/FASTQ file.
+
+    Returns {"reads", "bases", "a", "c", "g", "t", "gc_pct", "min_len",
+    "max_len", "mean_len"} — the aggregate of the per-read analysis ops
+    (ops.analysis.base_counts_reads, reference src/utils/analysis.rs:23-39
+    semantics summed over the file). FASTQ streams in `batch_size` batches
+    through the staged loader; FASTA contigs are processed per-record (the
+    batch axis is the contig list). N/ambiguous bases are rejected when
+    validate=True (reference InvalidBase contract).
+    """
+    import numpy as np
+
+    from . import io as bnio
+    from .ops import analysis
+
+    fmt = bnio.sniff_format(path)
+    n_reads = 0
+    n_bases = 0
+    counts = np.zeros(4, np.int64)
+    min_len, max_len = None, 0
+
+    def fold(reads):
+        nonlocal n_reads, n_bases, counts, min_len, max_len
+        lens = np.asarray(reads.lengths)
+        if lens.size == 0:
+            return
+        bc = np.asarray(
+            analysis.base_counts_reads(reads.words, reads.lengths), np.int64
+        )
+        counts += bc.sum(axis=0)
+        n_reads += lens.size
+        n_bases += int(lens.sum())
+        batch_min = int(lens.min())
+        min_len = batch_min if min_len is None else min(min_len, batch_min)
+        max_len = max(max_len, int(lens.max()))
+
+    if fmt == "fasta":
+        _, reads = bnio.read_fasta(path, validate=validate)
+        fold(reads)
+    else:
+        for batch in bnio.iter_fastq_batches(
+            path, batch_size, validate=validate
+        ):
+            fold(batch)
+
+    gc = int(counts[1] + counts[2])
+    return {
+        "reads": n_reads,
+        "bases": n_bases,
+        "a": int(counts[0]),
+        "c": int(counts[1]),
+        "g": int(counts[2]),
+        "t": int(counts[3]),
+        "gc_pct": round(gc / n_bases * 100.0, 4) if n_bases else 0.0,
+        "min_len": min_len or 0,
+        "max_len": max_len,
+        "mean_len": round(n_bases / n_reads, 2) if n_reads else 0.0,
+    }
