@@ -48,6 +48,7 @@ from .ops.kmer import (  # noqa: F401
 )
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
 from .ops.dedupe import dedupe_reads, mark_duplicates  # noqa: F401
+from .ops.setops import combine_counts, combine_dicts  # noqa: F401
 from . import io, pipeline  # noqa: F401
 from .errors import (  # noqa: F401
     IndexOutOfBounds,
@@ -96,6 +97,8 @@ __all__ = [
     "reverse_complement_reads",
     "mark_duplicates",
     "dedupe_reads",
+    "combine_counts",
+    "combine_dicts",
     "io",
     "NucleotideError",
     "InvalidBase",

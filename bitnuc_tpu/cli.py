@@ -199,6 +199,39 @@ def cmd_unpack(args) -> int:
     return 0
 
 
+def cmd_setop(args) -> int:
+    import numpy as np
+
+    from . import api
+    from .ops import setops
+
+    ra = _count_file(args.a, args)
+    rb = _count_file(args.b, args)
+    if isinstance(ra, dict):
+        result = setops.combine_dicts(ra, rb, args.op)
+        rows = sorted(result.items())
+    else:
+        # dense histograms combine elementwise on host (int64-exact)
+        a, b = np.asarray(ra), np.asarray(rb)
+        combined = {
+            "intersect_min": lambda: np.where(
+                (a > 0) & (b > 0), np.minimum(a, b), 0
+            ),
+            "subtract": lambda: np.maximum(a - b, 0),
+            "union_sum": lambda: a + b,
+            "union_max": lambda: np.maximum(a, b),
+        }[args.op]()
+        rows = ((int(i), int(combined[i])) for i in np.nonzero(combined)[0])
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for key, count in rows:
+            out.write(f"{api.from_2bit(key, args.k).decode()}\t{count}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from . import pipeline
 
@@ -234,6 +267,21 @@ def cmd_dedupe(args) -> int:
         f"({len(reads) - n_uniq} duplicates)",
         file=sys.stderr,
     )
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from . import filters
+
+    summary = filters.filter_fastq(
+        args.path,
+        args.out,
+        min_len=args.min_len,
+        min_mean_q=args.min_qual,
+        trim_q=args.trim_qual,
+        max_n=args.max_n,
+    )
+    print(json.dumps(summary), file=sys.stderr)
     return 0
 
 
@@ -315,6 +363,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_unpack)
 
+    p = sub.add_parser(
+        "setop", help="combine two files' k-mer counts (KMC-style set algebra)"
+    )
+    from .ops.setops import MODES as _SETOP_MODES
+
+    p.add_argument("op", choices=_SETOP_MODES)
+    p.add_argument("a", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("b", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
+    p.add_argument("--canonical", action="store_true")
+    p.add_argument("--skip-invalid", action="store_true")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_setop, checkpoint=None)
+
     p = sub.add_parser("stats", help="composition statistics as JSON")
     p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
     p.add_argument("--batch-size", type=int, default=4096)
@@ -326,6 +389,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_dedupe)
+
+    p = sub.add_parser(
+        "filter", help="quality trim + filter FASTQ (fastp-style preprocessing)"
+    )
+    p.add_argument("path", help="FASTQ file (.gz ok)")
+    p.add_argument("-o", "--out", required=True, help="output FASTQ path")
+    p.add_argument("--min-len", type=int, default=1)
+    p.add_argument("--min-qual", type=float, default=0.0,
+                   help="min mean phred quality after trimming")
+    p.add_argument("--trim-qual", type=int, default=0,
+                   help="trim leading/trailing bases below this quality")
+    p.add_argument("--max-n", type=int, default=None,
+                   help="max N/ambiguous bases per read")
+    p.set_defaults(fn=cmd_filter)
 
     p = sub.add_parser("info", help="backend/device/native status as JSON")
     p.set_defaults(fn=cmd_info)

@@ -1,0 +1,113 @@
+"""combine_counts vs the host-dict oracle across modes, layouts (sorted and
+run-start inputs), and the k=32 all-T-equals-sentinel edge."""
+
+import numpy as np
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu import oracle
+from bitnuc_tpu.ops import kmer, setops
+from bitnuc_tpu.sequence import PackedReads
+
+
+def _count_dict(seqs, k):
+    out = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            out[key] = out.get(key, 0) + c
+    return out
+
+
+def _device_counts(seqs, k, engine):
+    r = PackedReads.from_ascii(seqs)
+    lo, hi, ct, _ = engine(r.words, r.lengths, k)
+    return lo, hi, ct
+
+
+def _to_dict(lo, hi, ct, n):
+    lo, hi, ct = np.asarray(lo), np.asarray(hi), np.asarray(ct)
+    n = int(n)
+    assert (ct[:n] > 0).all() and (ct[n:] == 0).all()
+    keys = (hi[:n].astype(np.uint64) << np.uint64(32)) | lo[:n].astype(np.uint64)
+    assert list(keys) == sorted(keys), "result keys must be ascending"
+    return {int(k): int(c) for k, c in zip(keys, ct[:n])}
+
+
+@pytest.mark.parametrize("mode", setops.MODES)
+@pytest.mark.parametrize("k", [8, 21])
+@pytest.mark.parametrize("engine", [kmer.count_kmers_sorted, kmer.count_kmers_runs])
+def test_combine_matches_dict_oracle(rng, mode, k, engine):
+    shared = [random_seq(rng, 80).upper() for _ in range(3)]
+    a_seqs = shared + [random_seq(rng, 60).upper() for _ in range(4)]
+    b_seqs = shared[:2] + [random_seq(rng, 70).upper() for _ in range(4)]
+    a = _device_counts(a_seqs, k, engine)
+    b = _device_counts(b_seqs, k, engine)
+    got = _to_dict(*setops.combine_counts(*a, *b, mode=mode))
+    expect = setops.combine_dicts(
+        _count_dict(a_seqs, k), _count_dict(b_seqs, k), mode
+    )
+    assert got == expect
+
+
+@pytest.mark.parametrize("mode", setops.MODES)
+def test_combine_k32_all_t_sentinel(mode):
+    # the genuine all-T 32-mer packs to 0xFFFF...F == the dead-row sentinel;
+    # it must survive pairing and compaction in every mode
+    a_seqs = [b"T" * 40, b"ACGT" * 10]
+    b_seqs = [b"T" * 36, b"A" * 40]
+    a = _device_counts(a_seqs, 32, kmer.count_kmers_sorted)
+    b = _device_counts(b_seqs, 32, kmer.count_kmers_sorted)
+    got = _to_dict(*setops.combine_counts(*a, *b, mode=mode))
+    expect = setops.combine_dicts(
+        _count_dict(a_seqs, 32), _count_dict(b_seqs, 32), mode
+    )
+    assert got == expect
+    assert ((1 << 64) - 1) in expect  # the edge is actually exercised
+
+
+def test_combine_disjoint_and_empty(rng):
+    a_seqs = [b"A" * 30]
+    b_seqs = [b"C" * 30]
+    a = _device_counts(a_seqs, 21, kmer.count_kmers_sorted)
+    b = _device_counts(b_seqs, 21, kmer.count_kmers_sorted)
+    inter = _to_dict(*setops.combine_counts(*a, *b, mode="intersect_min"))
+    assert inter == {}
+    sub = _to_dict(*setops.combine_counts(*a, *b, mode="subtract"))
+    assert sub == _count_dict(a_seqs, 21)
+    # subtracting a superset empties the result
+    sub2 = _to_dict(*setops.combine_counts(*a, *a, mode="subtract"))
+    assert sub2 == {}
+
+
+def test_union_sum_matches_merge_sorted_runs(rng):
+    seqs_a = [random_seq(rng, 50).upper() for _ in range(3)]
+    seqs_b = [random_seq(rng, 50).upper() for _ in range(3)]
+    a = _device_counts(seqs_a, 17, kmer.count_kmers_runs)
+    b = _device_counts(seqs_b, 17, kmer.count_kmers_runs)
+    got = _to_dict(*setops.combine_counts(*a, *b, mode="union_sum"))
+    assert got == setops.combine_dicts(
+        _count_dict(seqs_a, 17), _count_dict(seqs_b, 17), "union_sum"
+    )
+
+
+@pytest.mark.parametrize("k", [4, 21])
+def test_setop_cli(tmp_path, capsys, k):
+    a = tmp_path / "a.fa"
+    b = tmp_path / "b.fa"
+    a.write_bytes(b">x\nACGTACGTACGTACGTACGTACGT\n>y\nGGGGGGGGGGGGGGGGGGGGGGGG\n")
+    b.write_bytes(b">z\nACGTACGTACGTACGTACGTACGT\n")
+    from bitnuc_tpu import cli
+
+    assert cli.main(["setop", "subtract", str(a), str(b), "-k", str(k)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    expect = setops.combine_dicts(
+        _count_dict([b"ACGTACGTACGTACGTACGTACGT", b"G" * 24], k),
+        _count_dict([b"ACGTACGTACGTACGTACGTACGT"], k),
+        "subtract",
+    )
+    got = {
+        oracle.as_2bit(ln.split("\t")[0].encode()): int(ln.split("\t")[1])
+        for ln in out
+    }
+    assert got == expect
