@@ -1,0 +1,147 @@
+"""Quality-aware read trimming and filtering (the fastp/Trimmomatic-style
+preprocessing pass; north-star surface — the reference codec has no quality
+concept, src/lib.rs).
+
+This stage deliberately runs HOST-side on vectorized numpy: it consumes the
+FASTQ quality lines (which never go to the device — the packed domain is
+2 bits/base), and its whole point is to shrink reads BEFORE the upload, so
+doing it pre-encode reduces wire bytes instead of shipping garbage to the
+chip and trimming there. Per-read variable-offset trimming on device would
+also need a per-row gather, which serializes on TPU (docs/DESIGN.md).
+
+Semantics (phred+33 qualities):
+  1. leading/trailing trim: drop bases from each end with quality < trim_q
+     (Trimmomatic LEADING/TRAILING).
+  2. filter: keep reads with trimmed length >= min_len, mean trimmed
+     quality >= min_mean_q, and at most max_n N/ambiguous bases.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+_ACGT = np.zeros(256, bool)
+for _b in b"ACGTacgt":
+    _ACGT[_b] = True
+
+
+def trim_bounds(
+    quals: np.ndarray, lengths: np.ndarray, trim_q: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-read [start, end) spans after leading/trailing trim at quality
+    < trim_q. quals: uint8 [R, L] phred+33 ASCII; start == end when every
+    base is below threshold."""
+    R, L = quals.shape
+    lengths = np.asarray(lengths, np.int64)
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    in_read = pos < lengths[:, None]
+    good = in_read & (quals >= (33 + int(trim_q)))
+    any_good = good.any(axis=1)
+    start = np.where(any_good, good.argmax(axis=1), lengths)
+    # last good index + 1 via reversed argmax
+    last = L - 1 - good[:, ::-1].argmax(axis=1)
+    end = np.where(any_good, last + 1, lengths)
+    return start.astype(np.int64), end.astype(np.int64)
+
+
+def filter_reads(
+    ascii_arr: np.ndarray,
+    quals: np.ndarray,
+    lengths: np.ndarray,
+    min_len: int = 1,
+    min_mean_q: float = 0.0,
+    trim_q: int = 0,
+    max_n: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(keep [R] bool, start [R], end [R]) for a rectangular read batch.
+
+    Entirely branch-free numpy over the batch: trim spans from trim_bounds,
+    then mean-quality / length / N-count filters evaluated on the trimmed
+    span only."""
+    R, L = ascii_arr.shape
+    lengths = np.asarray(lengths, np.int64)
+    if trim_q > 0:
+        start, end = trim_bounds(quals, lengths, trim_q)
+    else:
+        start = np.zeros(R, np.int64)
+        end = lengths.copy()
+    span = end - start
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    in_span = (pos >= start[:, None]) & (pos < end[:, None])
+    keep = span >= max(int(min_len), 1)
+    if min_mean_q > 0:
+        qsum = np.where(in_span, quals.astype(np.int64) - 33, 0).sum(axis=1)
+        keep &= qsum >= min_mean_q * np.maximum(span, 1)
+    if max_n is not None:
+        n_bad = (in_span & ~_ACGT[ascii_arr]).sum(axis=1)
+        keep &= n_bad <= int(max_n)
+    return keep, start, end
+
+
+def filter_fastq(
+    in_path,
+    out_path,
+    min_len: int = 1,
+    min_mean_q: float = 0.0,
+    trim_q: int = 0,
+    max_n: Optional[int] = None,
+    batch_reads: int = 65536,
+) -> dict:
+    """Stream FASTQ -> trimmed/filtered FASTQ; returns summary stats.
+
+    Records stream in `batch_reads` batches (bounded memory at any file
+    size); kept reads are written with their trimmed sequence AND quality
+    line, preserving headers."""
+    from . import io as bnio
+
+    n_in = n_out = bases_in = bases_out = 0
+
+    def batches():
+        names, seqs, quals = [], [], []
+        with bnio._fastq_opener(in_path)(in_path, "rb") as f:
+            while True:
+                h = f.readline()
+                if not h:
+                    break
+                s = f.readline().strip()
+                f.readline()
+                q = f.readline().strip()
+                names.append(h[1:].strip())
+                seqs.append(s)
+                quals.append(q)
+                if len(names) >= batch_reads:
+                    yield names, seqs, quals
+                    names, seqs, quals = [], [], []
+        if names:
+            yield names, seqs, quals
+
+    with open(out_path, "wb") as out:
+        for names, seqs, quals in batches():
+            lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+            L = max(int(lens.max()), 1)
+            a = np.zeros((len(seqs), L), np.uint8)
+            q = np.zeros((len(seqs), L), np.uint8)
+            for i, (s, qq) in enumerate(zip(seqs, quals)):
+                a[i, : len(s)] = np.frombuffer(s, np.uint8)
+                q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
+            keep, start, end = filter_reads(
+                a, q, lens, min_len, min_mean_q, trim_q, max_n
+            )
+            n_in += len(seqs)
+            bases_in += int(lens.sum())
+            for i in np.nonzero(keep)[0]:
+                s0, e0 = int(start[i]), int(end[i])
+                out.write(
+                    b"@%s\n%s\n+\n%s\n"
+                    % (names[i], seqs[i][s0:e0], quals[i][s0:e0])
+                )
+                n_out += 1
+                bases_out += e0 - s0
+    return {
+        "reads_in": n_in,
+        "reads_out": n_out,
+        "bases_in": bases_in,
+        "bases_out": bases_out,
+    }

@@ -1,0 +1,110 @@
+"""filters.trim_bounds / filter_reads / filter_fastq vs a per-read python
+oracle (Trimmomatic LEADING/TRAILING + mean-quality/length/N filters)."""
+
+import numpy as np
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu import filters
+
+
+def _oracle_trim(qual, trim_q):
+    q = [b - 33 for b in qual]
+    start, end = 0, len(q)
+    while start < end and q[start] < trim_q:
+        start += 1
+    while end > start and q[end - 1] < trim_q:
+        end -= 1
+    return start, end
+
+
+def _rect(seqs, quals):
+    lens = np.array([len(s) for s in seqs], np.int64)
+    L = max(int(lens.max()), 1)
+    a = np.zeros((len(seqs), L), np.uint8)
+    q = np.zeros((len(seqs), L), np.uint8)
+    for i, (s, qq) in enumerate(zip(seqs, quals)):
+        a[i, : len(s)] = np.frombuffer(s, np.uint8)
+        q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
+    return a, q, lens
+
+
+def test_trim_bounds_vs_oracle(rng):
+    seqs, quals = [], []
+    for n in rng.integers(5, 60, 40):
+        seqs.append(random_seq(rng, int(n)).upper())
+        quals.append(bytes(rng.integers(33, 75, int(n)).astype(np.uint8)))
+    quals[0] = b"#" * len(seqs[0])  # all-bad read -> empty span
+    a, q, lens = _rect(seqs, quals)
+    start, end = filters.trim_bounds(q, lens, 20)
+    for i, qq in enumerate(quals):
+        s0, e0 = _oracle_trim(qq, 20)
+        span = (int(end[i]) - int(start[i]))
+        assert span == e0 - s0, i
+        if e0 > s0:
+            assert (int(start[i]), int(end[i])) == (s0, e0), i
+
+
+def test_filter_reads_mean_q_and_n(rng):
+    seqs = [b"ACGTNNACGT", b"ACGTACGTAA", b"AC"]
+    quals = [b"I" * 10, b"$" * 10, b"II"]  # I=40, $=3
+    a, q, lens = _rect(seqs, quals)
+    keep, start, end = filters.filter_reads(
+        a, q, lens, min_len=3, min_mean_q=20, max_n=1
+    )
+    # read 0: quality fine but 2 Ns > 1 -> drop; read 1: mean q 3 < 20 ->
+    # drop; read 2: len 2 < 3 -> drop
+    assert list(keep) == [False, False, False]
+    keep2, _, _ = filters.filter_reads(a, q, lens, max_n=2)
+    assert list(keep2) == [True, True, True]
+
+
+def test_filter_fastq_end_to_end(tmp_path):
+    recs = [
+        (b"good", b"ACGTACGTACGT", b"IIIIIIIIIIII"),
+        (b"trimme", b"TTACGTACGTAA", b"##IIIIIIII##"),  # trims to ACGTACGT
+        (b"short", b"ACGT", b"IIII"),
+        (b"lowq", b"ACGTACGTACGT", b"############"),
+    ]
+    p = tmp_path / "in.fq"
+    with open(p, "wb") as f:
+        for n, s, q in recs:
+            f.write(b"@%s\n%s\n+\n%s\n" % (n, s, q))
+    out = tmp_path / "out.fq"
+    summary = filters.filter_fastq(
+        p, out, min_len=6, min_mean_q=20, trim_q=20
+    )
+    assert summary == {
+        "reads_in": 4,
+        "reads_out": 2,
+        "bases_in": 40,
+        "bases_out": 20,
+    }
+    lines = out.read_bytes().splitlines()
+    assert lines[0:4] == [b"@good", b"ACGTACGTACGT", b"+", b"IIIIIIIIIIII"]
+    assert lines[4:8] == [b"@trimme", b"ACGTACGT", b"+", b"IIIIIIII"]
+
+
+def test_filter_cli(tmp_path, capsys):
+    p = tmp_path / "in.fq"
+    p.write_bytes(b"@a\nACGTACGT\n+\nIIIIIIII\n@b\nAC\n+\nII\n")
+    out = tmp_path / "out.fq"
+    from bitnuc_tpu import cli
+
+    assert cli.main(
+        ["filter", str(p), "-o", str(out), "--min-len", "5"]
+    ) == 0
+    assert out.read_bytes() == b"@a\nACGTACGT\n+\nIIIIIIII\n"
+
+
+def test_filtered_output_feeds_pipeline(tmp_path):
+    # the filtered file is itself valid pipeline input
+    from bitnuc_tpu import pipeline
+
+    p = tmp_path / "in.fq"
+    p.write_bytes(b"@a\nACGTNACGT\n+\nIIII#IIII\n")
+    out = tmp_path / "out.fq"
+    filters.filter_fastq(p, out, trim_q=10)  # N has qual '#'=2 -> stays
+    st = pipeline.count_fastq(str(out), 4, on_invalid="skip")
+    assert int(np.asarray(st).sum()) == 2  # ACGT at both ends, N-windows skipped
