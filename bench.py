@@ -199,6 +199,53 @@ def _synth_fastq(path, n_reads, read_len):
     return path
 
 
+def bench_dedupe(batch=1 << 20, read_len=150):
+    """mark_duplicates reads/s on a short-read-sized batch (W=10 words).
+    Random content makes nearly every read unique — the multi-key sort
+    dominates either way, so this is the worst-case (most live keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops.dedupe import mark_duplicates
+    from bitnuc_tpu.utils.bitops import n_words_for
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    W = n_words_for(read_len)
+
+    def make(key):
+        w = jax.random.bits(key, (batch, W), jnp.uint32)
+        return (w, jnp.full((batch,), read_len, jnp.int32))
+
+    t = amortized_seconds_per_call(mark_duplicates, make)
+    return batch / t
+
+
+def bench_setop(n=1 << 23, mode="intersect_min"):
+    """combine_counts keys/s over two n-row counted lists (random keys:
+    ~all distinct at 2^64, overlap negligible — the two sorts dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops.setops import combine_counts
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    def make(key):
+        ks = jax.random.split(key, 4)
+        return (
+            jax.random.bits(ks[0], (n,), jnp.uint32),
+            jax.random.bits(ks[1], (n,), jnp.uint32),
+            jnp.ones((n,), jnp.int32),
+            jax.random.bits(ks[2], (n,), jnp.uint32),
+            jax.random.bits(ks[3], (n,), jnp.uint32),
+            jnp.ones((n,), jnp.int32),
+        )
+
+    t = amortized_seconds_per_call(
+        lambda *a: combine_counts(*a, mode=mode), make
+    )
+    return 2 * n / t
+
+
 def bench_pipeline(mbytes=192, read_len=300, k=8, staged=None, batch=16384):
     """End-to-end ingestion pipeline: FASTQ file -> (native scan + host pack
     + packed upload when staged) -> device k-mer histogram, host parse of

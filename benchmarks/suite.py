@@ -144,6 +144,18 @@ def device_suite(results):
     )
     _emit(
         results,
+        "device/dedupe_1M_150bp",
+        headline.bench_dedupe() / 1e6,
+        "Mreads/s",
+    )
+    _emit(
+        results,
+        "device/setop_intersect_8M",
+        headline.bench_setop() / 1e6,
+        "Mkeys/s",
+    )
+    _emit(
+        results,
         "pipeline/fastq_staged",
         headline.bench_pipeline(staged=True) / 1e9,
         "Gbases/s",

@@ -273,14 +273,20 @@ def cmd_dedupe(args) -> int:
 def cmd_filter(args) -> int:
     from . import filters
 
-    summary = filters.filter_fastq(
-        args.path,
-        args.out,
+    kw = dict(
         min_len=args.min_len,
         min_mean_q=args.min_qual,
         trim_q=args.trim_qual,
         max_n=args.max_n,
     )
+    if args.paired:
+        if args.out2 is None:
+            raise SystemExit("--out2 is required with --paired R2")
+        summary = filters.filter_fastq_paired(
+            args.path, args.paired, args.out, args.out2, **kw
+        )
+    else:
+        summary = filters.filter_fastq(args.path, args.out, **kw)
     print(json.dumps(summary), file=sys.stderr)
     return 0
 
@@ -402,6 +408,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trim leading/trailing bases below this quality")
     p.add_argument("--max-n", type=int, default=None,
                    help="max N/ambiguous bases per read")
+    p.add_argument("--paired", default=None, metavar="R2",
+                   help="mate FASTQ; pairs survive only if both mates pass")
+    p.add_argument("--out2", default=None, help="output path for R2")
     p.set_defaults(fn=cmd_filter)
 
     p = sub.add_parser("info", help="backend/device/native status as JSON")

@@ -80,6 +80,43 @@ def filter_reads(
     return keep, start, end
 
 
+def _iter_record_batches(path, batch_reads):
+    """(names, seqs, quals) list-batches from a FASTQ path (.gz ok)."""
+    from . import io as bnio
+
+    names, seqs, quals = [], [], []
+    with bnio._fastq_opener(path)(path, "rb") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            if not h.strip():
+                continue
+            s = f.readline().strip()
+            f.readline()
+            q = f.readline().strip()
+            names.append(h[1:].strip())
+            seqs.append(s)
+            quals.append(q)
+            if len(names) >= batch_reads:
+                yield names, seqs, quals
+                names, seqs, quals = [], [], []
+    if names:
+        yield names, seqs, quals
+
+
+def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n):
+    """(keep, start, end) for one list-batch."""
+    lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+    L = max(int(lens.max()), 1) if len(seqs) else 1
+    a = np.zeros((len(seqs), L), np.uint8)
+    q = np.zeros((len(seqs), L), np.uint8)
+    for i, (s, qq) in enumerate(zip(seqs, quals)):
+        a[i, : len(s)] = np.frombuffer(s, np.uint8)
+        q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
+    return filter_reads(a, q, lens, min_len, min_mean_q, trim_q, max_n)
+
+
 def filter_fastq(
     in_path,
     out_path,
@@ -94,43 +131,14 @@ def filter_fastq(
     Records stream in `batch_reads` batches (bounded memory at any file
     size); kept reads are written with their trimmed sequence AND quality
     line, preserving headers."""
-    from . import io as bnio
-
     n_in = n_out = bases_in = bases_out = 0
-
-    def batches():
-        names, seqs, quals = [], [], []
-        with bnio._fastq_opener(in_path)(in_path, "rb") as f:
-            while True:
-                h = f.readline()
-                if not h:
-                    break
-                s = f.readline().strip()
-                f.readline()
-                q = f.readline().strip()
-                names.append(h[1:].strip())
-                seqs.append(s)
-                quals.append(q)
-                if len(names) >= batch_reads:
-                    yield names, seqs, quals
-                    names, seqs, quals = [], [], []
-        if names:
-            yield names, seqs, quals
-
     with open(out_path, "wb") as out:
-        for names, seqs, quals in batches():
-            lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
-            L = max(int(lens.max()), 1)
-            a = np.zeros((len(seqs), L), np.uint8)
-            q = np.zeros((len(seqs), L), np.uint8)
-            for i, (s, qq) in enumerate(zip(seqs, quals)):
-                a[i, : len(s)] = np.frombuffer(s, np.uint8)
-                q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
-            keep, start, end = filter_reads(
-                a, q, lens, min_len, min_mean_q, trim_q, max_n
+        for names, seqs, quals in _iter_record_batches(in_path, batch_reads):
+            keep, start, end = _batch_filter(
+                seqs, quals, min_len, min_mean_q, trim_q, max_n
             )
             n_in += len(seqs)
-            bases_in += int(lens.sum())
+            bases_in += sum(len(s) for s in seqs)
             for i in np.nonzero(keep)[0]:
                 s0, e0 = int(start[i]), int(end[i])
                 out.write(
@@ -145,3 +153,53 @@ def filter_fastq(
         "bases_in": bases_in,
         "bases_out": bases_out,
     }
+
+
+def filter_fastq_paired(
+    in1,
+    in2,
+    out1,
+    out2,
+    min_len: int = 1,
+    min_mean_q: float = 0.0,
+    trim_q: int = 0,
+    max_n: Optional[int] = None,
+    batch_reads: int = 65536,
+) -> dict:
+    """Paired-end twin of filter_fastq: R1/R2 stream in lockstep and a pair
+    survives only if BOTH mates pass (trimming is per-mate) — the standard
+    Illumina contract that keeps the two output files index-aligned.
+    Raises ValueError if the inputs have different record counts."""
+    n_in = n_out = 0
+    it2 = _iter_record_batches(in2, batch_reads)
+    with open(out1, "wb") as o1, open(out2, "wb") as o2:
+        for (names1, seqs1, quals1) in _iter_record_batches(in1, batch_reads):
+            try:
+                names2, seqs2, quals2 = next(it2)
+            except StopIteration:
+                raise ValueError("R2 has fewer records than R1")
+            if len(names2) != len(names1):
+                raise ValueError("paired inputs have different record counts")
+            k1, s1, e1 = _batch_filter(
+                seqs1, quals1, min_len, min_mean_q, trim_q, max_n
+            )
+            k2, s2, e2 = _batch_filter(
+                seqs2, quals2, min_len, min_mean_q, trim_q, max_n
+            )
+            keep = k1 & k2
+            n_in += len(seqs1)
+            for i in np.nonzero(keep)[0]:
+                a0, a1 = int(s1[i]), int(e1[i])
+                b0, b1 = int(s2[i]), int(e2[i])
+                o1.write(
+                    b"@%s\n%s\n+\n%s\n"
+                    % (names1[i], seqs1[i][a0:a1], quals1[i][a0:a1])
+                )
+                o2.write(
+                    b"@%s\n%s\n+\n%s\n"
+                    % (names2[i], seqs2[i][b0:b1], quals2[i][b0:b1])
+                )
+                n_out += 1
+    for _ in it2:
+        raise ValueError("R2 has more records than R1")
+    return {"pairs_in": n_in, "pairs_out": n_out}

@@ -108,3 +108,53 @@ def test_filtered_output_feeds_pipeline(tmp_path):
     filters.filter_fastq(p, out, trim_q=10)  # N has qual '#'=2 -> stays
     st = pipeline.count_fastq(str(out), 4, on_invalid="skip")
     assert int(np.asarray(st).sum()) == 2  # ACGT at both ends, N-windows skipped
+
+
+def test_filter_fastq_paired(tmp_path):
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    # pair 0: both good; pair 1: R2 too short after trim -> pair dropped;
+    # pair 2: R1 low quality -> pair dropped
+    r1.write_bytes(
+        b"@p0/1\nACGTACGT\n+\nIIIIIIII\n"
+        b"@p1/1\nACGTACGT\n+\nIIIIIIII\n"
+        b"@p2/1\nACGTACGT\n+\n########\n"
+    )
+    r2.write_bytes(
+        b"@p0/2\nTTGGCCAA\n+\nIIIIIIII\n"
+        b"@p1/2\nTTGG\n+\n##II\n"
+        b"@p2/2\nTTGGCCAA\n+\nIIIIIIII\n"
+    )
+    o1, o2 = tmp_path / "o1.fq", tmp_path / "o2.fq"
+    summary = filters.filter_fastq_paired(
+        r1, r2, o1, o2, min_len=3, min_mean_q=20, trim_q=20
+    )
+    assert summary == {"pairs_in": 3, "pairs_out": 1}
+    assert o1.read_bytes() == b"@p0/1\nACGTACGT\n+\nIIIIIIII\n"
+    assert o2.read_bytes() == b"@p0/2\nTTGGCCAA\n+\nIIIIIIII\n"
+
+
+def test_filter_fastq_paired_mismatch(tmp_path):
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    r1.write_bytes(b"@a/1\nACGT\n+\nIIII\n@b/1\nACGT\n+\nIIII\n")
+    r2.write_bytes(b"@a/2\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError):
+        filters.filter_fastq_paired(
+            r1, r2, tmp_path / "o1.fq", tmp_path / "o2.fq"
+        )
+
+
+def test_filter_cli_paired(tmp_path, capsys):
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    r1.write_bytes(b"@a/1\nACGTACGT\n+\nIIIIIIII\n")
+    r2.write_bytes(b"@a/2\nTTGGCCAA\n+\nIIIIIIII\n")
+    from bitnuc_tpu import cli
+
+    o1, o2 = tmp_path / "o1.fq", tmp_path / "o2.fq"
+    assert cli.main(
+        ["filter", str(r1), "-o", str(o1), "--paired", str(r2),
+         "--out2", str(o2), "--min-len", "5"]
+    ) == 0
+    assert o1.read_bytes().startswith(b"@a/1") and o2.read_bytes().startswith(b"@a/2")
