@@ -77,14 +77,13 @@ def cmd_count(args) -> int:
     result = _count_file(args.path, args)
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
+        rows = _iter_counts(result, args.k)
+        if args.min_count > 1:
+            rows = (kv for kv in rows if kv[1] >= args.min_count)
         if args.top:
             import heapq
 
-            rows = heapq.nlargest(
-                args.top, _iter_counts(result, args.k), key=lambda kv: kv[1]
-            )
-        else:
-            rows = _iter_counts(result, args.k)
+            rows = heapq.nlargest(args.top, rows, key=lambda kv: kv[1])
         for key, count in rows:
             out.write(f"{api.from_2bit(key, args.k).decode()}\t{count}\n")
     finally:
@@ -278,6 +277,7 @@ def cmd_filter(args) -> int:
         min_mean_q=args.min_qual,
         trim_q=args.trim_qual,
         max_n=args.max_n,
+        adapter=args.adapter.encode() if args.adapter else None,
     )
     if args.paired:
         if args.out2 is None:
@@ -332,6 +332,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_count_args(p)
     p.add_argument("--top", type=int, default=None,
                    help="only the N most frequent")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="drop k-mers below this count (error filtering)")
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("spectrum", help="abundance spectrum (MULT\\tN_KMERS)")
@@ -408,6 +410,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trim leading/trailing bases below this quality")
     p.add_argument("--max-n", type=int, default=None,
                    help="max N/ambiguous bases per read")
+    p.add_argument("--adapter", default=None, metavar="SEQ",
+                   help="3' adapter to remove (cutadapt-style prefix match)")
     p.add_argument("--paired", default=None, metavar="R2",
                    help="mate FASTQ; pairs survive only if both mates pass")
     p.add_argument("--out2", default=None, help="output path for R2")

@@ -10,9 +10,12 @@ chip and trimming there. Per-read variable-offset trimming on device would
 also need a per-row gather, which serializes on TPU (docs/DESIGN.md).
 
 Semantics (phred+33 qualities):
-  1. leading/trailing trim: drop bases from each end with quality < trim_q
+  1. 3' adapter removal: cut at the leftmost position where the adapter
+     (or its prefix at the read end) matches within max_error_rate
+     (cutadapt-style; adapter_positions).
+  2. leading/trailing trim: drop bases from each end with quality < trim_q
      (Trimmomatic LEADING/TRAILING).
-  2. filter: keep reads with trimmed length >= min_len, mean trimmed
+  3. filter: keep reads with trimmed length >= min_len, mean trimmed
      quality >= min_mean_q, and at most max_n N/ambiguous bases.
 """
 
@@ -46,6 +49,46 @@ def trim_bounds(
     return start.astype(np.int64), end.astype(np.int64)
 
 
+def adapter_positions(
+    ascii_arr: np.ndarray,
+    lengths: np.ndarray,
+    adapter: bytes,
+    max_error_rate: float = 0.1,
+    min_overlap: int = 3,
+) -> np.ndarray:
+    """Per-read 3' adapter start positions (== read length when absent).
+
+    Cutadapt-style 3' semantics: the adapter (or a prefix of it, when the
+    read ends mid-adapter) starts at position p if the overlapping bases
+    mismatch at a rate <= max_error_rate and the overlap is at least
+    min_overlap; the LEFTMOST qualifying p wins and the read is trimmed to
+    [0, p). Vectorized over the batch with one [R, L] pass per adapter
+    base (m passes total), no per-read python."""
+    R, L = ascii_arr.shape
+    lengths = np.asarray(lengths, np.int64)
+    a = np.frombuffer(bytes(adapter).upper(), np.uint8)
+    m = len(a)
+    if m == 0:
+        return lengths.copy()
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    mism = np.zeros((R, L), np.int32)
+    upper = ascii_arr & 0xDF  # case-fold: 'a'..'t' -> 'A'..'T'
+    for j in range(m):
+        cmp = np.zeros((R, L), bool)
+        if j < L:
+            cmp[:, : L - j] = upper[:, j:] != a[j]
+        in_read = (pos + j) < lengths[:, None]
+        mism += (cmp & in_read).astype(np.int32)
+    overlap = np.minimum(m, lengths[:, None] - pos)
+    ok = (
+        (overlap >= max(int(min_overlap), 1))
+        & (mism <= (overlap * max_error_rate).astype(np.int64))
+    )
+    any_ok = ok.any(axis=1)
+    first = np.where(any_ok, ok.argmax(axis=1), lengths)
+    return first.astype(np.int64)
+
+
 def filter_reads(
     ascii_arr: np.ndarray,
     quals: np.ndarray,
@@ -54,14 +97,22 @@ def filter_reads(
     min_mean_q: float = 0.0,
     trim_q: int = 0,
     max_n: Optional[int] = None,
+    adapter: Optional[bytes] = None,
+    adapter_max_error: float = 0.1,
+    adapter_min_overlap: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(keep [R] bool, start [R], end [R]) for a rectangular read batch.
 
-    Entirely branch-free numpy over the batch: trim spans from trim_bounds,
-    then mean-quality / length / N-count filters evaluated on the trimmed
-    span only."""
+    Entirely branch-free numpy over the batch: 3' adapter removal first
+    (the adapter and everything after it goes), then quality trim spans
+    from trim_bounds, then mean-quality / length / N-count filters
+    evaluated on the trimmed span only."""
     R, L = ascii_arr.shape
     lengths = np.asarray(lengths, np.int64)
+    if adapter:
+        lengths = adapter_positions(
+            ascii_arr, lengths, adapter, adapter_max_error, adapter_min_overlap
+        )
     if trim_q > 0:
         start, end = trim_bounds(quals, lengths, trim_q)
     else:
@@ -105,7 +156,7 @@ def _iter_record_batches(path, batch_reads):
         yield names, seqs, quals
 
 
-def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n):
+def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter):
     """(keep, start, end) for one list-batch."""
     lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
     L = max(int(lens.max()), 1) if len(seqs) else 1
@@ -114,7 +165,9 @@ def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n):
     for i, (s, qq) in enumerate(zip(seqs, quals)):
         a[i, : len(s)] = np.frombuffer(s, np.uint8)
         q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
-    return filter_reads(a, q, lens, min_len, min_mean_q, trim_q, max_n)
+    return filter_reads(
+        a, q, lens, min_len, min_mean_q, trim_q, max_n, adapter=adapter
+    )
 
 
 def filter_fastq(
@@ -124,6 +177,7 @@ def filter_fastq(
     min_mean_q: float = 0.0,
     trim_q: int = 0,
     max_n: Optional[int] = None,
+    adapter: Optional[bytes] = None,
     batch_reads: int = 65536,
 ) -> dict:
     """Stream FASTQ -> trimmed/filtered FASTQ; returns summary stats.
@@ -135,7 +189,7 @@ def filter_fastq(
     with open(out_path, "wb") as out:
         for names, seqs, quals in _iter_record_batches(in_path, batch_reads):
             keep, start, end = _batch_filter(
-                seqs, quals, min_len, min_mean_q, trim_q, max_n
+                seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter
             )
             n_in += len(seqs)
             bases_in += sum(len(s) for s in seqs)
@@ -164,6 +218,7 @@ def filter_fastq_paired(
     min_mean_q: float = 0.0,
     trim_q: int = 0,
     max_n: Optional[int] = None,
+    adapter: Optional[bytes] = None,
     batch_reads: int = 65536,
 ) -> dict:
     """Paired-end twin of filter_fastq: R1/R2 stream in lockstep and a pair
@@ -181,10 +236,10 @@ def filter_fastq_paired(
             if len(names2) != len(names1):
                 raise ValueError("paired inputs have different record counts")
             k1, s1, e1 = _batch_filter(
-                seqs1, quals1, min_len, min_mean_q, trim_q, max_n
+                seqs1, quals1, min_len, min_mean_q, trim_q, max_n, adapter
             )
             k2, s2, e2 = _batch_filter(
-                seqs2, quals2, min_len, min_mean_q, trim_q, max_n
+                seqs2, quals2, min_len, min_mean_q, trim_q, max_n, adapter
             )
             keep = k1 & k2
             n_in += len(seqs1)

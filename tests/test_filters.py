@@ -158,3 +158,64 @@ def test_filter_cli_paired(tmp_path, capsys):
          "--out2", str(o2), "--min-len", "5"]
     ) == 0
     assert o1.read_bytes().startswith(b"@a/1") and o2.read_bytes().startswith(b"@a/2")
+
+
+def _oracle_adapter(seq, adapter, e=0.1, min_ov=3):
+    n, m = len(seq), len(adapter)
+    s = seq.upper()
+    for p in range(n):
+        ov = min(m, n - p)
+        if ov < min_ov:
+            break
+        mm = sum(1 for j in range(ov) if s[p + j] != adapter[j])
+        if mm <= int(ov * e):
+            return p
+    return n
+
+
+def test_adapter_positions_vs_oracle(rng):
+    adapter = b"AGATCGGAAGAGC"
+    seqs = []
+    for n in rng.integers(10, 80, 60):
+        s = bytearray(random_seq(rng, int(n)).upper())
+        r = rng.random()
+        if r < 0.4:  # embed the adapter (possibly truncated) at a position
+            p = int(rng.integers(0, max(int(n) - 3, 1)))
+            frag = adapter[: int(n) - p]
+            s[p : p + len(frag)] = frag
+        elif r < 0.6:  # embed with one mismatch
+            p = int(rng.integers(0, max(int(n) - 10, 1)))
+            frag = bytearray(adapter[: int(n) - p])
+            if len(frag) >= 10:
+                frag[3] = ord(b"A") if frag[3] != ord(b"A") else ord(b"C")
+            s[p : p + len(frag)] = frag
+        seqs.append(bytes(s))
+    lens = np.array([len(s) for s in seqs], np.int64)
+    L = int(lens.max())
+    a = np.zeros((len(seqs), L), np.uint8)
+    for i, s in enumerate(seqs):
+        a[i, : len(s)] = np.frombuffer(s, np.uint8)
+    got = filters.adapter_positions(a, lens, adapter)
+    for i, s in enumerate(seqs):
+        assert int(got[i]) == _oracle_adapter(s, adapter), (i, s)
+
+
+def test_filter_fastq_adapter_end_to_end(tmp_path):
+    adapter = b"AGATCGGAAGAGC"
+    p = tmp_path / "in.fq"
+    read = b"ACGTACGTACGTACGT" + adapter[:8]  # read-through into adapter
+    p.write_bytes(b"@a\n%s\n+\n%s\n" % (read, b"I" * len(read)))
+    out = tmp_path / "out.fq"
+    summary = filters.filter_fastq(p, out, adapter=adapter)
+    assert summary["bases_out"] == 16
+    assert out.read_bytes() == b"@a\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n"
+
+
+def test_count_cli_min_count(tmp_path, capsys):
+    p = tmp_path / "c.fa"
+    p.write_bytes(b">x\nACGTACGTACGT\n")
+    from bitnuc_tpu import cli
+
+    assert cli.main(["count", str(p), "-k", "4", "--min-count", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["ACGT\t3"]
