@@ -29,7 +29,11 @@ from .api import (  # noqa: F401
     hdist_scalar,
     split_packed,
 )
-from .ops.analysis import base_counts_reads, gc_content_reads  # noqa: F401
+from .ops.analysis import (  # noqa: F401
+    base_counts_reads,
+    gc_content_reads,
+    windowed_gc,
+)
 from .ops.codec import decode_reads, encode_reads  # noqa: F401
 from .ops.hamming import (  # noqa: F401
     hdist_many_to_many,
@@ -94,6 +98,7 @@ __all__ = [
     "hdist_many_to_many",
     "gc_content_reads",
     "base_counts_reads",
+    "windowed_gc",
     "reverse_complement_reads",
     "mark_duplicates",
     "dedupe_reads",

@@ -231,6 +231,62 @@ def cmd_setop(args) -> int:
     return 0
 
 
+def cmd_gc(args) -> int:
+    import numpy as np
+
+    from . import io as bnio
+    from .ops.analysis import windowed_gc
+    from .sequence import PackedReads
+
+    names, seqs = (
+        bnio._split_records_fasta(bnio._read_bytes(args.path))
+        if _sniff_format(args.path) == "fasta"
+        else bnio._split_records_fastq(bnio._read_bytes(args.path))
+    )
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for name, seq in zip(names, seqs):
+            # per-contig so one huge chromosome doesn't rectangularize the
+            # whole batch to its length
+            r = PackedReads.from_ascii([seq])
+            pct, valid = windowed_gc(
+                r.words, r.lengths, args.window, args.step or args.window
+            )
+            pct, valid = np.asarray(pct[0]), np.asarray(valid[0])
+            step = args.step or args.window
+            for i in np.nonzero(valid)[0]:
+                out.write(
+                    f"{name.decode()}\t{i * step}\t{pct[i]:.2f}\n"
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_revcomp(args) -> int:
+    import numpy as np
+
+    from .ops import codec
+    from .ops.revcomp import reverse_complement_reads
+
+    names, reads = _read_any(args.path)
+    rc = reverse_complement_reads(reads.words, reads.lengths)
+    ascii_out = np.asarray(codec.decode_reads(rc, reads.lengths))
+    lens = np.asarray(reads.lengths)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i, name in enumerate(names):
+            out.write(
+                f">{name.decode()}\n"
+                f"{ascii_out[i, : lens[i]].tobytes().decode()}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from . import pipeline
 
@@ -385,6 +441,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_setop, checkpoint=None)
+
+    p = sub.add_parser("gc", help="windowed GC track (NAME\\tSTART\\tGC_PCT)")
+    p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("-w", "--window", type=int, required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="window stride (default: non-overlapping)")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_gc)
+
+    p = sub.add_parser("revcomp", help="reverse-complement to FASTA")
+    p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_revcomp)
 
     p = sub.add_parser("stats", help="composition statistics as JSON")
     p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")

@@ -584,3 +584,50 @@ def test_spectrum_clips_and_ignores_zeros():
     got = list(np.asarray(kmer.spectrum(counts, 4)))
     # 1:2, 3:1, >=4 pools {5, 9, 200} -> 3
     assert got == [0, 2, 0, 1, 3]
+
+
+# --- windowed GC ---------------------------------------------------------------
+
+def _naive_windowed_gc(seq, w, step):
+    out = []
+    for p in range(0, len(seq) - w + 1, step):
+        win = seq[p : p + w].upper()
+        out.append(100.0 * sum(1 for b in win if b in b"GC") / w)
+    return out
+
+
+@pytest.mark.parametrize("w,step", [(10, 10), (10, 5), (33, 7), (1, 1)])
+def test_windowed_gc_vs_oracle(rng, w, step):
+    from bitnuc_tpu.ops.analysis import windowed_gc
+
+    seqs = [random_seq(rng, int(n)).upper() for n in (100, 64, 40, 9)]
+    r = PackedReads.from_ascii(seqs)
+    pct, valid = windowed_gc(r.words, r.lengths, w, step)
+    pct, valid = np.asarray(pct), np.asarray(valid)
+    for i, s in enumerate(seqs):
+        expect = _naive_windowed_gc(s, w, step)
+        got = pct[i][valid[i]]
+        assert len(got) == len(expect), (i, len(got), len(expect))
+        np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_windowed_gc_cli(tmp_path, capsys):
+    from bitnuc_tpu import cli
+
+    p = tmp_path / "g.fa"
+    p.write_bytes(b">c\nGGGGGAAAAA\nCCCCCTTTTT\n")
+    assert cli.main(["gc", str(p), "-w", "5"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [(r[1], r[2]) for r in rows] == [
+        ("0", "100.00"), ("5", "0.00"), ("10", "100.00"), ("15", "0.00")
+    ]
+    assert all(r[0] == "c" for r in rows)
+
+
+def test_revcomp_cli(tmp_path, capsys):
+    from bitnuc_tpu import cli
+
+    p = tmp_path / "r.fa"
+    p.write_bytes(b">x\nACGTTT\n")
+    assert cli.main(["revcomp", str(p)]) == 0
+    assert capsys.readouterr().out == ">x\nAAACGT\n"
