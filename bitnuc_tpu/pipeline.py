@@ -496,7 +496,8 @@ def stats(path, batch_size: int = 4096, validate: bool = True) -> dict:
     """Streaming composition statistics of a FASTA/FASTQ file.
 
     Returns {"reads", "bases", "a", "c", "g", "t", "gc_pct", "min_len",
-    "max_len", "mean_len"} — the aggregate of the per-read analysis ops
+    "max_len", "mean_len", "n50", "l50"} — the aggregate of the per-read
+    analysis ops
     (ops.analysis.base_counts_reads, reference src/utils/analysis.rs:23-39
     semantics summed over the file). FASTQ streams in `batch_size` batches
     through the staged loader; FASTA contigs are processed per-record (the
@@ -513,6 +514,7 @@ def stats(path, batch_size: int = 4096, validate: bool = True) -> dict:
     n_bases = 0
     counts = np.zeros(4, np.int64)
     min_len, max_len = None, 0
+    len_hist: dict = {}  # length -> count; N50 computed from this at the end
 
     def fold(reads):
         nonlocal n_reads, n_bases, counts, min_len, max_len
@@ -528,6 +530,9 @@ def stats(path, batch_size: int = 4096, validate: bool = True) -> dict:
         batch_min = int(lens.min())
         min_len = batch_min if min_len is None else min(min_len, batch_min)
         max_len = max(max_len, int(lens.max()))
+        uniq, cnt = np.unique(lens, return_counts=True)
+        for u, c in zip(uniq, cnt):
+            len_hist[int(u)] = len_hist.get(int(u), 0) + int(c)
 
     if fmt == "fasta":
         _, reads = bnio.read_fasta(path, validate=validate)
@@ -537,6 +542,22 @@ def stats(path, batch_size: int = 4096, validate: bool = True) -> dict:
             path, batch_size, validate=validate
         ):
             fold(batch)
+
+    # N50: length of the shortest read in the smallest descending-length set
+    # covering >= half the bases; L50: how many reads that set holds.
+    n50 = l50 = 0
+    if n_bases:
+        half = (n_bases + 1) // 2
+        acc = 0
+        for length in sorted(len_hist, reverse=True):
+            cnt = len_hist[length]
+            span = length * cnt
+            if acc + span >= half:
+                n50 = length
+                l50 += -((acc - half) // length)  # ceil((half-acc)/length)
+                break
+            acc += span
+            l50 += cnt
 
     gc = int(counts[1] + counts[2])
     return {
@@ -550,4 +571,6 @@ def stats(path, batch_size: int = 4096, validate: bool = True) -> dict:
         "min_len": min_len or 0,
         "max_len": max_len,
         "mean_len": round(n_bases / n_reads, 2) if n_reads else 0.0,
+        "n50": n50,
+        "l50": l50,
     }

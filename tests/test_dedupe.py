@@ -95,7 +95,22 @@ def test_stats_cli_and_pipeline(tmp_path, capsys):
     assert (got["a"], got["c"], got["g"], got["t"]) == (1, 3, 5, 1)
     assert got["gc_pct"] == 80.0
     assert got["min_len"] == 4 and got["max_len"] == 6 and got["mean_len"] == 5.0
+    assert got["n50"] == 6 and got["l50"] == 1
 
     fq = tmp_path / "s.fq"
     fq.write_bytes(b"@r\nACGTACGT\n+\nIIIIIIII\n")
-    assert pipeline.stats(fq)["gc_pct"] == 50.0
+    st = pipeline.stats(fq)
+    assert st["gc_pct"] == 50.0
+    assert st["n50"] == 8 and st["l50"] == 1
+
+
+def test_stats_n50(tmp_path):
+    # lengths [4,3,3,2,2,2], 16 bases: desc cumsum 4,7,10 -> N50=3, L50=3
+    fa = tmp_path / "n.fa"
+    recs = [b"ACGT", b"ACG", b"TTT", b"AC", b"GG", b"TT"]
+    fa.write_bytes(b"".join(b">r%d\n%s\n" % (i, s) for i, s in enumerate(recs)))
+    from bitnuc_tpu import pipeline
+
+    st = pipeline.stats(fa)
+    assert st["bases"] == 16
+    assert st["n50"] == 3 and st["l50"] == 3
