@@ -347,6 +347,22 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_qc(args) -> int:
+    from .qc import qc_profile
+
+    report = qc_profile(args.path, batch_reads=args.batch_size)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        json.dump(report, out, indent=None if args.compact else 2)
+        out.write("\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    if report["status"]["per_base_quality"] == "fail" and args.strict:
+        return 1
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -485,6 +501,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mate FASTQ; pairs survive only if both mates pass")
     p.add_argument("--out2", default=None, help="output path for R2")
     p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser(
+        "qc", help="FastQC-style per-cycle quality report as JSON"
+    )
+    p.add_argument("path", help="FASTQ file (.gz ok)")
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--compact", action="store_true",
+                   help="single-line JSON")
+    p.add_argument("--strict", action="store_true",
+                   help="exit 1 when per-base quality status is fail")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_qc)
 
     p = sub.add_parser("info", help="backend/device/native status as JSON")
     p.set_defaults(fn=cmd_info)
