@@ -50,6 +50,12 @@ from .ops.kmer import (  # noqa: F401
     sketch_jaccard,
     spectrum,
 )
+from .ops.lookup import (  # noqa: F401
+    kmer_hits_reads,
+    lookup_counts,
+    screen_reads,
+    solid_prefix_len,
+)
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
 from .ops.dedupe import dedupe_reads, mark_duplicates  # noqa: F401
 from .ops.setops import combine_counts, combine_dicts  # noqa: F401
@@ -96,6 +102,10 @@ __all__ = [
     "hdist_search_batch",
     "hdist_one_to_many",
     "hdist_many_to_many",
+    "lookup_counts",
+    "kmer_hits_reads",
+    "screen_reads",
+    "solid_prefix_len",
     "gc_content_reads",
     "base_counts_reads",
     "windowed_gc",

@@ -347,6 +347,58 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_screen(args) -> int:
+    import numpy as np
+
+    from . import pipeline
+    from .ops import lookup
+
+    on_invalid = "skip" if args.skip_invalid else "raise"
+    if _sniff_format(args.ref) == "fasta":
+        table = pipeline.count_fasta(
+            args.ref, args.k, canonical=args.canonical, on_invalid=on_invalid
+        )
+    else:
+        table = pipeline.count_fastq(
+            args.ref,
+            args.k,
+            batch_size=args.batch_size,
+            canonical=args.canonical,
+            on_invalid=on_invalid,
+        )
+    if isinstance(table, dict):
+        t_lo, t_hi, t_ct = lookup.table_from_dict(table)
+    else:
+        t_lo, t_hi, t_ct = lookup.table_from_dense(table)
+
+    names, reads = _read_any(args.path)
+    n_win, n_solid = lookup.screen_reads(
+        reads.words,
+        reads.lengths,
+        args.k,
+        t_lo,
+        t_hi,
+        t_ct,
+        min_count=args.min_count,
+        canonical=args.canonical,
+    )
+    n_win, n_solid = np.asarray(n_win), np.asarray(n_solid)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i, name in enumerate(names):
+            frac = float(n_solid[i]) / n_win[i] if n_win[i] else 0.0
+            if args.min_frac is not None and frac < args.min_frac:
+                continue
+            out.write(
+                f"{name.decode()}\t{int(n_win[i])}\t{int(n_solid[i])}"
+                f"\t{frac:.4f}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -501,6 +553,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mate FASTQ; pairs survive only if both mates pass")
     p.add_argument("--out2", default=None, help="output path for R2")
     p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser(
+        "screen",
+        help="per-read k-mer containment vs a reference file "
+        "(NAME\\tN_WINDOWS\\tN_SOLID\\tFRAC)",
+    )
+    p.add_argument("ref", help="reference FASTA/FASTQ to build the table from")
+    p.add_argument("path", help="reads to screen (FASTA/FASTQ, .gz ok)")
+    p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
+    p.add_argument("--canonical", action="store_true",
+                   help="strand-insensitive matching")
+    p.add_argument("--skip-invalid", action="store_true",
+                   help="drop reference windows containing N")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="table count for a window to be 'solid'")
+    p.add_argument("--min-frac", type=float, default=None,
+                   help="only print reads with containment >= this")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_screen)
 
     p = sub.add_parser(
         "qc", help="FastQC-style per-cycle quality report as JSON"

@@ -136,3 +136,26 @@ def test_cli_info(capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["backend"] in ("auto", "xla", "pallas")
     assert info["devices"] >= 1
+
+
+@pytest.mark.parametrize("k", [7, 21])
+def test_cli_screen(tmp_path, capsys, rng, k):
+    genome = random_seq(rng, 300).upper()
+    ref = _write_fasta(tmp_path / "ref.fa", [genome])
+    reads = [genome[40:100], random_seq(rng, 60).upper()]
+    rp = _write_fastq(tmp_path / "r.fq", reads)
+    assert cli.main(["screen", ref, rp, "-k", str(k)]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    table = _expect_counts([genome], k)
+    assert len(rows) == 2
+    for (name, n_win, n_solid, frac), s in zip(rows, reads):
+        wins = [s[p : p + k] for p in range(len(s) - k + 1)]
+        expect_solid = sum(oracle.as_2bit(w) in table for w in wins)
+        assert int(n_win) == len(wins) and int(n_solid) == expect_solid
+        assert abs(float(frac) - expect_solid / len(wins)) < 1e-3
+    assert rows[0][3] == "1.0000"  # contained read
+
+    # --min-frac drops the random read
+    assert cli.main(["screen", ref, rp, "-k", str(k), "--min-frac", "0.9"]) == 0
+    kept = capsys.readouterr().out.strip().splitlines()
+    assert len(kept) == 1 and kept[0].startswith("r0\t")
