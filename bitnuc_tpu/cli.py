@@ -399,6 +399,89 @@ def cmd_screen(args) -> int:
     return 0
 
 
+def cmd_correct(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from . import io as bnio
+    from . import pipeline
+    from .ops import codec, correct, lookup
+    from .sequence import _rectangularize
+
+    ref = args.ref or args.path  # no --ref: Lighter-style self-correction
+    on_invalid = "skip" if (args.skip_invalid or ref == args.path) else "raise"
+    if _sniff_format(ref) == "fasta":
+        table = pipeline.count_fasta(
+            ref, args.k, canonical=args.canonical, on_invalid=on_invalid
+        )
+    else:
+        table = pipeline.count_fastq(
+            ref,
+            args.k,
+            batch_size=args.batch_size,
+            canonical=args.canonical,
+            on_invalid=on_invalid,
+        )
+    if isinstance(table, dict):
+        t_lo, t_hi, t_ct = lookup.table_from_dict(table)
+    else:
+        t_lo, t_hi, t_ct = lookup.table_from_dense(table)
+
+    fmt = _sniff_format(args.path)
+    data = bnio._read_bytes(args.path)
+    if fmt == "fasta":
+        names, seqs = bnio._split_records_fasta(data)
+        quals = None
+    else:
+        lines = data.split(b"\n")
+        names, seqs, quals = [], [], []
+        for i in range(len(lines) // 4):
+            names.append(lines[4 * i][1:].strip())
+            seqs.append(lines[4 * i + 1].strip())
+            quals.append(lines[4 * i + 3].strip())
+
+    ascii_arr, lens = _rectangularize(seqs, None, None)
+    words, _ = codec.encode_reads(jnp.asarray(ascii_arr), jnp.asarray(lens))
+    bv = codec.validity_mask(jnp.asarray(ascii_arr), jnp.asarray(lens))
+    new_words, n_corr = correct.correct_reads(
+        words,
+        jnp.asarray(lens),
+        args.k,
+        t_lo,
+        t_hi,
+        t_ct,
+        min_count=args.min_count,
+        rounds=args.rounds,
+        canonical=args.canonical,
+        base_valid=bv,
+    )
+    dec = np.asarray(codec.decode_reads(new_words, jnp.asarray(lens)))
+    # invalid (N/ambiguous) slots decode as arbitrary ACGT: restore the
+    # original byte there — correction never touches them by construction
+    w = min(dec.shape[1], ascii_arr.shape[1])
+    dec = dec[:, :w].copy()
+    np.putmask(dec, ~np.asarray(bv)[:, :w], ascii_arr[:, :w])
+    n_corr = np.asarray(n_corr)
+
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i, name in enumerate(names):
+            s = dec[i, : lens[i]].tobytes().decode()
+            if quals is None:
+                out.write(f">{name.decode()}\n{s}\n")
+            else:
+                out.write(f"@{name.decode()}\n{s}\n+\n{quals[i].decode()}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    n_fixed_reads = int((n_corr > 0).sum())
+    print(
+        f"corrected {int(n_corr.sum())} bases in {n_fixed_reads}/{len(names)} reads",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -573,6 +656,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_screen)
+
+    p = sub.add_parser(
+        "correct",
+        help="spectrum-based single-base error correction (Lighter-style)",
+    )
+    p.add_argument("path", help="reads to correct (FASTA/FASTQ, .gz ok)")
+    p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
+    p.add_argument("--ref", default=None,
+                   help="build the trusted table from this file instead of "
+                   "the reads themselves")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="table count for a window to be trusted/solid")
+    p.add_argument("--rounds", type=int, default=4,
+                   help="max corrections per read")
+    p.add_argument("--canonical", action="store_true",
+                   help="strand-insensitive table")
+    p.add_argument("--skip-invalid", action="store_true",
+                   help="drop table windows containing N")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_correct)
 
     p = sub.add_parser(
         "qc", help="FastQC-style per-cycle quality report as JSON"

@@ -1,1 +1,12 @@
-from . import analysis, codec, hamming, kmer, revcomp, split  # noqa: F401
+from . import (  # noqa: F401
+    analysis,
+    codec,
+    correct,
+    dedupe,
+    hamming,
+    kmer,
+    lookup,
+    revcomp,
+    setops,
+    split,
+)

@@ -159,3 +159,45 @@ def test_cli_screen(tmp_path, capsys, rng, k):
     assert cli.main(["screen", ref, rp, "-k", str(k), "--min-frac", "0.9"]) == 0
     kept = capsys.readouterr().out.strip().splitlines()
     assert len(kept) == 1 and kept[0].startswith("r0\t")
+
+
+def test_cli_correct_with_ref(tmp_path, capsys, rng):
+    k = 15
+    genome = random_seq(rng, 500).upper()
+    ref = _write_fasta(tmp_path / "ref.fa", [genome])
+    truths = [genome[0:60], genome[200:260], genome[440:500]]
+    reads = []
+    for t, p in zip(truths, (0, 30, 59)):  # head, middle, tail errors
+        alt = b"ACGT"[(b"ACGT".index(t[p : p + 1]) + 1) & 3]
+        reads.append(t[:p] + bytes([alt]) + t[p + 1 :])
+    rp = _write_fastq(tmp_path / "r.fq", reads)
+    outp = tmp_path / "fixed.fq"
+    assert cli.main(
+        ["correct", rp, "-k", str(k), "--ref", ref, "--min-count", "1",
+         "--out", str(outp)]
+    ) == 0
+    lines = outp.read_bytes().strip().split(b"\n")
+    assert len(lines) == 12
+    for i, t in enumerate(truths):
+        assert lines[4 * i] == b"@r%d" % i
+        assert lines[4 * i + 1] == t
+        assert lines[4 * i + 3] == b"I" * 60  # original quals preserved
+
+
+def test_cli_correct_self_and_n(tmp_path, capsys, rng):
+    """Self-correction (no --ref): clean coverage x3 makes the table; the
+    erroneous read is fixed; an N survives to the output untouched."""
+    k = 11
+    genome = random_seq(rng, 300).upper()
+    clean = [genome[i : i + 80] for i in (0, 40, 110, 180, 220)] * 3
+    t = genome[100:180]
+    bad = t[:50] + (b"T" if t[50:51] != b"T" else b"G") + t[51:]
+    withn = t[:10] + b"N" + t[11:]
+    rp = _write_fastq(tmp_path / "r.fq", clean + [bad, withn])
+    assert cli.main(["correct", rp, "-k", str(k)]) == 0
+    cap = capsys.readouterr()
+    lines = cap.out.strip().split("\n")
+    seqs = [lines[4 * i + 1].encode() for i in range(len(lines) // 4)]
+    assert seqs[len(clean)] == t  # error fixed from self-built table
+    assert seqs[len(clean) + 1] == withn  # N kept verbatim
+    assert seqs[:3] == clean[:3]  # clean reads untouched
