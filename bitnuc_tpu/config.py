@@ -72,17 +72,43 @@ def pallas_interpret() -> bool:
         return True
 
 
+def host_cpu_tag() -> str:
+    """Fingerprint of the host CPU feature set, for compile-cache dirs.
+
+    This container migrates across physical hosts, and XLA:CPU's AOT
+    loader accepts cached executables compiled on a DIFFERENT machine with
+    only a warning — then computes wrong results (observed: scatter-add
+    double counting, flaky as cache hits raced recompiles). Keying cache
+    directories by the CPU flags makes a migration start a fresh cache
+    instead of loading poisoned binaries.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    return hashlib.sha1(line).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str = "/tmp/bitnuc_jax_cache") -> None:
     """Turn on JAX's persistent compilation cache (idempotent).
 
     Compiles in this environment go through a remote service that is slow
     and occasionally hangs; caching every executable makes repeat runs
-    (benchmarks, driver entry checks) independent of it.
+    (benchmarks, driver entry checks) independent of it. The directory is
+    suffixed with host_cpu_tag() so host migrations can't serve stale
+    XLA:CPU AOT binaries built for another machine's features.
     """
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_compilation_cache_dir", f"{path}_{host_cpu_tag()}")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:

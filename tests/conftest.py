@@ -16,7 +16,16 @@ import jax
 # sitecustomize force-registers the axon TPU platform and overrides
 # JAX_PLATFORMS, so switch explicitly after import.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_pytest_cache")
+
+from bitnuc_tpu.config import host_cpu_tag  # noqa: E402
+
+# Host-keyed cache dir: XLA:CPU loads AOT executables compiled on another
+# machine with only a warning and then computes WRONG results (observed as
+# flaky scatter double-counting after a container host migration). See
+# config.host_cpu_tag.
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_pytest_cache_{host_cpu_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
