@@ -282,6 +282,31 @@ def bench_pipeline(mbytes=192, read_len=300, k=8, staged=None, batch=16384):
     return best
 
 
+def bench_align(batch=1024, qlen=256, tlen=256):
+    """Batched affine-gap Smith-Waterman (anti-diagonal wavefront):
+    DP cell updates/sec across the batch (GCUPS * 1e9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops import align
+    from bitnuc_tpu.utils.bitops import n_words_for
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    Wq, Wt = n_words_for(qlen), n_words_for(tlen)
+
+    def make(key):
+        k1, k2 = jax.random.split(key)
+        return (
+            jax.random.bits(k1, (batch, Wq), jnp.uint32),
+            jnp.full((batch,), qlen, jnp.int32),
+            jax.random.bits(k2, (batch, Wt), jnp.uint32),
+            jnp.full((batch,), tlen, jnp.int32),
+        )
+
+    t = amortized_seconds_per_call(align.sw_score, make)
+    return batch * qlen * tlen / t
+
+
 def bench_memcpy(mbytes=128):
     """Device xor-copy calibration: effective GB/s (read+write)."""
     import jax
@@ -385,6 +410,7 @@ def main():
                 bench_kmer(k=21, mode="runs"),  # scatter-free sorted engine
                 "kmers/s",
             ),
+            ("sw_align_cells_per_sec_chip", bench_align(), "cells/s"),
             ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),
             ("fastq_pipeline_python_bases_per_sec", bench_pipeline(staged=False), "bases/s"),
             ("device_xor_copy_bandwidth", bench_memcpy(), "GB/s"),

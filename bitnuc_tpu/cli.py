@@ -482,6 +482,78 @@ def cmd_correct(args) -> int:
     return 0
 
 
+def cmd_align(args) -> int:
+    import os
+
+    import numpy as np
+
+    from .ops import align
+    from .sequence import PackedReads
+
+    def _load(spec):
+        if len(spec) == 1 and os.path.exists(spec[0]):
+            names, reads = _read_any(spec[0])
+            return [n.decode() for n in names], reads
+        seqs = [s.upper().encode() for s in spec]
+        return list(spec), PackedReads.from_ascii(seqs)
+
+    qnames, q = _load(args.query)
+    tnames, t = _load(args.target)
+    Q, T = len(q), len(t)
+    if T == 1 and Q > 1:  # broadcast the single target to every query
+        tw = np.broadcast_to(np.asarray(t.words), (Q, t.words.shape[1]))
+        tl = np.broadcast_to(np.asarray(t.lengths), (Q,))
+        tnames = tnames * Q
+    elif Q == T:
+        tw, tl = t.words, t.lengths
+    else:
+        raise SystemExit(
+            f"{Q} queries vs {T} targets: need equal counts or one target"
+        )
+
+    if args.mode == "local":
+        s, ei, ej = map(
+            np.asarray,
+            align.sw_score(
+                q.words, q.lengths, tw, tl,
+                args.match, args.mismatch, args.gap_open, args.gap_extend,
+            ),
+        )
+        rows = (
+            f"{qn}\t{tn}\t{int(s[i])}\t{int(ei[i])}\t{int(ej[i])}"
+            for i, (qn, tn) in enumerate(zip(qnames, tnames))
+        )
+    elif args.mode == "fit":
+        c, ej = map(
+            np.asarray,
+            align.fit_distance(
+                q.words, q.lengths, tw, tl, args.mismatch_cost, args.gap_cost
+            ),
+        )
+        rows = (
+            f"{qn}\t{tn}\t{int(c[i])}\t{int(ej[i])}"
+            for i, (qn, tn) in enumerate(zip(qnames, tnames))
+        )
+    else:  # global / edit
+        mc = 1 if args.mode == "edit" else args.mismatch_cost
+        gc = 1 if args.mode == "edit" else args.gap_cost
+        c = np.asarray(
+            align.global_distance(q.words, q.lengths, tw, tl, mc, gc)
+        )
+        rows = (
+            f"{qn}\t{tn}\t{int(c[i])}"
+            for i, (qn, tn) in enumerate(zip(qnames, tnames))
+        )
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for r in rows:
+            out.write(r + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -656,6 +728,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_screen)
+
+    p = sub.add_parser(
+        "align",
+        help="pairwise alignment: local (Smith-Waterman affine), fit, "
+        "global, or edit distance",
+    )
+    p.add_argument("query", nargs=1,
+                   help="FASTA/FASTQ file or one ASCII sequence")
+    p.add_argument("target", nargs=1,
+                   help="FASTA/FASTQ file or one ASCII sequence (a single "
+                   "target broadcasts to every query)")
+    p.add_argument("--mode", choices=("local", "fit", "global", "edit"),
+                   default="local")
+    p.add_argument("--match", type=int, default=2, help="local: match score")
+    p.add_argument("--mismatch", type=int, default=-3,
+                   help="local: mismatch score")
+    p.add_argument("--gap-open", type=int, default=-5,
+                   help="local: first gap base score")
+    p.add_argument("--gap-extend", type=int, default=-2,
+                   help="local: per additional gap base score")
+    p.add_argument("--mismatch-cost", type=int, default=1,
+                   help="global/fit: mismatch cost")
+    p.add_argument("--gap-cost", type=int, default=1,
+                   help="global/fit: per-base gap cost")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_align)
 
     p = sub.add_parser(
         "correct",

@@ -1,0 +1,275 @@
+"""Batched pairwise alignment on TPU: edit distance, global / fitting
+(semi-global) distance, and affine-gap Smith-Waterman scores.
+
+The reference library's only sequence-comparison primitive is Hamming
+distance over equal-length packed words
+(/root/reference/src/utils/functions/hamming/multi.rs:122-160); a complete
+nucleotide toolkit also needs alignment, where insertions/deletions shift
+the frame. None of the classic CPU formulations survive contact with XLA:
+row-by-row DP is a data-dependent double loop, WFA's frontier is
+dynamically sized, and Myers' bit-parallel automaton needs per-row
+carry propagation. The TPU-native shape is the ANTI-DIAGONAL WAVEFRONT:
+
+- cells on one anti-diagonal d = i + j have no data dependence on each
+  other, so each scan step updates a whole [batch, N+1] vector of lanes;
+- `lax.scan` over d = 1..M+N carries the two previous diagonals — static
+  shapes, no data-dependent control flow, one fused elementwise kernel
+  per step;
+- the per-step substitution costs need a[d-1-j] vs b[j-1] for every j —
+  a diagonal GATHER of `a`, which serializes on TPU (docs/DESIGN.md §2).
+  Reversing `a` ONCE turns every diagonal of the equality matrix into a
+  contiguous slice: a[d-1-j] == reversed(a)[La-d+j], so each step does
+  one `dynamic_slice` instead of a gather;
+- per-pair ragged lengths are handled by masking: `a` pads with code 4,
+  `b` pads with code 5 (never equal, never match), and answers are
+  extracted with exact (i == m, j == n) masks — so one compilation
+  serves every length mix in the padded batch.
+
+Scores are int32 lanes (the VPU is 32-bit hardware; docs/DESIGN.md §1).
+Oracle parity: tests/test_align.py mirrors every mode, including the
+Smith-Waterman tie-break contract (max score, then smallest i+j, then
+smallest j).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import bitops
+
+_BIG = np.int32(2**30)
+_PAD_A = np.int32(4)  # sentinel codes: pads never equal each other or ACGT
+_PAD_B = np.int32(5)
+
+
+def _codes(words: jax.Array, lengths: jax.Array, pad: np.int32) -> jax.Array:
+    """[B, W] packed words -> [B, L] int32 codes with `pad` past each length."""
+    c = bitops.unpack_words(words).astype(jnp.int32)
+    pos = jnp.arange(c.shape[-1], dtype=jnp.int32)
+    return jnp.where(pos < lengths[..., None], c, pad)
+
+
+def _rev_padded(codes_a: jax.Array, n_lanes: int) -> jax.Array:
+    """Reverse `a` and pad both ends so every diagonal slice is in bounds."""
+    B = codes_a.shape[0]
+    pad = jnp.full((B, n_lanes), _PAD_A, jnp.int32)
+    return jnp.concatenate([pad, codes_a[:, ::-1], pad], axis=-1)
+
+
+def _shift1(x: jax.Array, fill) -> jax.Array:
+    """x[j-1] with `fill` at j=0 (lane shift via pad+slice, no roll)."""
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]], axis=-1
+    )
+
+
+def _b_shifted(codes_b: jax.Array) -> jax.Array:
+    """[B, N+1] vector with b[j-1] at lane j (sentinel at j=0)."""
+    return jnp.concatenate(
+        [jnp.full((codes_b.shape[0], 1), _PAD_B, jnp.int32), codes_b], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("ends_free_b",))
+def _distance_wavefront(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch,
+    gap,
+    ends_free_b: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Min-cost alignment DP. Global (Needleman-Wunsch distance form) when
+    ends_free_b=False; fitting alignment (all of `a` inside a substring of
+    `b`: D[0, j] = 0, answer = min_j D[m, j]) when True.
+
+    Returns (cost [B] int32, end_j [B] int32). end_j is the b-offset one
+    past the best fit's end (== lens_b for global).
+    """
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    mismatch = jnp.asarray(mismatch, jnp.int32)
+    gap = jnp.asarray(gap, jnp.int32)
+    a = _codes(words_a, lens_a, _PAD_A)
+    b = _codes(words_b, lens_b, _PAD_B)
+    B, M = a.shape
+    N = b.shape[-1]
+    pos = jnp.arange(N + 1, dtype=jnp.int32)  # lane j on the diagonal
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    m, n = lens_a[:, None], lens_b[:, None]
+
+    # diag_0: D[0,0] = 0 at j=0
+    prev = jnp.where(pos == 0, 0, _BIG) * jnp.ones((B, 1), jnp.int32)
+    prev2 = jnp.full((B, N + 1), _BIG, jnp.int32)
+    # m + n == 0: the scan never reaches d == m+n, so seed the answer
+    ans0 = jnp.where((lens_a + lens_b) == 0, 0, _BIG)
+    fit0 = jnp.where(lens_a == 0, 0, _BIG)  # D[0, 0] for the fit running-min
+    endj0 = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, d):
+        prev, prev2, ans, fit, endj = carry
+        a_diag = jax.lax.dynamic_slice_in_dim(arp, N + 1 + M - d, N + 1, -1)
+        sub = jnp.where(a_diag == bsh, 0, mismatch)
+        diag = jnp.minimum(
+            jnp.minimum(prev + gap, _shift1(prev, _BIG) + gap),
+            _shift1(prev2, _BIG) + sub,
+        )
+        # boundaries: D[d, 0] = d*gap; D[0, d] = d*gap (0 when ends_free_b)
+        diag = jnp.where(pos == 0, d * gap, diag)
+        row0 = jnp.int32(0) if ends_free_b else d * gap
+        diag = jnp.where(pos == d, row0, diag)
+        if ends_free_b:
+            # cell (i=m, j=d-m) lives on this diagonal once
+            jm = d - m
+            at = (pos == jm) & (jm >= 0) & (pos <= n)
+            v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+            better = v < fit
+            fit = jnp.minimum(fit, v)
+            endj = jnp.where(better, jnp.squeeze(jm, -1), endj)
+        else:
+            at = (pos == n) & (d == (m + n))
+            v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+            ans = jnp.minimum(ans, v)
+        return (diag, prev, ans, fit, endj), None
+
+    (prev, prev2, ans, fit, endj), _ = jax.lax.scan(
+        step,
+        (prev, prev2, ans0, fit0, endj0),
+        jnp.arange(1, M + N + 1, dtype=jnp.int32),
+    )
+    if ends_free_b:
+        return fit, endj
+    return ans, lens_b
+
+
+def edit_distance(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+) -> jax.Array:
+    """Levenshtein distance per pair (a[i] vs b[i]): [B] int32."""
+    d, _ = _distance_wavefront(words_a, lens_a, words_b, lens_b, 1, 1)
+    return d
+
+
+def global_distance(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+) -> jax.Array:
+    """Weighted global alignment cost (Needleman-Wunsch in distance form)."""
+    d, _ = _distance_wavefront(words_a, lens_a, words_b, lens_b, mismatch, gap)
+    return d
+
+
+def fit_distance(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fitting alignment: all of `a` against the best-matching substring of
+    `b` (free start/end in `b` only). Returns (cost [B], end_j [B]) where
+    end_j is one past the substring's end; ties prefer the smallest end_j.
+    """
+    return _distance_wavefront(
+        words_a, lens_a, words_b, lens_b, mismatch, gap, ends_free_b=True
+    )
+
+
+@jax.jit
+def sw_score(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    match=2,
+    mismatch=-3,
+    gap_open=-5,
+    gap_extend=-2,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Affine-gap Smith-Waterman (Gotoh) local alignment score per pair.
+
+    Returns (score [B], end_i [B], end_j [B]): the best local score and the
+    1-based end offsets of the optimal local alignment in a and b. Empty
+    alignment scores 0 with ends (0, 0). Ties: smallest i+j, then smallest
+    j (mirrored exactly by the oracle in tests/test_align.py).
+
+    gap_open is the cost of a gap's FIRST base (a length-1 gap costs
+    gap_open), gap_extend each additional base — all four params traced,
+    so changing them does not recompile.
+    """
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    match = jnp.asarray(match, jnp.int32)
+    mismatch = jnp.asarray(mismatch, jnp.int32)
+    gap_open = jnp.asarray(gap_open, jnp.int32)
+    gap_extend = jnp.asarray(gap_extend, jnp.int32)
+    a = _codes(words_a, lens_a, _PAD_A)
+    b = _codes(words_b, lens_b, _PAD_B)
+    B, M = a.shape
+    N = b.shape[-1]
+    pos = jnp.arange(N + 1, dtype=jnp.int32)
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    m, n = lens_a[:, None], lens_b[:, None]
+
+    h_prev = jnp.zeros((B, N + 1), jnp.int32)  # H[0, j] = 0
+    h_prev2 = jnp.zeros((B, N + 1), jnp.int32)
+    e_prev = jnp.full((B, N + 1), -_BIG, jnp.int32)
+    f_prev = jnp.full((B, N + 1), -_BIG, jnp.int32)
+    best = jnp.zeros((B,), jnp.int32)
+    end_i = jnp.zeros((B,), jnp.int32)
+    end_j = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, d):
+        h_prev, h_prev2, e_prev, f_prev, best, end_i, end_j = carry
+        a_diag = jax.lax.dynamic_slice_in_dim(arp, N + 1 + M - d, N + 1, -1)
+        s = jnp.where(a_diag == bsh, match, mismatch)
+        e = jnp.maximum(
+            _shift1(h_prev, -_BIG) + gap_open, _shift1(e_prev, -_BIG) + gap_extend
+        )
+        f = jnp.maximum(h_prev + gap_open, f_prev + gap_extend)
+        h = jnp.maximum(
+            jnp.maximum(_shift1(h_prev2, -_BIG) + s, jnp.int32(0)),
+            jnp.maximum(e, f),
+        )
+        # boundary rows/columns: H = 0, no inherited gap state
+        edge = (pos == 0) | (pos == d)
+        h = jnp.where(edge, 0, h)
+        e = jnp.where(edge, -_BIG, e)
+        f = jnp.where(edge, -_BIG, f)
+
+        i = d - pos
+        in_range = (pos >= 1) & (pos <= n) & (i >= 1) & (i <= m)
+        hm = jnp.where(in_range, h, -1)
+        row_best = jnp.max(hm, axis=-1)
+        # smallest j on this diagonal attaining row_best (masked-min idiom)
+        row_j = jnp.min(
+            jnp.where(hm == row_best[:, None], pos, jnp.int32(N + 1)), axis=-1
+        )
+        upd = row_best > best  # strict: earlier d wins ties
+        best = jnp.maximum(best, row_best)
+        end_j = jnp.where(upd, row_j, end_j)
+        end_i = jnp.where(upd, d - row_j, end_i)
+        return (h, h_prev, e, f, best, end_i, end_j), None
+
+    (h_prev, h_prev2, e_prev, f_prev, best, end_i, end_j), _ = jax.lax.scan(
+        step,
+        (h_prev, h_prev2, e_prev, f_prev, best, end_i, end_j),
+        jnp.arange(1, M + N + 1, dtype=jnp.int32),
+    )
+    return best, end_i, end_j

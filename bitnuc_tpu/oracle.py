@@ -229,3 +229,85 @@ def u32_to_u64(lanes) -> np.ndarray:
     """Inverse of u64_to_u32."""
     lanes = np.ascontiguousarray(np.asarray(lanes, dtype=np.uint32))
     return lanes.view(U64)
+
+
+def edit_distance(a, b) -> int:
+    """Levenshtein distance between two byte strings (full DP)."""
+    a, b = _as_bytes(a), _as_bytes(b)
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def global_distance(a, b, mismatch: int = 1, gap: int = 1) -> int:
+    """Weighted global alignment cost (NW distance form)."""
+    a, b = _as_bytes(a), _as_bytes(b)
+    prev = [j * gap for j in range(len(b) + 1)]
+    for i in range(1, len(a) + 1):
+        cur = [i * gap] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + gap,
+                cur[j - 1] + gap,
+                prev[j - 1] + (0 if a[i - 1] == b[j - 1] else mismatch),
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def fit_distance(a, b, mismatch: int = 1, gap: int = 1) -> Tuple[int, int]:
+    """Fitting alignment: all of `a` vs the best substring of `b`.
+    Returns (cost, end_j) with end_j one past the substring end; ties
+    prefer the smallest end_j (matches ops.align.fit_distance)."""
+    a, b = _as_bytes(a), _as_bytes(b)
+    prev = [0] * (len(b) + 1)  # D[0, j] = 0: free start in b
+    for i in range(1, len(a) + 1):
+        cur = [i * gap] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + gap,
+                cur[j - 1] + gap,
+                prev[j - 1] + (0 if a[i - 1] == b[j - 1] else mismatch),
+            )
+        prev = cur
+    best = min(prev)
+    return best, prev.index(best)
+
+
+def sw_score(
+    a,
+    b,
+    match: int = 2,
+    mismatch: int = -3,
+    gap_open: int = -5,
+    gap_extend: int = -2,
+) -> Tuple[int, int, int]:
+    """Affine-gap Smith-Waterman (Gotoh) score with the tie-break contract
+    of ops.align.sw_score: (score, end_i, end_j), ties -> smallest i+j,
+    then smallest j. Empty alignment -> (0, 0, 0)."""
+    a, b = _as_bytes(a), _as_bytes(b)
+    NEG = -(1 << 30)
+    m, n = len(a), len(b)
+    h = [[0] * (n + 1) for _ in range(m + 1)]
+    e = [[NEG] * (n + 1) for _ in range(m + 1)]
+    f = [[NEG] * (n + 1) for _ in range(m + 1)]
+    best, bi, bj = 0, 0, 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            e[i][j] = max(h[i][j - 1] + gap_open, e[i][j - 1] + gap_extend)
+            f[i][j] = max(h[i - 1][j] + gap_open, f[i - 1][j] + gap_extend)
+            s = match if a[i - 1] == b[j - 1] else mismatch
+            h[i][j] = max(0, h[i - 1][j - 1] + s, e[i][j], f[i][j])
+            if h[i][j] > best or (
+                h[i][j] == best and (i + j, j) < (bi + bj, bj)
+            ):
+                best, bi, bj = h[i][j], i, j
+    return best, bi, bj

@@ -201,3 +201,26 @@ def test_cli_correct_self_and_n(tmp_path, capsys, rng):
     assert seqs[len(clean)] == t  # error fixed from self-built table
     assert seqs[len(clean) + 1] == withn  # N kept verbatim
     assert seqs[:3] == clean[:3]  # clean reads untouched
+
+
+def test_cli_align_modes(tmp_path, capsys, rng):
+    ref = random_seq(rng, 150).upper()
+    q = ref[40:90]
+    q_mut = q[:20] + q[21:]  # one deletion
+    qp = _write_fastq(tmp_path / "q.fq", [q, q_mut])
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+
+    assert cli.main(["align", qp, tp, "--mode", "fit"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2  # single target broadcasts
+    assert int(rows[0][2]) == 0 and int(rows[0][3]) == 90  # exact, ends at 90
+    assert int(rows[1][2]) == 1  # one gap
+
+    assert cli.main(["align", qp, tp, "--mode", "edit"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert int(rows[0][2]) == oracle.edit_distance(q, ref)
+
+    assert cli.main(["align", "ACGTACGTAA", "ACGGACGTAA", "--mode", "local"]) == 0
+    row = capsys.readouterr().out.strip().split("\t")
+    want = oracle.sw_score(b"ACGTACGTAA", b"ACGGACGTAA")
+    assert (int(row[2]), int(row[3]), int(row[4])) == want
