@@ -66,10 +66,13 @@ def encode_reads_xla(
     in_range = pos < lengths[..., None]
 
     invalid = jnp.logical_and(~bitops.ascii_is_valid(ascii_u8), in_range)
-    any_bad = jnp.any(invalid, axis=-1)
-    first_bad = jnp.where(
-        any_bad, jnp.argmax(invalid, axis=-1).astype(jnp.int32), jnp.int32(-1)
-    )
+    # first_bad via ONE single-value max reduce: argmax/any are variadic
+    # reduces that serialize their fused operand chain on TPU. Encoding the
+    # leftmost invalid position as max(L - pos) makes validation ~free
+    # (probe_encode8: 21.9 vs 22.2 Gbases/s unvalidated vs 20.9 any+argmax;
+    # optimization_barrier variants all slower — see docs/DESIGN.md §5).
+    enc = jnp.max(jnp.where(invalid, L - pos, 0), axis=-1)
+    first_bad = jnp.where(enc > 0, L - enc, -1).astype(jnp.int32)
 
     codes = jnp.where(in_range, bitops.ascii_to_code(ascii_u8), 0)
     codes = _pad_minor(codes, W * bitops.BASES_PER_WORD)
