@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -307,6 +308,43 @@ def bench_align(batch=1024, qlen=256, tlen=256):
     return batch * qlen * tlen / t
 
 
+def bench_map(batch=4096, read_len=150, genome_mb=4):
+    """Minimizer read mapping (seed -> vote -> fit extension): reads
+    mapped/sec against a random genome (planted reads, so the hot path —
+    vote + double fit — is fully exercised)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bitnuc_tpu import mapper
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    rng = np.random.default_rng(11)
+    n = genome_mb << 20
+    ref = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+    idx = mapper.MinimizerIndex.build(ref, k=15, w=10)
+    starts = rng.integers(0, n - read_len, size=batch)
+    arr = np.stack(
+        [np.frombuffer(ref[s : s + read_len], np.uint8) for s in starts]
+    )
+    from bitnuc_tpu.sequence import PackedReads
+
+    reads = PackedReads.from_ascii(arr, lengths=np.full(batch, read_len, np.int32))
+    t_keys = jnp.asarray(idx.keys)
+    t_pos = jnp.asarray(idx.pos)
+    ref_words = jnp.asarray(idx.ref_words)
+
+    def make(key):
+        return (reads.words, reads.lengths, t_keys, t_pos, ref_words,
+                jnp.full((), idx.ref_len, jnp.int32))
+
+    fn = partial(
+        mapper._map_core, k=idx.k, w=idx.w, bin_bits=5, pad=32, mismatch=1, gap=1
+    )
+    t = amortized_seconds_per_call(fn, make)
+    return batch / t
+
+
 def bench_memcpy(mbytes=128):
     """Device xor-copy calibration: effective GB/s (read+write)."""
     import jax
@@ -411,6 +449,7 @@ def main():
                 "kmers/s",
             ),
             ("sw_align_cells_per_sec_chip", bench_align(), "cells/s"),
+            ("reads_mapped_per_sec_chip", bench_map(), "reads/s"),
             ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),
             ("fastq_pipeline_python_bases_per_sec", bench_pipeline(staged=False), "bases/s"),
             ("device_xor_copy_bandwidth", bench_memcpy(), "GB/s"),

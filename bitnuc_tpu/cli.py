@@ -554,6 +554,71 @@ def cmd_align(args) -> int:
     return 0
 
 
+def cmd_map(args) -> int:
+    """Minimizer-index read mapping; PAF output (mapped reads only unless
+    --all). Multi-contig FASTA targets are indexed as one concatenation;
+    coordinates are converted back per contig on output."""
+    import os
+
+    import numpy as np
+
+    from . import io as bnio
+    from . import mapper
+
+    tnames, contigs = bnio._split_records_fasta(bnio._read_bytes(args.ref))
+    if not contigs:
+        raise SystemExit(f"{args.ref}: no FASTA records")
+    clens = np.array([len(c) for c in contigs], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(clens)])
+    if args.index and os.path.exists(args.index):
+        idx = mapper.MinimizerIndex.load(args.index)
+    else:
+        idx = mapper.MinimizerIndex.build(
+            b"".join(contigs).upper(), k=args.k, w=args.w, max_occ=args.max_occ
+        )
+        if args.index:
+            idx.save(args.index)
+
+    reader = (
+        bnio.read_fasta if _sniff_format(args.path) == "fasta" else bnio.read_fastq
+    )
+    qnames, reads = reader(args.path, validate=False)  # N bases = mismatches
+    res = mapper.map_reads(
+        idx,
+        reads,
+        min_seeds=args.min_seeds,
+        mismatch=args.mismatch_cost,
+        gap=args.gap_cost,
+    )
+    qlens = np.asarray(reads.lengths)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i, qn in enumerate(qnames):
+            if not res["mapped"][i] and not args.all:
+                continue
+            ql = int(qlens[i])
+            if res["mapped"][i]:
+                s, e = int(res["ref_start"][i]), int(res["ref_end"][i])
+                c = int(np.searchsorted(offsets, s, "right")) - 1
+                tn = tnames[c].decode()
+                tl = int(clens[c])
+                ts = s - int(offsets[c])
+                te = min(e - int(offsets[c]), tl)
+                nmatch = max(ql - int(res["cost"][i]), 0)
+                mapq = min(60, 2 * int(res["support"][i]))
+                strand = res["strand"][i].decode()
+            else:
+                tn, tl, ts, te, nmatch, mapq, strand = "*", 0, 0, 0, 0, 0, "+"
+            out.write(
+                f"{qn.decode()}\t{ql}\t0\t{ql}\t{strand}\t{tn}\t{tl}"
+                f"\t{ts}\t{te}\t{nmatch}\t{te - ts}\t{mapq}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -754,6 +819,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global/fit: per-base gap cost")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser(
+        "map",
+        help="map reads to a reference with a minimizer index "
+        "(seed -> diagonal vote -> wavefront fit extension); PAF output",
+    )
+    p.add_argument("ref", help="reference FASTA (multi-contig ok)")
+    p.add_argument("path", help="reads FASTA/FASTQ[.gz]")
+    p.add_argument("-k", type=int, default=15, help="minimizer k (<= 15)")
+    p.add_argument("-w", type=int, default=10, help="minimizer window")
+    p.add_argument("--max-occ", type=int, default=8,
+                   help="drop index keys with more reference occurrences")
+    p.add_argument("--min-seeds", type=int, default=2,
+                   help="diagonal votes required to call a read mapped")
+    p.add_argument("--mismatch-cost", type=int, default=1)
+    p.add_argument("--gap-cost", type=int, default=1)
+    p.add_argument("--index", default=None,
+                   help="load the index from this .npz if present, else "
+                   "build and save it here")
+    p.add_argument("--all", action="store_true",
+                   help="also print unmapped reads (target '*')")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_map)
 
     p = sub.add_parser(
         "correct",

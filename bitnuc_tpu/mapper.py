@@ -1,0 +1,458 @@
+"""Minimizer-index read mapping (seed -> vote -> extend) on TPU.
+
+The reference library stops at fixed-frame comparison — `hdist` over
+equal-length packed buffers (/root/reference/src/utils/functions/
+hamming/multi.rs:122-160). A complete nucleotide toolkit also needs the
+workload those primitives exist FOR: placing reads on a reference. This
+module is a minimap2-class short-read mapper built entirely from the
+codebase's TPU idioms — no scatter, no variadic reduce, no
+data-dependent control flow, one gather whose cost is bounded by design:
+
+1. SEEDS — (w,k)-minimizers with positions (`ops.kmer.minimizer_positions`
+   + `minimizer_sketch_mask`), the same sketch construction the sketching
+   ops use. k <= 15 keeps the 0xFFFFFFFF sentinel unambiguous.
+2. INDEX — one device pass builds a table of DISTINCT minimizer keys with
+   up to `max_occ` reference positions per key. Occurrence columns come
+   from STATIC left-shifts of the (key, pos)-sorted seed array (the rank-i
+   occurrence of a run sits exactly i slots after the run start), run
+   lengths from the scan-free boundary machinery (docs/DESIGN.md §4);
+   keys occurring more than `max_occ` times are dropped whole (repeat
+   masking, as in minimap2's frequency filter). No scatter anywhere.
+3. JOIN — queries meet the table through ONE sort of
+   [table keys ++ query keys] with a tag tiebreak. Because table keys are
+   distinct and ascending, the matching table ROW INDEX is a monotone
+   sequence recoverable by `lax.cummax` (a pointer forward-fill, validated
+   by a cummax key-fill) — the general segmented value-broadcast problem
+   never arises. A second sort un-permutes, then a single bounded gather
+   ([B, L] rows x max_occ contiguous columns) fetches candidate
+   positions. Everything else is elementwise.
+4. VOTE — candidate diagonals (ref_pos - read_pos) are sorted row-wise
+   and the longest run of equal diagonal BINS wins (two half-shifted
+   quantization phases so bands straddling a bin edge are not split).
+   Run lengths reuse the reverse-cummin trick; winners are extracted with
+   masked single-value reduces only (no argmax, docs/DESIGN.md §2).
+5. EXTEND — the winning strand's read is aligned to a word-aligned
+   reference window around the winning diagonal with the wavefront
+   fitting alignment (`ops.align.fit_distance`, free ends in the window
+   absorb the word-alignment slack): one forward pass gives the exact
+   end + cost, one pass on reversed operands gives the exact start.
+
+Strand handling: seeds+votes run for the read and its reverse complement
+(`ops.revcomp.reverse_complement_reads`); the higher-support strand is
+extended. Coordinates are always forward-reference (PAF convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import align as align_ops
+from .ops import kmer as kmer_ops
+from .ops import revcomp as revcomp_ops
+from .utils import bitops
+
+_SENT = np.uint32(0xFFFFFFFF)
+_BIG = np.int32(2**30)
+_DOFF = np.int32(1 << 20)  # makes diagonals nonnegative before binning
+
+
+# --------------------------------------------------------------------------
+# index build
+# --------------------------------------------------------------------------
+
+
+def _shift_head(x: jax.Array, m: int, fill) -> jax.Array:
+    """x[i + m] with `fill` past the end (static left shift)."""
+    if m == 0:
+        return x
+    return jnp.concatenate([x[m:], jnp.full((m,), fill, x.dtype)])
+
+
+@partial(jax.jit, static_argnames=("k", "w", "max_occ"))
+def _build_table(words, length, k: int, w: int, max_occ: int):
+    """Distinct-key minimizer table from one packed sequence.
+
+    Returns (keys [N] u32 with the distinct keys sorted first and sentinel
+    padding after, pos [N, max_occ] i32 with -1 padding, nocc [N] i32).
+    Keys with more than max_occ reference occurrences are dropped whole.
+    """
+    vals, pos, valid = kmer_ops.minimizer_positions(words, length, k, w)
+    sel = kmer_ops.minimizer_sketch_mask(pos, valid)
+    keys = jnp.where(sel, vals, _SENT).reshape(-1)
+    rpos = jnp.where(sel, pos, _BIG).reshape(-1).astype(jnp.int32)
+
+    keys_s, pos_s = jax.lax.sort((keys, rpos), num_keys=2)
+    N = keys_s.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
+    )
+    # next boundary strictly after i == run end for every row of the run
+    at_or_after = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(first, idx, jnp.int32(N))))
+    )
+    run_end = jnp.concatenate([at_or_after[1:], jnp.full((1,), N, jnp.int32)])
+    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    run_len = run_end - run_start
+
+    keep = (keys_s != _SENT) & (run_len <= max_occ)
+    start = first & keep
+    cols = [
+        jnp.where(start & (i < run_len), _shift_head(pos_s, i, _BIG), -1)
+        for i in range(max_occ)
+    ]
+    skey = jnp.where(start, keys_s, _SENT)
+    nocc = jnp.where(start, run_len, 0)
+    out = jax.lax.sort(tuple([skey] + cols + [nocc]), num_keys=1)
+    return out[0], jnp.stack(out[1:-1], axis=-1), out[-1]
+
+
+class MinimizerIndex:
+    """Reference minimizer index: distinct sorted keys, <= max_occ forward
+    positions each, plus the packed reference for extension windows."""
+
+    def __init__(self, keys, pos, nocc, ref_words, ref_len, k, w, max_occ):
+        self.keys = np.asarray(keys, np.uint32)  # [Nk] sorted distinct
+        self.pos = np.asarray(pos, np.int32)  # [Nk, max_occ], -1 padded
+        self.nocc = np.asarray(nocc, np.int32)  # [Nk]
+        self.ref_words = np.asarray(ref_words, np.uint32)  # [Wr]
+        self.ref_len = int(ref_len)
+        self.k, self.w, self.max_occ = int(k), int(w), int(max_occ)
+
+    @classmethod
+    def build(
+        cls,
+        ref: Union[bytes, np.ndarray],
+        k: int = 15,
+        w: int = 10,
+        max_occ: int = 8,
+        ref_len: Optional[int] = None,
+    ) -> "MinimizerIndex":
+        """Build from an ASCII reference (bytes) or packed words + ref_len."""
+        assert 1 <= k <= 15, "minimizer keys must leave sentinel headroom"
+        assert w >= 1 and max_occ >= 1
+        if isinstance(ref, (bytes, bytearray)):
+            from .sequence import PackedReads
+
+            # validate=False: assemblies carry N/ambiguity bytes, which the
+            # arithmetic ASCII map folds onto ACGT codes — their windows
+            # become ordinary (non-matching) seeds, the standard N-masking
+            # compromise for sketch indexes
+            packed = PackedReads.from_ascii([bytes(ref).upper()], validate=False)
+            words = packed.words
+            n = int(packed.lengths[0])
+        else:
+            words = jnp.asarray(ref, jnp.uint32).reshape(1, -1)
+            n = int(ref_len)
+        keys, pos, nocc = _build_table(
+            words, jnp.array([n], jnp.int32), k, w, max_occ
+        )
+        keys = np.asarray(keys)
+        live = int((keys != _SENT).sum())
+        return cls(
+            keys[:live],
+            np.asarray(pos)[:live],
+            np.asarray(nocc)[:live],
+            np.asarray(words)[0],
+            n,
+            k,
+            w,
+            max_occ,
+        )
+
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path,
+            keys=self.keys,
+            pos=self.pos,
+            nocc=self.nocc,
+            ref_words=self.ref_words,
+            meta=np.array(
+                [self.ref_len, self.k, self.w, self.max_occ], np.int64
+            ),
+        )
+
+    @classmethod
+    def load(cls, path) -> "MinimizerIndex":
+        z = np.load(path)
+        ref_len, k, w, max_occ = (int(v) for v in z["meta"])
+        return cls(
+            z["keys"], z["pos"], z["nocc"], z["ref_words"], ref_len, k, w, max_occ
+        )
+
+    def __len__(self) -> int:
+        return int(self.keys.shape[0])
+
+
+# --------------------------------------------------------------------------
+# query
+# --------------------------------------------------------------------------
+
+
+def _seed_candidates(words, lengths, t_keys, t_pos, k: int, w: int):
+    """Candidate diagonals for every read: [B, L, max_occ] int32
+    (ref_pos - read_pos + _DOFF; _BIG where there is no candidate)."""
+    B = words.shape[0]
+    vals, pos, valid = kmer_ops.minimizer_positions(words, lengths, k, w)
+    sel = kmer_ops.minimizer_sketch_mask(pos, valid)
+    qk = jnp.where(sel, vals, _SENT)  # [B, L]
+    qp = jnp.where(sel, pos, 0).astype(jnp.int32)
+    L = qk.shape[-1]
+    Q = B * L
+    Nk = t_keys.shape[0]
+
+    key_all = jnp.concatenate([t_keys, qk.reshape(-1)])
+    tag = jnp.concatenate(
+        [jnp.zeros(Nk, jnp.uint32), jnp.ones(Q, jnp.uint32)]
+    )
+    ptr = jnp.concatenate(
+        [jnp.arange(Nk, dtype=jnp.int32), jnp.full(Q, -1, jnp.int32)]
+    )
+    orig = jnp.concatenate(
+        [jnp.full(Nk, Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
+    )
+    k_s, _, ptr_s, orig_s = jax.lax.sort((key_all, tag, ptr, orig), num_keys=2)
+
+    # table rows are distinct + ascending, so "my key's table row" is a
+    # monotone pointer forward-fill; the key forward-fill validates it
+    tptr = jax.lax.cummax(ptr_s)
+    kfill = jax.lax.cummax(jnp.where(ptr_s >= 0, k_s, 0))
+    ok = (tptr >= 0) & (kfill == k_s) & (k_s != _SENT)
+    tptr = jnp.where(ok, tptr, Nk)  # Nk = all-miss dummy row
+
+    _, tptr_u = jax.lax.sort((orig_s, tptr), num_keys=1)
+    tq = tptr_u[:Q].reshape(B, L)
+
+    pos_pad = jnp.concatenate(
+        [t_pos, jnp.full((1, t_pos.shape[1]), -1, jnp.int32)]
+    )
+    cand = jnp.take(pos_pad, tq, axis=0)  # [B, L, max_occ] — THE one gather
+    diag = jnp.where(
+        cand >= 0, cand - qp[..., None] + _DOFF, _BIG
+    )
+    return diag.reshape(B, -1)
+
+
+def _vote(diag: jax.Array, bin_bits: int) -> Tuple[jax.Array, jax.Array]:
+    """Longest same-bin run per read over two half-shifted quantization
+    phases. diag [B, M] (_BIG = no candidate). Returns (support [B],
+    best_diag [B] — the smallest raw diagonal inside the winning bin;
+    _BIG when a read has no candidates at all)."""
+    d = jnp.sort(diag, axis=-1)
+    B, M = d.shape
+    idx = jnp.arange(M, dtype=jnp.int32)
+    half = np.int32(1 << (bin_bits - 1)) if bin_bits > 0 else np.int32(0)
+
+    best_sup = jnp.zeros((B,), jnp.int32)
+    best_lo = jnp.full((B,), _BIG, jnp.int32)
+    for off in (np.int32(0), half):
+        q = (d + off) >> bin_bits  # monotone in d: one sort serves both
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), q[:, 1:] != q[:, :-1]], axis=-1
+        )
+        run_end = jnp.flip(
+            jax.lax.cummin(
+                jnp.flip(
+                    jnp.where(
+                        jnp.concatenate(
+                            [first[:, 1:], jnp.ones((B, 1), bool)], axis=-1
+                        ),
+                        idx + 1,
+                        jnp.int32(M),
+                    ),
+                    axis=-1,
+                ),
+                axis=1,
+            ),
+            axis=-1,
+        )
+        run_len = jnp.where(first & (d != _BIG), run_end - idx, 0)
+        sup = jnp.max(run_len, axis=-1)
+        # winning bin = smallest bin attaining sup (masked-min, no argmax)
+        win_bin = jnp.min(
+            jnp.where(run_len == sup[:, None], q, _BIG), axis=-1
+        )
+        lo = jnp.min(
+            jnp.where((q == win_bin[:, None]) & (d != _BIG), d, _BIG), axis=-1
+        )
+        better = sup > best_sup
+        best_lo = jnp.where(better, lo, best_lo)
+        best_sup = jnp.maximum(best_sup, sup)
+    return best_sup, best_lo
+
+
+def _reverse_reads(words: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Reverse WITHOUT complement: complement-then-revcomp (both bit-local)."""
+    W = words.shape[-1]
+    comp = words ^ bitops.word_valid_mask(W, jnp.asarray(lengths, jnp.int32))
+    return revcomp_ops.reverse_complement_reads(comp, lengths)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "w", "bin_bits", "pad", "mismatch", "gap"),
+)
+def _map_core(
+    words,
+    lengths,
+    t_keys,
+    t_pos,
+    ref_words,
+    ref_len,
+    k: int,
+    w: int,
+    bin_bits: int,
+    pad: int,
+    mismatch: int,
+    gap: int,
+):
+    B, W = words.shape
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    rc_words = revcomp_ops.reverse_complement_reads(words, lengths)
+    diag_f = _seed_candidates(words, lengths, t_keys, t_pos, k, w)
+    diag_r = _seed_candidates(rc_words, lengths, t_keys, t_pos, k, w)
+    sup_f, lo_f = _vote(diag_f, bin_bits)
+    sup_r, lo_r = _vote(diag_r, bin_bits)
+
+    use_rc = sup_r > sup_f
+    support = jnp.maximum(sup_f, sup_r)
+    d0 = jnp.where(use_rc, lo_r, lo_f) - _DOFF  # est. forward ref start
+    q_words = jnp.where(use_rc[:, None], rc_words, words)
+
+    # word-aligned window [ws*16, ws*16 + Wwin*16) around the diagonal;
+    # fit alignment's free ends absorb the <=15-base alignment slack
+    Lb = W * bitops.BASES_PER_WORD
+    Wwin = (Lb + 2 * pad) // bitops.BASES_PER_WORD + 1
+    ws = jnp.clip(d0 - pad, 0, jnp.maximum(ref_len - 1, 0)) // 16
+    ref_pad = jnp.concatenate(
+        [ref_words, jnp.zeros((Wwin,), jnp.uint32)]
+    )
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ref_pad, (s,), (Wwin,))
+    )(ws)
+    wlen = jnp.clip(ref_len - ws * 16, 0, Wwin * 16).astype(jnp.int32)
+
+    cost, endj = align_ops.fit_distance(
+        q_words, lengths, win, wlen, mismatch, gap
+    )
+    # exact start: the same fit on reversed operands
+    _, endj_rev = align_ops.fit_distance(
+        _reverse_reads(q_words, lengths),
+        lengths,
+        _reverse_reads(win, wlen),
+        wlen,
+        mismatch,
+        gap,
+    )
+    ref_end = ws * 16 + endj
+    ref_start = ws * 16 + (wlen - endj_rev)
+    return support, use_rc, ref_start, ref_end, cost
+
+
+def map_reads(
+    index: MinimizerIndex,
+    reads,
+    min_seeds: int = 2,
+    bin_bits: int = 5,
+    pad: int = 32,
+    mismatch: int = 1,
+    gap: int = 1,
+) -> dict:
+    """Map a PackedReads batch against a MinimizerIndex.
+
+    Returns numpy arrays (one entry per read):
+      mapped    bool  — at least min_seeds diagonal votes agreed
+      strand    bytes '+'/'-' — reverse-complement reads map to '-'
+      ref_start int32 — forward-reference start (exact, from reversed fit)
+      ref_end   int32 — forward-reference end (one past; exact)
+      cost      int32 — fitting-alignment cost of the full read
+      support   int32 — seed votes on the winning diagonal band
+
+    Unmapped rows carry support/cost from the attempt but should be
+    ignored (ref coordinates are meaningless without seeds).
+    """
+    support, use_rc, ref_start, ref_end, cost = _map_core(
+        reads.words,
+        reads.lengths,
+        jnp.asarray(index.keys),
+        jnp.asarray(index.pos),
+        jnp.asarray(index.ref_words),
+        np.int32(index.ref_len),
+        index.k,
+        index.w,
+        bin_bits,
+        pad,
+        mismatch,
+        gap,
+    )
+    support = np.asarray(support)
+    return {
+        "mapped": support >= min_seeds,
+        "strand": np.where(np.asarray(use_rc), b"-", b"+"),
+        "ref_start": np.asarray(ref_start),
+        "ref_end": np.asarray(ref_end),
+        "cost": np.asarray(cost),
+        "support": support,
+    }
+
+
+def map_reads_sharded(
+    index: MinimizerIndex,
+    reads,
+    mesh,
+    axis: str = "data",
+    min_seeds: int = 2,
+    bin_bits: int = 5,
+    pad: int = 32,
+    mismatch: int = 1,
+    gap: int = 1,
+) -> dict:
+    """Data-parallel map_reads: reads sharded over `axis`, index replicated
+    on every device (the standard mapping fleet layout — the index is the
+    genome-sized constant, reads are the stream). Batch must divide the
+    mesh axis; results match map_reads exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    B = reads.words.shape[0]
+    assert B % n == 0, f"batch {B} must divide mesh axis {n}"
+
+    core = partial(
+        _map_core,
+        k=index.k,
+        w=index.w,
+        bin_bits=bin_bits,
+        pad=pad,
+        mismatch=mismatch,
+        gap=gap,
+    )
+    fn = jax.shard_map(
+        lambda wd, ln, tk, tp, rw, rl: core(wd, ln, tk, tp, rw, rl),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    support, use_rc, ref_start, ref_end, cost = fn(
+        reads.words,
+        jnp.asarray(reads.lengths, jnp.int32),
+        jnp.asarray(index.keys),
+        jnp.asarray(index.pos),
+        jnp.asarray(index.ref_words),
+        jnp.full((), index.ref_len, jnp.int32),
+    )
+    support = np.asarray(support)
+    return {
+        "mapped": support >= min_seeds,
+        "strand": np.where(np.asarray(use_rc), b"-", b"+"),
+        "ref_start": np.asarray(ref_start),
+        "ref_end": np.asarray(ref_end),
+        "cost": np.asarray(cost),
+        "support": support,
+    }

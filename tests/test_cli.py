@@ -224,3 +224,27 @@ def test_cli_align_modes(tmp_path, capsys, rng):
     row = capsys.readouterr().out.strip().split("\t")
     want = oracle.sw_score(b"ACGTACGTAA", b"ACGGACGTAA")
     assert (int(row[2]), int(row[3]), int(row[4])) == want
+
+
+def test_cli_map_paf(tmp_path, capsys, rng):
+    ref = random_seq(rng, 3000).upper()
+    q1 = ref[500:650]
+    q2 = ref[1200:1350][::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
+    junk = random_seq(rng, 150).upper()
+    qp = _write_fastq(tmp_path / "q.fq", [q1, q2, junk])
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+    ixp = str(tmp_path / "ref.idx.npz")
+
+    assert cli.main(["map", tp, qp, "-k", "13", "-w", "8", "--index", ixp]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2  # junk omitted without --all
+    assert [r[4] for r in rows] == ["+", "-"]
+    assert [(int(r[7]), int(r[8])) for r in rows] == [(500, 650), (1200, 1350)]
+    assert all(int(r[9]) == 150 for r in rows)  # exact: nmatch == qlen
+
+    import os
+
+    assert os.path.exists(ixp)  # saved; second run loads it
+    assert cli.main(["map", tp, qp, "--index", ixp, "--all"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and rows[2][5] == "*"  # junk row, unmapped

@@ -1,0 +1,146 @@
+"""Minimizer-index read mapper vs python oracles.
+
+Index build is checked for EXACT parity against a brute-force python
+(w,k)-minimizer dictionary (leftmost-min tie-break, max_occ repeat
+filter). Mapping is checked on planted reads where the right answer is
+known exactly: coordinates, strand, and cost of exact / mutated /
+reverse-complemented / boundary-overlapping / junk reads.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu import mapper, oracle
+from bitnuc_tpu.sequence import PackedReads
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def rc(s: bytes) -> bytes:
+    return s[::-1].translate(_RC)
+
+
+def naive_seed_table(seq: bytes, k: int, w: int, max_occ: int):
+    """{key: sorted positions} of the (w,k)-minimizer sketch, leftmost
+    tie-break, keys with more than max_occ occurrences dropped."""
+    n = len(seq)
+    kv = [oracle.as_2bit(seq[p : p + k]) for p in range(n - k + 1)]
+    seeds = set()
+    for s in range(len(kv) - w + 1):
+        win = kv[s : s + w]
+        m = min(win)
+        seeds.add((m, s + win.index(m)))
+    table = {}
+    for key, p in sorted(seeds):
+        table.setdefault(key, []).append(p)
+    return {key: ps for key, ps in table.items() if len(ps) <= max_occ}
+
+
+@pytest.mark.parametrize("k,w,max_occ", [(5, 4, 4), (13, 8, 8), (15, 10, 2)])
+def test_index_build_vs_naive(rng, k, w, max_occ):
+    ref = random_seq(rng, 700).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=k, w=w, max_occ=max_occ)
+    want = naive_seed_table(ref, k, w, max_occ)
+    assert idx.keys.tolist() == sorted(want)
+    for row, key in enumerate(idx.keys):
+        ps = want[int(key)]
+        assert idx.nocc[row] == len(ps)
+        assert idx.pos[row, : len(ps)].tolist() == ps
+        assert (idx.pos[row, len(ps) :] == -1).all()
+    assert (np.diff(idx.keys.astype(np.int64)) > 0).all()  # distinct sorted
+
+
+def test_index_save_load_roundtrip(tmp_path, rng):
+    ref = random_seq(rng, 400).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=11, w=6)
+    p = tmp_path / "idx.npz"
+    idx.save(p)
+    idx2 = mapper.MinimizerIndex.load(p)
+    assert (idx2.keys == idx.keys).all() and (idx2.pos == idx.pos).all()
+    assert (idx2.ref_words == idx.ref_words).all()
+    assert (idx2.ref_len, idx2.k, idx2.w, idx2.max_occ) == (
+        idx.ref_len,
+        idx.k,
+        idx.w,
+        idx.max_occ,
+    )
+
+
+def test_map_planted_reads_exact(rng):
+    ref = random_seq(rng, 5000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    reads = [
+        ref[1000:1150],  # exact +
+        rc(ref[2000:2150]),  # exact -
+        ref[3000:3100] + ref[3101:3151],  # one deletion
+        random_seq(rng, 150).upper(),  # junk
+        ref[:120],  # flush with ref start
+        ref[4880:],  # flush with ref end
+    ]
+    out = mapper.map_reads(idx, PackedReads.from_ascii(reads))
+    assert out["mapped"].tolist() == [True, True, True, False, True, True]
+    assert out["strand"][:3].tolist() == [b"+", b"-", b"+"]
+    assert out["ref_start"][[0, 1, 2, 4, 5]].tolist() == [1000, 2000, 3000, 0, 4880]
+    assert out["ref_end"][[0, 1, 2, 4, 5]].tolist() == [1150, 2150, 3151, 120, 5000]
+    assert out["cost"][[0, 1, 4, 5]].tolist() == [0, 0, 0, 0]
+    assert out["cost"][2] == 1
+    assert out["support"][3] < 2 and (out["support"][[0, 1, 2, 4, 5]] >= 2).all()
+
+
+def test_map_substitutions_cost(rng):
+    ref = random_seq(rng, 3000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    q = bytearray(ref[700:850])
+    for p in (30, 75, 120):  # spaced: minimizer seeds survive between them
+        q[p] = b"ACGT"[(b"ACGT".index(q[p : p + 1]) + 1) % 4]
+    out = mapper.map_reads(idx, PackedReads.from_ascii([bytes(q)]))
+    assert out["mapped"][0] and out["strand"][0] == b"+"
+    assert out["cost"][0] == 3
+    assert (out["ref_start"][0], out["ref_end"][0]) == (700, 850)
+
+
+def test_map_repeat_key_dropped_still_maps(rng):
+    unit = random_seq(rng, 60).upper()
+    ref = unit * 30 + random_seq(rng, 2000).upper()  # repeat + unique arm
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8, max_occ=4)
+    # a read from the unique arm maps exactly even though the repeat
+    # region's keys were frequency-dropped
+    q = ref[60 * 30 + 500 : 60 * 30 + 650]
+    out = mapper.map_reads(idx, PackedReads.from_ascii([q]))
+    assert out["mapped"][0] and out["cost"][0] == 0
+    assert out["ref_start"][0] == 60 * 30 + 500
+
+
+def test_map_short_and_seedless_reads(rng):
+    ref = random_seq(rng, 1000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    # shorter than k + w - 1: zero minimizer windows -> unmapped, support 0
+    out = mapper.map_reads(
+        idx, PackedReads.from_ascii([ref[100:115], ref[200:350]])
+    )
+    assert not out["mapped"][0] and out["support"][0] == 0
+    assert out["mapped"][1] and out["ref_start"][1] == 200
+
+
+def test_map_reads_sharded_matches_local(rng):
+    import jax
+
+    from bitnuc_tpu import parallel
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = parallel.make_mesh((8,), ("data",))
+    ref = random_seq(rng, 4000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    reads = []
+    for i in range(16):
+        s = int(rng.integers(0, 3800))
+        q = ref[s : s + 120]
+        reads.append(rc(q) if i % 3 == 0 else q)
+    pr = PackedReads.from_ascii(reads)
+    local = mapper.map_reads(idx, pr)
+    sharded = mapper.map_reads_sharded(idx, pr, mesh)
+    for f in ("mapped", "strand", "ref_start", "ref_end", "cost", "support"):
+        np.testing.assert_array_equal(sharded[f], local[f], err_msg=f)
