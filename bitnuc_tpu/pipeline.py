@@ -229,7 +229,6 @@ def count_fasta(
         return dacc.result() if dense else acc.to_dict()
     seg = min(seg, longest)
     width = seg + k - 1
-    buf = np.zeros(width, np.uint8)
 
     for contig in seqs:
         n = len(contig)
@@ -243,8 +242,13 @@ def count_fasta(
             L = len(chunk)
             if L < k:
                 continue  # tail shorter than a window: nothing to count
+            # FRESH buffer per segment: JAX's CPU backend zero-copy-aliases
+            # small host arrays into device buffers, so mutating a reused
+            # buffer here raced the previous segment's still-queued encode
+            # (observed: windows counted under neighboring keys, totals
+            # preserved — the count_fasta flake)
+            buf = np.zeros(width, np.uint8)
             buf[:L] = chunk
-            buf[L:] = 0
             lengths = np.array([L], np.int32)
             reads = PackedReads.from_ascii(
                 buf[None, :], lengths=lengths, validate=not skip,

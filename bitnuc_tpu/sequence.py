@@ -133,9 +133,16 @@ class PackedReads:
 
 
 def _rectangularize(seqs, lengths=None, max_len=None) -> Tuple[np.ndarray, np.ndarray]:
-    """Normalize host input into (uint8[batch, L], int32[batch])."""
+    """Normalize host input into (uint8[batch, L], int32[batch]).
+
+    ndarray inputs are COPIED: JAX's CPU backend zero-copy-aliases small
+    host arrays into device buffers, so handing a caller-owned array to
+    the device makes any later in-place mutation by the caller a data
+    race with still-queued computations (the count_fasta flake). A private
+    copy makes PackedReads.from_ascii safe by construction.
+    """
     if isinstance(seqs, np.ndarray) and seqs.ndim == 2:
-        arr = seqs.astype(np.uint8, copy=False)
+        arr = np.array(seqs, dtype=np.uint8)
         if max_len is not None and arr.shape[1] > int(max_len):
             arr = arr[:, : int(max_len)]
         if lengths is None:
