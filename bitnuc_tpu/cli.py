@@ -619,6 +619,62 @@ def cmd_map(args) -> int:
     return 0
 
 
+def cmd_call(args) -> int:
+    """map + gapless pileup + consensus/SNP calls. TSV: contig, 1-based
+    position, ref base, alt base, depth, alt support, allele fraction.
+    --consensus additionally writes the consensus FASTA."""
+    import numpy as np
+
+    from . import io as bnio
+    from . import mapper
+    from .ops import pileup
+
+    tnames, contigs = bnio._split_records_fasta(bnio._read_bytes(args.ref))
+    if not contigs:
+        raise SystemExit(f"{args.ref}: no FASTA records")
+    clens = np.array([len(c) for c in contigs], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(clens)])
+    idx = mapper.MinimizerIndex.build(
+        b"".join(contigs).upper(), k=args.k, w=args.w, max_occ=args.max_occ
+    )
+    reader = (
+        bnio.read_fasta if _sniff_format(args.path) == "fasta" else bnio.read_fastq
+    )
+    _, reads = reader(args.path, validate=False)
+    res = mapper.map_reads(idx, reads, min_seeds=args.min_seeds)
+    calls = pileup.call_variants(
+        idx,
+        reads,
+        res,
+        max_cost=args.max_cost,
+        min_depth=args.min_depth,
+        min_frac=args.min_frac,
+    )
+    base = b"ACGT"
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for j, p in enumerate(calls["variant_pos"]):
+            c = int(np.searchsorted(offsets, p, "right")) - 1
+            dp = int(calls["variant_depth"][j])
+            sup = int(calls["variant_support"][j])
+            out.write(
+                f"{tnames[c].decode()}\t{int(p - offsets[c]) + 1}"
+                f"\t{chr(base[calls['variant_ref'][j]])}"
+                f"\t{chr(base[calls['variant_alt'][j]])}"
+                f"\t{dp}\t{sup}\t{sup / dp:.3f}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    if args.consensus:
+        cons = np.frombuffer(base, np.uint8)[calls["consensus"]]
+        with open(args.consensus, "wb") as f:
+            for c, name in enumerate(tnames):
+                seq = cons[int(offsets[c]) : int(offsets[c + 1])].tobytes()
+                f.write(b">%s\n%s\n" % (name, seq))
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -842,6 +898,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also print unmapped reads (target '*')")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_map)
+
+    p = sub.add_parser(
+        "call",
+        help="map reads, pile up gaplessly, and call consensus/SNPs",
+    )
+    p.add_argument("ref", help="reference FASTA (multi-contig ok)")
+    p.add_argument("path", help="reads FASTA/FASTQ[.gz]")
+    p.add_argument("-k", type=int, default=15, help="minimizer k (<= 15)")
+    p.add_argument("-w", type=int, default=10, help="minimizer window")
+    p.add_argument("--max-occ", type=int, default=8)
+    p.add_argument("--min-seeds", type=int, default=2)
+    p.add_argument("--max-cost", type=int, default=8,
+                   help="exclude reads whose fit cost exceeds this "
+                   "(gapless pileup: keeps indel-rich reads out)")
+    p.add_argument("--min-depth", type=int, default=2)
+    p.add_argument("--min-frac", type=float, default=0.5,
+                   help="winning base fraction needed to call")
+    p.add_argument("--consensus", default=None,
+                   help="also write the consensus FASTA here")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_call)
 
     p = sub.add_parser(
         "correct",

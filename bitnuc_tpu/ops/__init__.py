@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     hamming,
     kmer,
     lookup,
+    pileup,
     revcomp,
     setops,
     split,

@@ -248,3 +248,28 @@ def test_cli_map_paf(tmp_path, capsys, rng):
     assert cli.main(["map", tp, qp, "--index", ixp, "--all"]) == 0
     rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 3 and rows[2][5] == "*"  # junk row, unmapped
+
+
+def test_cli_call_snp_and_consensus(tmp_path, capsys, rng):
+    ref = random_seq(rng, 2500).upper()
+    p0 = 1200
+    alt = b"ACGT"[(b"ACGT".index(ref[p0 : p0 + 1]) + 1) % 4 :][:1]
+    mutated = ref[:p0] + alt + ref[p0 + 1 :]
+    reads = [mutated[p0 - 90 + i * 20 : p0 + 50 + i * 20] for i in range(4)]
+    qp = _write_fastq(tmp_path / "q.fq", reads)
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+    consp = str(tmp_path / "cons.fa")
+
+    assert cli.main(
+        ["call", tp, qp, "-k", "13", "-w", "8", "--min-depth", "3",
+         "--min-frac", "0.8", "--consensus", consp]
+    ) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1
+    assert int(rows[0][1]) == p0 + 1  # 1-based
+    assert rows[0][2] == ref[p0 : p0 + 1].decode()
+    assert rows[0][3] == alt.decode()
+    assert int(rows[0][4]) == 4 and float(rows[0][6]) == 1.0
+
+    cons = open(consp, "rb").read().splitlines()[1]
+    assert cons[p0 : p0 + 1] == alt and cons[:p0] == ref[:p0]

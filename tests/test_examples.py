@@ -68,3 +68,9 @@ def test_sketch_compare():
     jac_rnd = float(out.split("unrelated)     = ")[1].split()[0])
     con = float(out.split("ref) = ")[1].split()[0])
     assert jac_mut > 0.4 and jac_rnd < 0.05 and con > 0.95, out
+
+
+def test_resequencing():
+    out = _run(["examples/resequencing.py", "20000", "600", "100"])
+    assert "resequencing example OK" in out, out
+    assert "spurious: 0" in out, out

@@ -1,0 +1,127 @@
+"""Pileup / consensus / SNP calling vs a per-read python oracle and
+planted-mutation end-to-end expectations."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu import mapper
+from bitnuc_tpu.ops import pileup
+from bitnuc_tpu.sequence import PackedReads
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def rc(s: bytes) -> bytes:
+    return s[::-1].translate(_RC)
+
+
+def naive_pileup(reads, starts, use_rc, keep, ref_len):
+    grid = np.zeros((ref_len, 4), np.int32)
+    code = {65: 0, 67: 1, 71: 2, 84: 3}
+    for r, s, f, k in zip(reads, starts, use_rc, keep):
+        if not k:
+            continue
+        seq = rc(r) if f else r
+        for i, b in enumerate(seq):
+            p = s + i
+            if 0 <= p < ref_len:
+                grid[p, code[b]] += 1
+    return grid
+
+
+def test_pileup_counts_vs_naive(rng):
+    ref_len = 300
+    reads, starts, flags, keeps = [], [], [], []
+    for i in range(40):
+        n = int(rng.integers(20, 80))
+        reads.append(random_seq(rng, n).upper())
+        starts.append(int(rng.integers(-30, ref_len + 10)))  # some hang off
+        flags.append(bool(i % 3 == 0))
+        keeps.append(bool(i % 7 != 0))
+    pr = PackedReads.from_ascii(reads)
+    got = np.asarray(
+        pileup.pileup_counts(
+            pr.words,
+            pr.lengths,
+            jnp.asarray(np.array(starts, np.int32)),
+            jnp.asarray(np.array(flags)),
+            jnp.asarray(np.array(keeps)),
+            ref_len,
+        )
+    )
+    np.testing.assert_array_equal(
+        got, naive_pileup(reads, starts, flags, keeps, ref_len)
+    )
+
+
+def test_consensus_calls_rules(rng):
+    ref = random_seq(rng, 64).upper()
+    pr = PackedReads.from_ascii([ref])
+    counts = np.zeros((64, 4), np.int32)
+    refc = [b"ACGT".index(ref[i : i + 1]) for i in range(64)]
+    counts[np.arange(64), refc] = 5  # uniform ref-agreeing depth 5
+    alt0 = (refc[10] + 1) % 4
+    counts[10, alt0] = 9  # clear variant
+    alt1 = (refc[20] + 1) % 4
+    counts[20, refc[20]] = 5
+    counts[20, alt1] = 4  # below min_frac (4/9) -> ref kept
+    counts[30] = 0
+    counts[30, (refc[30] + 2) % 4] = 1  # depth 1 < min_depth -> ref kept
+    cons, depth, is_var, support = map(
+        np.asarray,
+        pileup.consensus_calls(
+            jnp.asarray(counts), pr.words.reshape(-1), 2, 0.5
+        ),
+    )
+    assert is_var.sum() == 1 and is_var[10]
+    assert cons[10] == alt0 and support[10] == 9 and depth[10] == 14
+    assert cons[20] == refc[20] and cons[30] == refc[30]
+    assert (cons[np.arange(64) != 10] == np.array(refc)[np.arange(64) != 10]).all()
+
+
+def test_call_variants_end_to_end(rng):
+    ref = random_seq(rng, 3000).upper()
+    snp_pos, depth_each = 1500, 6
+    alt = b"ACGT"[(b"ACGT".index(ref[snp_pos : snp_pos + 1]) + 1) % 4 :][:1]
+    mutated = ref[:snp_pos] + alt + ref[snp_pos + 1 :]
+    reads = []
+    for i in range(depth_each):  # variant-carrying reads tile the SNP
+        s = snp_pos - 100 + i * 15
+        q = mutated[s : s + 140]
+        reads.append(rc(q) if i % 2 else q)
+    for i in range(4):  # ref-agreeing reads elsewhere
+        s = 300 + i * 50
+        reads.append(ref[s : s + 140])
+    pr = PackedReads.from_ascii(reads)
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    res = mapper.map_reads(idx, pr)
+    assert res["mapped"].all()
+    calls = pileup.call_variants(idx, pr, res, min_depth=3, min_frac=0.8)
+    assert calls["variant_pos"].tolist() == [snp_pos]
+    assert calls["variant_depth"][0] == depth_each
+    assert calls["variant_support"][0] == depth_each
+    assert bytes([b"ACGT"[calls["variant_alt"][0]]]) == alt
+    # consensus equals the mutated genome at the SNP, the reference
+    # everywhere reads disagree nowhere else
+    cons = calls["consensus"]
+    assert b"ACGT"[cons[snp_pos]] == alt[0]
+    refc = np.array([b"ACGT".index(ref[i : i + 1]) for i in range(3000)])
+    assert (cons[np.arange(3000) != snp_pos] == refc[np.arange(3000) != snp_pos]).all()
+
+
+def test_call_variants_cost_filter_excludes_indel_reads(rng):
+    ref = random_seq(rng, 2000).upper()
+    clean = ref[600:740]
+    indel = ref[1000:1060] + ref[1061:1141]  # deletion: would mis-pile
+    pr = PackedReads.from_ascii([clean, indel])
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    res = mapper.map_reads(idx, pr)
+    assert res["mapped"].all() and res["cost"][1] >= 1
+    calls = pileup.call_variants(idx, pr, res, max_cost=0, min_depth=1)
+    # only the clean read piles: depth 1 across [600, 740), zero elsewhere
+    assert calls["depth"][600:740].tolist() == [1] * 140
+    assert calls["depth"].sum() == 140
+    assert calls["variant_pos"].size == 0
