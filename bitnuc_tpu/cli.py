@@ -569,15 +569,15 @@ def cmd_map(args) -> int:
     if not contigs:
         raise SystemExit(f"{args.ref}: no FASTA records")
     clens = np.array([len(c) for c in contigs], np.int64)
-    offsets = np.concatenate([[0], np.cumsum(clens)])
     if args.index and os.path.exists(args.index):
         idx = mapper.MinimizerIndex.load(args.index)
     else:
-        idx = mapper.MinimizerIndex.build(
-            b"".join(contigs).upper(), k=args.k, w=args.w, max_occ=args.max_occ
+        idx = mapper.MinimizerIndex.build_multi(
+            contigs, k=args.k, w=args.w, max_occ=args.max_occ
         )
         if args.index:
             idx.save(args.index)
+    offsets = idx.contig_starts  # separator-aware concat coordinates
 
     reader = (
         bnio.read_fasta if _sniff_format(args.path) == "fasta" else bnio.read_fastq
@@ -633,10 +633,10 @@ def cmd_call(args) -> int:
     if not contigs:
         raise SystemExit(f"{args.ref}: no FASTA records")
     clens = np.array([len(c) for c in contigs], np.int64)
-    offsets = np.concatenate([[0], np.cumsum(clens)])
-    idx = mapper.MinimizerIndex.build(
-        b"".join(contigs).upper(), k=args.k, w=args.w, max_occ=args.max_occ
+    idx = mapper.MinimizerIndex.build_multi(
+        contigs, k=args.k, w=args.w, max_occ=args.max_occ
     )
+    offsets = idx.contig_starts
     reader = (
         bnio.read_fasta if _sniff_format(args.path) == "fasta" else bnio.read_fastq
     )
@@ -655,10 +655,13 @@ def cmd_call(args) -> int:
     try:
         for j, p in enumerate(calls["variant_pos"]):
             c = int(np.searchsorted(offsets, p, "right")) - 1
+            local = int(p - offsets[c])
+            if local >= clens[c]:  # contig-separator base: never a call site
+                continue
             dp = int(calls["variant_depth"][j])
             sup = int(calls["variant_support"][j])
             out.write(
-                f"{tnames[c].decode()}\t{int(p - offsets[c]) + 1}"
+                f"{tnames[c].decode()}\t{local + 1}"
                 f"\t{chr(base[calls['variant_ref'][j]])}"
                 f"\t{chr(base[calls['variant_alt'][j]])}"
                 f"\t{dp}\t{sup}\t{sup / dp:.3f}\n"
@@ -670,8 +673,68 @@ def cmd_call(args) -> int:
         cons = np.frombuffer(base, np.uint8)[calls["consensus"]]
         with open(args.consensus, "wb") as f:
             for c, name in enumerate(tnames):
-                seq = cons[int(offsets[c]) : int(offsets[c + 1])].tobytes()
-                f.write(b">%s\n%s\n" % (name, seq))
+                s = int(offsets[c])
+                f.write(b">%s\n%s\n" % (name, cons[s : s + int(clens[c])].tobytes()))
+    if args.depth:
+        with open(args.depth, "w") as f:
+            for c, name in enumerate(tnames):
+                s = int(offsets[c])
+                d = calls["depth"][s : s + int(clens[c])]
+                # bedgraph run-length encoding
+                bnd = np.flatnonzero(np.diff(d)) + 1
+                starts = np.concatenate([[0], bnd])
+                ends = np.concatenate([bnd, [len(d)]])
+                for a, b in zip(starts, ends):
+                    f.write(f"{name.decode()}\t{a}\t{b}\t{int(d[a])}\n")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Merge overlapping R1/R2 pairs into fragments (PEAR/FLASH-class);
+    merged fragments as FASTA to stdout/--out, unmerged pairs optionally
+    kept to --unmerged (interleaved FASTA)."""
+    import numpy as np
+
+    from .ops import codec, merge_pairs
+
+    names1, p1 = _read_any(args.r1)
+    names2, p2 = _read_any(args.r2)
+    if len(p1) != len(p2):
+        raise SystemExit(f"pair count mismatch: {len(p1)} vs {len(p2)}")
+    w, l, m, ov, mm = merge_pairs.merge_pairs(
+        p1.words, p1.lengths, p2.words, p2.lengths,
+        args.min_overlap, args.max_mismatch_frac,
+    )
+    m = np.asarray(m)
+    lens = np.asarray(l)
+    ascii_m = np.asarray(codec.decode_reads(w, l))
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i in np.nonzero(m)[0]:
+            name = names1[i].decode() if i < len(names1) else f"r{i}"
+            out.write(
+                f">{name} merged_len={int(lens[i])} overlap={int(np.asarray(ov)[i])}"
+                f" mismatches={int(np.asarray(mm)[i])}\n"
+                f"{ascii_m[i, : lens[i]].tobytes().decode()}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    if args.unmerged:
+        a1 = np.asarray(codec.decode_reads(p1.words, p1.lengths))
+        a2 = np.asarray(codec.decode_reads(p2.words, p2.lengths))
+        l1, l2 = np.asarray(p1.lengths), np.asarray(p2.lengths)
+        with open(args.unmerged, "w") as f:
+            for i in np.nonzero(~m)[0]:
+                name = names1[i].decode() if i < len(names1) else f"r{i}"
+                f.write(
+                    f">{name}/1\n{a1[i, : l1[i]].tobytes().decode()}\n"
+                    f">{name}/2\n{a2[i, : l2[i]].tobytes().decode()}\n"
+                )
+    print(
+        f"{len(p1)} pairs -> {int(m.sum())} merged, {int((~m).sum())} kept",
+        file=sys.stderr,
+    )
     return 0
 
 
@@ -917,8 +980,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="winning base fraction needed to call")
     p.add_argument("--consensus", default=None,
                    help="also write the consensus FASTA here")
+    p.add_argument("--depth", default=None,
+                   help="also write a bedgraph coverage track here")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_call)
+
+    p = sub.add_parser(
+        "merge",
+        help="merge overlapping R1/R2 pairs into fragments "
+        "(PEAR/FLASH-style overlap scan)",
+    )
+    p.add_argument("r1", help="R1 FASTA/FASTQ[.gz]")
+    p.add_argument("r2", help="R2 FASTA/FASTQ[.gz], as sequenced")
+    p.add_argument("--min-overlap", type=int, default=10)
+    p.add_argument("--max-mismatch-frac", type=float, default=0.1,
+                   help="allowed mismatches per overlap base")
+    p.add_argument("--unmerged", default=None,
+                   help="write unmerged pairs here (interleaved FASTA)")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser(
         "correct",

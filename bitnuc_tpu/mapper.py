@@ -74,14 +74,18 @@ def _shift_head(x: jax.Array, m: int, fill) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("k", "w", "max_occ"))
-def _build_table(words, length, k: int, w: int, max_occ: int):
+def _build_table(words, length, k: int, w: int, max_occ: int, base_valid=None):
     """Distinct-key minimizer table from one packed sequence.
 
     Returns (keys [N] u32 with the distinct keys sorted first and sentinel
     padding after, pos [N, max_occ] i32 with -1 padding, nocc [N] i32).
     Keys with more than max_occ reference occurrences are dropped whole.
+    base_valid masks k-mers touching N / contig-separator bases out of
+    seed selection entirely.
     """
-    vals, pos, valid = kmer_ops.minimizer_positions(words, length, k, w)
+    vals, pos, valid = kmer_ops.minimizer_positions(
+        words, length, k, w, base_valid=base_valid
+    )
     sel = kmer_ops.minimizer_sketch_mask(pos, valid)
     keys = jnp.where(sel, vals, _SENT).reshape(-1)
     rpos = jnp.where(sel, pos, _BIG).reshape(-1).astype(jnp.int32)
@@ -116,13 +120,28 @@ class MinimizerIndex:
     """Reference minimizer index: distinct sorted keys, <= max_occ forward
     positions each, plus the packed reference for extension windows."""
 
-    def __init__(self, keys, pos, nocc, ref_words, ref_len, k, w, max_occ):
+    def __init__(
+        self,
+        keys,
+        pos,
+        nocc,
+        ref_words,
+        ref_len,
+        k,
+        w,
+        max_occ,
+        contig_starts=None,
+    ):
         self.keys = np.asarray(keys, np.uint32)  # [Nk] sorted distinct
         self.pos = np.asarray(pos, np.int32)  # [Nk, max_occ], -1 padded
         self.nocc = np.asarray(nocc, np.int32)  # [Nk]
         self.ref_words = np.asarray(ref_words, np.uint32)  # [Wr]
         self.ref_len = int(ref_len)
         self.k, self.w, self.max_occ = int(k), int(w), int(max_occ)
+        # build_multi: concat-coordinate start of each contig (None = single)
+        self.contig_starts = (
+            None if contig_starts is None else np.asarray(contig_starts, np.int64)
+        )
 
     @classmethod
     def build(
@@ -132,25 +151,37 @@ class MinimizerIndex:
         w: int = 10,
         max_occ: int = 8,
         ref_len: Optional[int] = None,
+        base_valid: Optional[np.ndarray] = None,
+        contig_starts=None,
     ) -> "MinimizerIndex":
-        """Build from an ASCII reference (bytes) or packed words + ref_len."""
+        """Build from an ASCII reference (bytes) or packed words + ref_len.
+
+        bytes input auto-masks non-ACGT bases (N handling): masked k-mers
+        never become seeds, and the bases pack via the arithmetic ASCII map
+        (so alignment windows treat them as ordinary mismatching bases).
+        Pass base_valid to extend the mask (e.g. contig separators —
+        build_multi)."""
         assert 1 <= k <= 15, "minimizer keys must leave sentinel headroom"
         assert w >= 1 and max_occ >= 1
         if isinstance(ref, (bytes, bytearray)):
+            from . import io as bnio
             from .sequence import PackedReads
 
-            # validate=False: assemblies carry N/ambiguity bytes, which the
-            # arithmetic ASCII map folds onto ACGT codes — their windows
-            # become ordinary (non-matching) seeds, the standard N-masking
-            # compromise for sketch indexes
-            packed = PackedReads.from_ascii([bytes(ref).upper()], validate=False)
+            ref = bytes(ref).upper()
+            packed = PackedReads.from_ascii([ref], validate=False)
             words = packed.words
             n = int(packed.lengths[0])
+            bv = bnio._VALID_BASE[np.frombuffer(ref, np.uint8)]
+            if base_valid is not None:
+                bv = bv & np.asarray(base_valid, bool)
+            base_valid = bv
         else:
             words = jnp.asarray(ref, jnp.uint32).reshape(1, -1)
             n = int(ref_len)
+        if base_valid is not None:
+            base_valid = jnp.asarray(np.asarray(base_valid, bool))[None, :]
         keys, pos, nocc = _build_table(
-            words, jnp.array([n], jnp.int32), k, w, max_occ
+            words, jnp.array([n], jnp.int32), k, w, max_occ, base_valid
         )
         keys = np.asarray(keys)
         live = int((keys != _SENT).sum())
@@ -163,9 +194,41 @@ class MinimizerIndex:
             k,
             w,
             max_occ,
+            contig_starts,
+        )
+
+    @classmethod
+    def build_multi(
+        cls,
+        contigs,
+        k: int = 15,
+        w: int = 10,
+        max_occ: int = 8,
+    ) -> "MinimizerIndex":
+        """Multi-contig build: contigs join with one masked separator base,
+        so no seed's k-mer ever spans a junction. contig_starts records each
+        contig's offset in the concatenated coordinate system (contig c
+        covers [contig_starts[c], contig_starts[c] + len(contigs[c]))."""
+        contigs = [bytes(c).upper() for c in contigs]
+        genome = b"A".join(contigs)  # content arbitrary: masked below
+        starts, bad, off = [], [], 0
+        for i, c in enumerate(contigs):
+            if i:
+                bad.append(off)
+                off += 1
+            starts.append(off)
+            off += len(c)
+        bv = np.ones(len(genome), bool)
+        bv[np.array(bad, np.int64)] = False
+        return cls.build(
+            genome, k, w, max_occ, base_valid=bv,
+            contig_starts=np.array(starts, np.int64),
         )
 
     def save(self, path) -> None:
+        extra = {}
+        if self.contig_starts is not None:
+            extra["contig_starts"] = self.contig_starts
         np.savez_compressed(
             path,
             keys=self.keys,
@@ -175,6 +238,7 @@ class MinimizerIndex:
             meta=np.array(
                 [self.ref_len, self.k, self.w, self.max_occ], np.int64
             ),
+            **extra,
         )
 
     @classmethod
@@ -182,7 +246,15 @@ class MinimizerIndex:
         z = np.load(path)
         ref_len, k, w, max_occ = (int(v) for v in z["meta"])
         return cls(
-            z["keys"], z["pos"], z["nocc"], z["ref_words"], ref_len, k, w, max_occ
+            z["keys"],
+            z["pos"],
+            z["nocc"],
+            z["ref_words"],
+            ref_len,
+            k,
+            w,
+            max_occ,
+            z["contig_starts"] if "contig_starts" in z.files else None,
         )
 
     def __len__(self) -> int:

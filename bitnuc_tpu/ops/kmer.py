@@ -654,18 +654,24 @@ def minimizer_positions(
     k: int,
     w: int,
     canonical: bool = False,
+    base_valid=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Like `minimizers`, additionally returning the position of each
     window's (leftmost) minimizer — the seed anchor used by minimap2-style
-    pipelines. Returns (vals, positions, valid)."""
+    pipelines. Returns (vals, positions, valid).
+
+    base_valid [..., L] bool (minimap2's N handling, also the mapper's
+    contig-separator mask): k-mers touching an invalid base can never be
+    selected; a window whose k-mers are ALL masked is invalid."""
     assert 1 <= k <= 16
-    lo, _, valid_k = _window_keys(words, lengths, k, canonical)
+    lo, _, valid_k = _window_keys(words, lengths, k, canonical, base_valid)
     sent = jnp.uint32(0xFFFFFFFF)
     keys = jnp.where(valid_k, lo, sent)
     vals, pos = _sliding_argmin(keys, w, sent)
     L = keys.shape[-1]
     p_idx = jnp.arange(L, dtype=jnp.int32)
     valid = p_idx <= (jnp.asarray(lengths, jnp.int32)[..., None] - (k + w - 1))
+    valid = valid & (vals != sent)
     return (
         jnp.where(valid, vals, sent),
         jnp.where(valid, pos, -1),

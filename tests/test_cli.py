@@ -273,3 +273,48 @@ def test_cli_call_snp_and_consensus(tmp_path, capsys, rng):
 
     cons = open(consp, "rb").read().splitlines()[1]
     assert cons[p0 : p0 + 1] == alt and cons[:p0] == ref[:p0]
+
+
+def test_cli_map_and_call_multicontig_depth(tmp_path, capsys, rng):
+    c1 = random_seq(rng, 1200).upper()
+    c2 = random_seq(rng, 900).upper()
+    tp = _write_fasta(tmp_path / "t.fa", [c1, c2])
+    qp = _write_fastq(tmp_path / "q.fq", [c2[300:440]])
+    dpath = str(tmp_path / "depth.tsv")
+
+    assert cli.main(["map", tp, qp, "-k", "13", "-w", "8"]) == 0
+    row = capsys.readouterr().out.strip().split("\t")
+    assert row[5] == "c1"  # _write_fasta names contigs c0, c1, ...
+    assert (int(row[7]), int(row[8])) == (300, 440)
+
+    assert cli.main(
+        ["call", tp, qp, "-k", "13", "-w", "8", "--min-depth", "1",
+         "--depth", dpath]
+    ) == 0
+    assert capsys.readouterr().out.strip() == ""  # no variants: exact read
+    rows = [ln.split("\t") for ln in open(dpath).read().strip().splitlines()]
+    # bedgraph: c0 fully zero; c1 zero, one, zero
+    assert [(int(r[1]), int(r[2]), int(r[3])) for r in rows if r[0] == "c0"] == [
+        (0, 1200, 0)
+    ]
+    assert [(int(r[1]), int(r[2]), int(r[3])) for r in rows if r[0] == "c1"] == [
+        (0, 300, 0), (300, 440, 1), (440, 900, 0)
+    ]
+
+
+def test_cli_merge_pairs(tmp_path, capsys, rng):
+    frag = random_seq(rng, 250).upper()
+    r1 = frag[:150]
+    r2 = frag[-150:][::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
+    j1, j2 = random_seq(rng, 150).upper(), random_seq(rng, 150).upper()
+    p1 = _write_fastq(tmp_path / "r1.fq", [r1, j1])
+    p2 = _write_fastq(tmp_path / "r2.fq", [r2, j2])
+    up = str(tmp_path / "unmerged.fa")
+
+    assert cli.main(["merge", p1, p2, "--unmerged", up]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 2 and out[0].startswith(">r0 merged_len=250 overlap=50")
+    assert out[1].encode() == frag
+    um = open(up).read().splitlines()
+    assert um[0] == ">r1/1" and um[1].encode() == j1
+    assert um[2] == ">r1/2" and um[3].encode() == j2

@@ -144,3 +144,48 @@ def test_map_reads_sharded_matches_local(rng):
     sharded = mapper.map_reads_sharded(idx, pr, mesh)
     for f in ("mapped", "strand", "ref_start", "ref_end", "cost", "support"):
         np.testing.assert_array_equal(sharded[f], local[f], err_msg=f)
+
+
+def test_index_n_masking(rng):
+    ref = bytearray(random_seq(rng, 800).upper())
+    ref[300:330] = b"N" * 30
+    ref = bytes(ref)
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    # no seed's k-mer may overlap the N run
+    for row in range(len(idx)):
+        for p in idx.pos[row]:
+            if p >= 0:
+                assert p + 13 <= 300 or p >= 330, p
+    # reads from clean regions still map exactly
+    out = mapper.map_reads(
+        idx, PackedReads.from_ascii([ref[100:220], ref[500:620]])
+    )
+    assert out["mapped"].all() and out["cost"].tolist() == [0, 0]
+    assert out["ref_start"].tolist() == [100, 500]
+
+
+def test_build_multi_no_junction_seeds(rng):
+    c1 = random_seq(rng, 500).upper()
+    c2 = random_seq(rng, 400).upper()
+    idx = mapper.MinimizerIndex.build_multi([c1, c2], k=13, w=8)
+    assert idx.contig_starts.tolist() == [0, 501]
+    # no seed k-mer spans the separator at concat position 500
+    for row in range(len(idx)):
+        for p in idx.pos[row]:
+            if p >= 0:
+                assert p + 13 <= 500 or p >= 501, p
+    # reads from both contigs map to exact concat coordinates
+    out = mapper.map_reads(
+        idx, PackedReads.from_ascii([c1[200:320], c2[100:220]])
+    )
+    assert out["mapped"].all() and out["cost"].tolist() == [0, 0]
+    assert out["ref_start"].tolist() == [200, 601]
+    # save/load preserves contig_starts
+    import tempfile, os
+    fd, pth = tempfile.mkstemp(suffix=".npz"); os.close(fd)
+    try:
+        idx.save(pth)
+        idx2 = mapper.MinimizerIndex.load(pth)
+        assert idx2.contig_starts.tolist() == [0, 501]
+    finally:
+        os.unlink(pth)
