@@ -1,0 +1,102 @@
+"""Paired-end overlap merging vs a brute-force python oracle and planted
+fragments with exactly known overlaps/mismatch budgets."""
+
+import numpy as np
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu.ops import merge_pairs
+from bitnuc_tpu.sequence import PackedReads
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def rc(s: bytes) -> bytes:
+    return s[::-1].translate(_RC)
+
+
+def naive_merge(r1: bytes, r2: bytes, min_overlap: int, frac: float):
+    """(merged_seq|None, overlap, mismatches) with the op's exact rules:
+    offsets o ascending, fewest mismatches wins, strict < keeps the
+    longest qualifying overlap."""
+    q = rc(r2)
+    best = None
+    for o in range(0, len(r1) - min_overlap + 1):
+        ov_lo, ov_hi = o, min(len(r1), o + len(q))
+        ov = max(ov_hi - ov_lo, 0)
+        if ov < min_overlap:
+            continue
+        mm = sum(r1[i] != q[i - o] for i in range(ov_lo, ov_hi))
+        if mm <= int(frac * ov) and (best is None or mm < best[2]):
+            best = (o, ov, mm)
+    if best is None:
+        return None, 0, -1
+    o, ov, mm = best
+    return r1 + q[len(r1) - o :], ov, mm
+
+
+@pytest.mark.parametrize("min_overlap,frac", [(10, 0.1), (20, 0.0)])
+def test_merge_vs_naive_fuzz(rng, min_overlap, frac):
+    r1s, r2s = [], []
+    for i in range(24):
+        frag_len = int(rng.integers(120, 300))
+        frag = random_seq(rng, frag_len).upper()
+        n1 = int(rng.integers(80, 151))
+        n2 = int(rng.integers(80, 151))
+        r1 = bytearray(frag[:n1])
+        r2s_fwd = bytearray(frag[-n2:])
+        for _ in range(int(rng.integers(0, 3))):  # sprinkle errors
+            p = int(rng.integers(0, len(r2s_fwd)))  # frag may be < n2
+            r2s_fwd[p] = int(rng.choice(np.frombuffer(b"ACGT", np.uint8)))
+        r1s.append(bytes(r1))
+        r2s.append(rc(bytes(r2s_fwd)))
+    # plus guaranteed-disjoint pairs
+    r1s.append(random_seq(rng, 100).upper())
+    r2s.append(random_seq(rng, 100).upper())
+
+    p1 = PackedReads.from_ascii(r1s)
+    p2 = PackedReads.from_ascii(r2s)
+    w, l, m, ov, mm = map(
+        np.asarray,
+        merge_pairs.merge_pairs(
+            p1.words, p1.lengths, p2.words, p2.lengths, min_overlap, frac
+        ),
+    )
+    out = PackedReads(words=w, lengths=l).to_ascii()
+    for i, (r1, r2) in enumerate(zip(r1s, r2s)):
+        want, wov, wmm = naive_merge(r1, r2, min_overlap, frac)
+        if want is None:
+            assert not m[i], i
+            assert l[i] == len(r1) and out[i] == r1  # R1 passes through
+        else:
+            assert m[i], i
+            assert (l[i], ov[i], mm[i]) == (len(want), wov, wmm), i
+            # overlap takes R1's call: rebuild expected with that rule
+            assert out[i] == want, i
+
+
+def test_merge_exact_recovery(rng):
+    frag = random_seq(rng, 260).upper()
+    r1, r2 = frag[:150], rc(frag[-150:])
+    p1 = PackedReads.from_ascii([r1])
+    p2 = PackedReads.from_ascii([r2])
+    w, l, m, ov, mm = map(
+        np.asarray, merge_pairs.merge_pairs(p1.words, p1.lengths, p2.words, p2.lengths)
+    )
+    assert m[0] and l[0] == 260 and ov[0] == 40 and mm[0] == 0
+    assert PackedReads(words=w, lengths=l).to_ascii()[0] == frag
+
+
+def test_merge_ragged_lengths(rng):
+    frag = random_seq(rng, 180).upper()
+    r1, r2 = frag[:120], rc(frag[-90:])  # overlap 30, different lengths
+    filler1 = random_seq(rng, 150).upper()  # batch forces padding on r1
+    filler2 = random_seq(rng, 150).upper()
+    p1 = PackedReads.from_ascii([r1, filler1])
+    p2 = PackedReads.from_ascii([r2, filler2])
+    w, l, m, ov, mm = map(
+        np.asarray, merge_pairs.merge_pairs(p1.words, p1.lengths, p2.words, p2.lengths)
+    )
+    assert m[0] and l[0] == 180 and ov[0] == 30
+    assert PackedReads(words=w, lengths=l).to_ascii()[0] == frag
