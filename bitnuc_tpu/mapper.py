@@ -387,10 +387,19 @@ def _map_core(
     lengths = jnp.asarray(lengths, jnp.int32)
 
     rc_words = revcomp_ops.reverse_complement_reads(words, lengths)
-    diag_f = _seed_candidates(words, lengths, t_keys, t_pos, k, w)
-    diag_r = _seed_candidates(rc_words, lengths, t_keys, t_pos, k, w)
-    sup_f, lo_f = _vote(diag_f, bin_bits)
-    sup_r, lo_r = _vote(diag_r, bin_bits)
+    # both strands through ONE join: the table sort is the dominant cost
+    # for genome-scale indexes, so stacking fwd+rc reads halves it
+    diag2 = _seed_candidates(
+        jnp.concatenate([words, rc_words]),
+        jnp.concatenate([lengths, lengths]),
+        t_keys,
+        t_pos,
+        k,
+        w,
+    )
+    sup2, lo2 = _vote(diag2, bin_bits)
+    sup_f, sup_r = sup2[:B], sup2[B:]
+    lo_f, lo_r = lo2[:B], lo2[B:]
 
     use_rc = sup_r > sup_f
     support = jnp.maximum(sup_f, sup_r)
@@ -410,18 +419,19 @@ def _map_core(
     )(ws)
     wlen = jnp.clip(ref_len - ws * 16, 0, Wwin * 16).astype(jnp.int32)
 
-    cost, endj = align_ops.fit_distance(
-        q_words, lengths, win, wlen, mismatch, gap
-    )
-    # exact start: the same fit on reversed operands
-    _, endj_rev = align_ops.fit_distance(
-        _reverse_reads(q_words, lengths),
-        lengths,
-        _reverse_reads(win, wlen),
-        wlen,
+    # end + exact start from ONE batched fit: the forward pass and the
+    # reversed-operand pass stack to [2B], so the wavefront scan's
+    # sequential steps are paid once (the scan, not the FLOPs, is the
+    # extension bottleneck at batch scale)
+    cost2, endj2 = align_ops.fit_distance(
+        jnp.concatenate([q_words, _reverse_reads(q_words, lengths)]),
+        jnp.concatenate([lengths, lengths]),
+        jnp.concatenate([win, _reverse_reads(win, wlen)]),
+        jnp.concatenate([wlen, wlen]),
         mismatch,
         gap,
     )
+    cost, endj, endj_rev = cost2[:B], endj2[:B], endj2[B:]
     ref_end = ws * 16 + endj
     ref_start = ws * 16 + (wlen - endj_rev)
     return support, use_rc, ref_start, ref_end, cost
