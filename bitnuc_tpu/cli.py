@@ -30,12 +30,14 @@ def _sniff_format(path: str) -> str:
         raise SystemExit(str(e))
 
 
-def _read_any(path: str):
-    """(names, PackedReads) from a FASTA or FASTQ path."""
+def _read_any(path: str, validate: bool = True):
+    """(names, PackedReads) from a FASTA or FASTQ path. validate=False for
+    tolerant commands (align/map/call/merge): N bases pack via the
+    arithmetic ASCII map and behave as mismatches."""
     from . import io as bnio
 
     reader = bnio.read_fasta if _sniff_format(path) == "fasta" else bnio.read_fastq
-    return reader(path)
+    return reader(path, validate=validate)
 
 
 def _count_file(path: str, args):
@@ -492,7 +494,7 @@ def cmd_align(args) -> int:
 
     def _load(spec):
         if len(spec) == 1 and os.path.exists(spec[0]):
-            names, reads = _read_any(spec[0])
+            names, reads = _read_any(spec[0], validate=False)  # N = mismatch
             return [n.decode() for n in names], reads
         seqs = [s.upper().encode() for s in spec]
         return list(spec), PackedReads.from_ascii(seqs)
@@ -554,12 +556,40 @@ def cmd_align(args) -> int:
     return 0
 
 
+def _ref_index(args, contigs):
+    """Load --index if present, else build (and save when --index given).
+    Returns (index, separator-aware contig offsets). Note: a loaded index
+    fixes k/w/max_occ — the CLI flags only apply to fresh builds."""
+    import os
+
+    import numpy as np
+
+    from . import mapper
+
+    ixp = getattr(args, "index", None)
+    if ixp and os.path.exists(ixp):
+        idx = mapper.MinimizerIndex.load(ixp)
+    else:
+        idx = mapper.MinimizerIndex.build_multi(
+            contigs, k=args.k, w=args.w, max_occ=args.max_occ
+        )
+        if ixp:
+            idx.save(ixp)
+    offsets = idx.contig_starts
+    if offsets is None:  # index saved via the single-sequence build API
+        offsets = np.array([0], np.int64)
+    if len(offsets) != len(contigs):
+        raise SystemExit(
+            f"index covers {len(offsets)} contigs but the FASTA has "
+            f"{len(contigs)} — rebuild the index for this reference"
+        )
+    return idx, offsets
+
+
 def cmd_map(args) -> int:
     """Minimizer-index read mapping; PAF output (mapped reads only unless
     --all). Multi-contig FASTA targets are indexed as one concatenation;
     coordinates are converted back per contig on output."""
-    import os
-
     import numpy as np
 
     from . import io as bnio
@@ -569,20 +599,9 @@ def cmd_map(args) -> int:
     if not contigs:
         raise SystemExit(f"{args.ref}: no FASTA records")
     clens = np.array([len(c) for c in contigs], np.int64)
-    if args.index and os.path.exists(args.index):
-        idx = mapper.MinimizerIndex.load(args.index)
-    else:
-        idx = mapper.MinimizerIndex.build_multi(
-            contigs, k=args.k, w=args.w, max_occ=args.max_occ
-        )
-        if args.index:
-            idx.save(args.index)
-    offsets = idx.contig_starts  # separator-aware concat coordinates
+    idx, offsets = _ref_index(args, contigs)
 
-    reader = (
-        bnio.read_fasta if _sniff_format(args.path) == "fasta" else bnio.read_fastq
-    )
-    qnames, reads = reader(args.path, validate=False)  # N bases = mismatches
+    qnames, reads = _read_any(args.path, validate=False)  # N = mismatches
     res = mapper.map_reads(
         idx,
         reads,
@@ -633,14 +652,8 @@ def cmd_call(args) -> int:
     if not contigs:
         raise SystemExit(f"{args.ref}: no FASTA records")
     clens = np.array([len(c) for c in contigs], np.int64)
-    idx = mapper.MinimizerIndex.build_multi(
-        contigs, k=args.k, w=args.w, max_occ=args.max_occ
-    )
-    offsets = idx.contig_starts
-    reader = (
-        bnio.read_fasta if _sniff_format(args.path) == "fasta" else bnio.read_fastq
-    )
-    _, reads = reader(args.path, validate=False)
+    idx, offsets = _ref_index(args, contigs)
+    _, reads = _read_any(args.path, validate=False)
     res = mapper.map_reads(idx, reads, min_seeds=args.min_seeds)
     calls = pileup.call_variants(
         idx,
@@ -697,15 +710,15 @@ def cmd_merge(args) -> int:
 
     from .ops import codec, merge_pairs
 
-    names1, p1 = _read_any(args.r1)
-    names2, p2 = _read_any(args.r2)
+    names1, p1 = _read_any(args.r1, validate=False)  # N bases = mismatches
+    names2, p2 = _read_any(args.r2, validate=False)
     if len(p1) != len(p2):
         raise SystemExit(f"pair count mismatch: {len(p1)} vs {len(p2)}")
     w, l, m, ov, mm = merge_pairs.merge_pairs(
         p1.words, p1.lengths, p2.words, p2.lengths,
         args.min_overlap, args.max_mismatch_frac,
     )
-    m = np.asarray(m)
+    m, ov, mm = np.asarray(m), np.asarray(ov), np.asarray(mm)
     lens = np.asarray(l)
     ascii_m = np.asarray(codec.decode_reads(w, l))
     out = sys.stdout if args.out is None else open(args.out, "w")
@@ -713,8 +726,8 @@ def cmd_merge(args) -> int:
         for i in np.nonzero(m)[0]:
             name = names1[i].decode() if i < len(names1) else f"r{i}"
             out.write(
-                f">{name} merged_len={int(lens[i])} overlap={int(np.asarray(ov)[i])}"
-                f" mismatches={int(np.asarray(mm)[i])}\n"
+                f">{name} merged_len={int(lens[i])} overlap={int(ov[i])}"
+                f" mismatches={int(mm[i])}\n"
                 f"{ascii_m[i, : lens[i]].tobytes().decode()}\n"
             )
     finally:
@@ -978,6 +991,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-depth", type=int, default=2)
     p.add_argument("--min-frac", type=float, default=0.5,
                    help="winning base fraction needed to call")
+    p.add_argument("--index", default=None,
+                   help="load the index from this .npz if present, else "
+                   "build and save it here (a loaded index fixes k/w)")
     p.add_argument("--consensus", default=None,
                    help="also write the consensus FASTA here")
     p.add_argument("--depth", default=None,

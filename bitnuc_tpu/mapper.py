@@ -422,7 +422,11 @@ def _map_core(
     # end + exact start from ONE batched fit: the forward pass and the
     # reversed-operand pass stack to [2B], so the wavefront scan's
     # sequential steps are paid once (the scan, not the FLOPs, is the
-    # extension bottleneck at batch scale)
+    # extension bottleneck at batch scale). The reversed half uses the
+    # LATE tie policy: forward ties pick the leftmost placement's END,
+    # reversed-late ties pick the largest reversed end = the leftmost
+    # placement's START — without it, tandem repeats yield incoherent
+    # (even empty) intervals from the two passes.
     cost2, endj2 = align_ops.fit_distance(
         jnp.concatenate([q_words, _reverse_reads(q_words, lengths)]),
         jnp.concatenate([lengths, lengths]),
@@ -430,6 +434,9 @@ def _map_core(
         jnp.concatenate([wlen, wlen]),
         mismatch,
         gap,
+        tie_late=jnp.concatenate(
+            [jnp.zeros((B,), bool), jnp.ones((B,), bool)]
+        ),
     )
     cost, endj, endj_rev = cost2[:B], endj2[:B], endj2[B:]
     ref_end = ws * 16 + endj

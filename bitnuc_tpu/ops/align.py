@@ -84,13 +84,18 @@ def _distance_wavefront(
     mismatch,
     gap,
     ends_free_b: bool = False,
+    tie_late=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Min-cost alignment DP. Global (Needleman-Wunsch distance form) when
     ends_free_b=False; fitting alignment (all of `a` inside a substring of
     `b`: D[0, j] = 0, answer = min_j D[m, j]) when True.
 
     Returns (cost [B] int32, end_j [B] int32). end_j is the b-offset one
-    past the best fit's end (== lens_b for global).
+    past the best fit's end (== lens_b for global). Equal-cost fits tie to
+    the SMALLEST end_j; rows where tie_late [B] bool is True tie to the
+    LARGEST instead (traced, so both policies share one compilation — the
+    mapper needs opposite policies for its stacked forward/reversed
+    passes to pick the same placement in tandem repeats).
     """
     lens_a = jnp.asarray(lens_a, jnp.int32)
     lens_b = jnp.asarray(lens_b, jnp.int32)
@@ -112,6 +117,9 @@ def _distance_wavefront(
     ans0 = jnp.where((lens_a + lens_b) == 0, 0, _BIG)
     fit0 = jnp.where(lens_a == 0, 0, _BIG)  # D[0, 0] for the fit running-min
     endj0 = jnp.zeros((B,), jnp.int32)
+    late = (
+        jnp.zeros((B,), bool) if tie_late is None else jnp.asarray(tie_late, bool)
+    )
 
     def step(carry, d):
         prev, prev2, ans, fit, endj = carry
@@ -130,7 +138,10 @@ def _distance_wavefront(
             jm = d - m
             at = (pos == jm) & (jm >= 0) & (pos <= n)
             v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
-            better = v < fit
+            # d (hence j = d - m) ascends, so strict < keeps the earliest
+            # (smallest) end_j; tie_late rows also take equal costs,
+            # keeping the latest (largest) end_j
+            better = (v < fit) | (late & (v == fit) & (v < _BIG))
             fit = jnp.minimum(fit, v)
             endj = jnp.where(better, jnp.squeeze(jm, -1), endj)
         else:
@@ -180,13 +191,22 @@ def fit_distance(
     lens_b: jax.Array,
     mismatch=1,
     gap=1,
+    tie_late=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fitting alignment: all of `a` against the best-matching substring of
     `b` (free start/end in `b` only). Returns (cost [B], end_j [B]) where
-    end_j is one past the substring's end; ties prefer the smallest end_j.
+    end_j is one past the substring's end; ties prefer the smallest end_j,
+    or the largest on rows where tie_late [B] bool is True (traced).
     """
     return _distance_wavefront(
-        words_a, lens_a, words_b, lens_b, mismatch, gap, ends_free_b=True
+        words_a,
+        lens_a,
+        words_b,
+        lens_b,
+        mismatch,
+        gap,
+        ends_free_b=True,
+        tie_late=tie_late,
     )
 
 

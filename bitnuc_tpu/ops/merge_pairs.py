@@ -71,9 +71,12 @@ def merge_pairs(
     in2 = jnp.arange(L2, dtype=jnp.int32) < lens2[:, None]
     mmf = jnp.asarray(max_mismatch_frac, jnp.float32)
 
-    # left-pad so "shift right by o" is one dynamic_slice at start L1 - o
-    c2p = jnp.pad(c2, ((0, 0), (L1, 0)), constant_values=-1)  # -1: no match
-    in2p = jnp.pad(in2, ((0, 0), (L1, 0)))
+    # pad BOTH sides so "shift right by o" is one dynamic_slice at start
+    # L1 - o for every o in [0, L1] — right padding matters when R2's
+    # padded width is smaller than R1's (L2 < L1), where an unpadded
+    # slice would clamp and silently evaluate the wrong offset
+    c2p = jnp.pad(c2, ((0, 0), (L1, L1)), constant_values=-1)  # -1: no match
+    in2p = jnp.pad(in2, ((0, 0), (L1, L1)))
 
     def step(carry, o):
         best_mm, best_o, best_ov = carry
@@ -104,7 +107,11 @@ def merge_pairs(
     )
 
     merged = best_mm < _BIG
-    frag_len = jnp.where(merged, best_o + lens2, lens1)
+    # containment (rc(R2) inside R1, best_o + lens2 < lens1): the fragment
+    # is all of R1 — R1's 3' tail must not be truncated
+    frag_len = jnp.where(
+        merged, jnp.maximum(best_o + lens2, lens1), lens1
+    )
 
     # fragment codes: R1 verbatim, rc(R2)'s tail from lane lens1 on
     Lm = L1 + L2

@@ -189,3 +189,18 @@ def test_build_multi_no_junction_seeds(rng):
         assert idx2.contig_starts.tolist() == [0, 501]
     finally:
         os.unlink(pth)
+
+
+def test_map_tandem_repeat_coherent_interval(rng):
+    # a read equal to a tandem-repeated segment has several equal-cost
+    # placements; the forward (end) and reversed (start) fit passes must
+    # pick the SAME one (regression: mirror tie-breaks produced empty
+    # intervals like ref_start == ref_end)
+    seg = random_seq(rng, 45).upper()
+    ref = random_seq(rng, 1000).upper() + seg + seg + random_seq(rng, 1000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=4, max_occ=8)
+    out = mapper.map_reads(idx, PackedReads.from_ascii([seg]), min_seeds=1)
+    assert out["mapped"][0] and out["cost"][0] == 0
+    s, e = int(out["ref_start"][0]), int(out["ref_end"][0])
+    assert e - s == 45
+    assert s in (1000, 1045)  # a real copy, same copy both ends

@@ -100,3 +100,36 @@ def test_merge_ragged_lengths(rng):
     )
     assert m[0] and l[0] == 180 and ov[0] == 30
     assert PackedReads(words=w, lengths=l).to_ascii()[0] == frag
+
+
+def test_merge_r2_shorter_padded_width(rng):
+    # R2's padded word width < R1's (80 vs 150 bases): the offset scan
+    # must not clamp its shift window (regression: clamped slices
+    # evaluated the wrong offset and truncated the fragment)
+    frag = random_seq(rng, 214).upper()
+    r1 = frag[:150]
+    r2 = rc(frag[-80:])  # overlap 16
+    p1 = PackedReads.from_ascii([r1])
+    p2 = PackedReads.from_ascii([r2])
+    w, l, m, ov, mm = map(
+        np.asarray, merge_pairs.merge_pairs(p1.words, p1.lengths, p2.words, p2.lengths)
+    )
+    assert m[0] and (l[0], ov[0], mm[0]) == (214, 16, 0)
+    assert PackedReads(words=w, lengths=l).to_ascii()[0] == frag
+
+
+def test_merge_containment_keeps_full_r1(rng):
+    # rc(R2) contained inside R1: the fragment is all of R1 (regression:
+    # best_o + lens2 truncated R1's 3' tail)
+    r1 = random_seq(rng, 150).upper()
+    r2 = rc(r1[20:100])
+    filler = random_seq(rng, 150).upper()  # equal padded widths
+    p1 = PackedReads.from_ascii([r1, filler])
+    p2 = PackedReads.from_ascii([r2, rc(filler)])
+    w, l, m, ov, mm = map(
+        np.asarray, merge_pairs.merge_pairs(p1.words, p1.lengths, p2.words, p2.lengths)
+    )
+    assert m[0] and l[0] == 150 and ov[0] == 80 and mm[0] == 0
+    assert PackedReads(words=w, lengths=l).to_ascii()[0] == r1
+    want, wov, wmm = naive_merge(r1, r2, 10, 0.1)
+    assert (len(want), wov, wmm) == (150, 80, 0)  # oracle agrees
