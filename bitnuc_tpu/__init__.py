@@ -45,9 +45,13 @@ from .ops.kmer import (  # noqa: F401
     count_kmers_reads,
     minimizer_positions,
     minimizers,
+    minimizers64,
     minimizer_sketch,
+    minimizer_sketch64,
     sketch_containment,
+    sketch_containment64,
     sketch_jaccard,
+    sketch_jaccard64,
     spectrum,
 )
 from .ops.lookup import (  # noqa: F401

@@ -118,21 +118,34 @@ def cmd_spectrum(args) -> int:
 def cmd_sketch(args) -> int:
     from .ops import kmer as kmer_ops
 
+    wide = args.k > 15  # 64-bit keys: Mash-scale k (16..31)
     sketches = []
     for path in (args.a, args.b):
         _, reads = _read_any(path)
-        vals, _ = kmer_ops.minimizer_sketch(
-            reads.words, reads.lengths, args.k, args.w, canonical=args.canonical
-        )
-        sketches.append(vals)
+        if wide:
+            lo, hi, _ = kmer_ops.minimizer_sketch64(
+                reads.words, reads.lengths, args.k, args.w,
+                canonical=args.canonical,
+            )
+            sketches.append((lo, hi))
+        else:
+            vals, _ = kmer_ops.minimizer_sketch(
+                reads.words, reads.lengths, args.k, args.w,
+                canonical=args.canonical,
+            )
+            sketches.append(vals)
     a, b = sketches
+    if wide:
+        jac = kmer_ops.sketch_jaccard64(a[0], a[1], b[0], b[1])
+        con = kmer_ops.sketch_containment64(a[0], a[1], b[0], b[1])
+    else:
+        jac = kmer_ops.sketch_jaccard(a, b)
+        con = kmer_ops.sketch_containment(a, b)
     print(
         json.dumps(
             {
-                "jaccard": round(float(kmer_ops.sketch_jaccard(a, b)), 6),
-                "containment_a_in_b": round(
-                    float(kmer_ops.sketch_containment(a, b)), 6
-                ),
+                "jaccard": round(float(jac), 6),
+                "containment_a_in_b": round(float(con), 6),
                 "k": args.k,
                 "w": args.w,
             }

@@ -778,6 +778,130 @@ def sketch_containment(a_vals: jax.Array, b_vals: jax.Array) -> jax.Array:
     )
 
 
+def _sliding_min2(hi: jax.Array, lo: jax.Array, w: int, fill) -> Tuple[jax.Array, jax.Array]:
+    """Lexicographic (hi, lo) sliding minimum over each w-window — the
+    64-bit-key sibling of _sliding_min, same doubling scheme."""
+    assert w >= 1
+
+    def combine(h1, l1, h2, l2):
+        take2 = (h2 < h1) | ((h2 == h1) & (l2 < l1))
+        return jnp.where(take2, h2, h1), jnp.where(take2, l2, l1)
+
+    pows = {1: (hi, lo)}
+    m = 1
+    while 2 * m <= w:
+        h, l = pows[m]
+        pows[2 * m] = combine(
+            h, l, _shift_tail(h, m, fill), _shift_tail(l, m, fill)
+        )
+        m *= 2
+    half = m
+    h, l = pows[half]
+    off = w - half
+    return combine(h, l, _shift_tail(h, off, fill), _shift_tail(l, off, fill))
+
+
+@partial(jax.jit, static_argnames=("k", "w", "canonical"))
+def minimizers64(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    canonical: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(w,k)-minimizers for the large-k regime (16 <= k <= 32): 64-bit
+    keys carried as (lo, hi) u32 pairs, lexicographic (hi, lo) window
+    minima. Returns (lo [..., L], hi [..., L], valid [..., L]); invalid
+    slots carry the all-ones sentinel in both halves.
+    """
+    assert 1 <= k <= 32
+    lo, hi, valid_k = _window_keys(words, lengths, k, canonical)
+    sent = jnp.uint32(0xFFFFFFFF)
+    lo = jnp.where(valid_k, lo, sent)
+    hi = jnp.where(valid_k, hi, sent)
+    hi_m, lo_m = _sliding_min2(hi, lo, w, sent)
+    L = lo.shape[-1]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    valid = pos <= (jnp.asarray(lengths, jnp.int32)[..., None] - (k + w - 1))
+    valid = valid & ((hi_m != sent) | (lo_m != sent))
+    return (
+        jnp.where(valid, lo_m, sent),
+        jnp.where(valid, hi_m, sent),
+        valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "w", "canonical"))
+def minimizer_sketch64(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    canonical: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """minimizer_sketch for 16 <= k <= 31 (Mash's default k=21 lives
+    here): distinct minimizer keys as sorted (lo, hi) u32 pairs.
+
+    Returns (lo [N], hi [N], n_unique): entries [0, n_unique) are the
+    distinct keys ascending by (hi, lo); the tail is all-ones sentinel
+    padding. Compare with sketch_jaccard64 / sketch_containment64.
+
+    k <= 31 keeps the all-T key below the sentinel (4^31 - 1 < 2^64 - 1).
+    """
+    assert 1 <= k <= 31, "sketch keys must leave sentinel headroom (k <= 31)"
+    lo_m, hi_m, _ = minimizers64(words, lengths, k, w, canonical)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi_s, lo_s = jax.lax.sort(
+        (hi_m.reshape(-1), lo_m.reshape(-1)), num_keys=2
+    )
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+    )
+    live = first & ((hi_s != sent) | (lo_s != sent))
+    hi_c, lo_c = jax.lax.sort(
+        (jnp.where(live, hi_s, sent), jnp.where(live, lo_s, sent)), num_keys=2
+    )
+    return lo_c, hi_c, jnp.sum(live.astype(jnp.int32))
+
+
+def _sketch_overlap64(a_lo, a_hi, b_lo, b_hi):
+    """(intersection, union) of two sorted-distinct 64-bit sketches —
+    the pair-keyed twin of _sketch_overlap."""
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi, lo = jax.lax.sort(
+        (jnp.concatenate([a_hi, b_hi]), jnp.concatenate([a_lo, b_lo])),
+        num_keys=2,
+    )
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    )
+    counts = _run_start_counts(first)
+    live = first & ((hi != sent) | (lo != sent))
+    inter = jnp.sum((live & (counts == 2)).astype(jnp.int32))
+    union = jnp.sum(live.astype(jnp.int32))
+    return inter, union
+
+
+@jax.jit
+def sketch_jaccard64(a_lo, a_hi, b_lo, b_hi) -> jax.Array:
+    """Jaccard similarity of two minimizer_sketch64 outputs."""
+    inter, union = _sketch_overlap64(a_lo, a_hi, b_lo, b_hi)
+    return jnp.where(
+        union > 0, inter.astype(jnp.float32) / jnp.maximum(union, 1), 0.0
+    )
+
+
+@jax.jit
+def sketch_containment64(a_lo, a_hi, b_lo, b_hi) -> jax.Array:
+    """Containment |A n B| / |A| of 64-bit sketch A within B."""
+    inter, _ = _sketch_overlap64(a_lo, a_hi, b_lo, b_hi)
+    sent = jnp.uint32(0xFFFFFFFF)
+    n_a = jnp.sum(((a_hi != sent) | (a_lo != sent)).astype(jnp.int32))
+    return jnp.where(
+        n_a > 0, inter.astype(jnp.float32) / jnp.maximum(n_a, 1), 0.0
+    )
+
+
 @jax.jit
 def minimizer_sketch_mask(positions: jax.Array, valid: jax.Array) -> jax.Array:
     """Select one window per distinct minimizer occurrence: True where a

@@ -318,3 +318,15 @@ def test_cli_merge_pairs(tmp_path, capsys, rng):
     um = open(up).read().splitlines()
     assert um[0] == ">r1/1" and um[1].encode() == j1
     assert um[2] == ">r1/2" and um[3].encode() == j2
+
+
+def test_cli_sketch_k21(tmp_path, capsys, rng):
+    a = random_seq(rng, 600).upper()
+    b = a[:550] + random_seq(rng, 50).upper()
+    pa = _write_fasta(tmp_path / "a.fa", [a])
+    pb = _write_fasta(tmp_path / "b.fa", [b])
+    assert cli.main(["sketch", pa, pb, "-k", "21", "-w", "8"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["k"] == 21 and 0.5 < rep["jaccard"] < 1.0
+    assert cli.main(["sketch", pa, pa, "-k", "21", "-w", "8"]) == 0
+    assert json.loads(capsys.readouterr().out)["jaccard"] == 1.0

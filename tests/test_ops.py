@@ -631,3 +631,51 @@ def test_revcomp_cli(tmp_path, capsys):
     p.write_bytes(b">x\nACGTTT\n")
     assert cli.main(["revcomp", str(p)]) == 0
     assert capsys.readouterr().out == ">x\nAAACGT\n"
+
+
+@pytest.mark.parametrize("k", [16, 21, 31])
+def test_minimizer_sketch64_and_jaccard(rng, k):
+    """64-bit-key sketch (the Mash-scale k regime): distinct minimizer
+    keys and jaccard/containment match python set arithmetic."""
+    w = 5
+
+    def py_minimizers(seq):
+        keys = [oracle.as_2bit(seq[p : p + k]) for p in range(len(seq) - k + 1)]
+        return {min(keys[p : p + w]) for p in range(len(keys) - w + 1)}
+
+    a = random_seq(rng, 400).upper()
+    b = bytearray(a)
+    for _ in range(40):
+        b[rng.integers(len(b))] = ord("ACGT"[rng.integers(4)])
+    b = bytes(b)
+
+    ra, rb = PackedReads.from_ascii([a]), PackedReads.from_ascii([b])
+    alo, ahi, na = kmer.minimizer_sketch64(ra.words, ra.lengths, k, w)
+    blo, bhi, nb = kmer.minimizer_sketch64(rb.words, rb.lengths, k, w)
+    sa, sb = py_minimizers(a), py_minimizers(b)
+    assert int(na) == len(sa) and int(nb) == len(sb)
+    got_a = {
+        (int(h) << 32) | int(l)
+        for l, h in zip(np.asarray(alo)[: int(na)], np.asarray(ahi)[: int(na)])
+    }
+    assert got_a == sa
+    # ascending by (hi, lo) at the front
+    pairs = [
+        (int(h), int(l))
+        for l, h in zip(np.asarray(alo)[: int(na)], np.asarray(ahi)[: int(na)])
+    ]
+    assert pairs == sorted(pairs)
+
+    jac = float(kmer.sketch_jaccard64(alo, ahi, blo, bhi))
+    assert abs(jac - len(sa & sb) / len(sa | sb)) < 1e-6
+    con = float(kmer.sketch_containment64(alo, ahi, blo, bhi))
+    assert abs(con - len(sa & sb) / len(sa)) < 1e-6
+    assert float(kmer.sketch_jaccard64(alo, ahi, alo, ahi)) == 1.0
+    empty = jnp.full_like(alo, 0xFFFFFFFF)
+    assert float(kmer.sketch_jaccard64(empty, empty, empty, empty)) == 0.0
+
+
+def test_minimizer_sketch64_rejects_k32():
+    r = PackedReads.from_ascii([b"ACGT" * 20])
+    with pytest.raises(AssertionError):
+        kmer.minimizer_sketch64(r.words, r.lengths, 32, 4)
