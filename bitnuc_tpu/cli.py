@@ -349,6 +349,7 @@ def cmd_filter(args) -> int:
         trim_q=args.trim_qual,
         max_n=args.max_n,
         adapter=args.adapter.encode() if args.adapter else None,
+        min_complexity=args.min_complexity,
     )
     if args.paired:
         if args.out2 is None:
@@ -914,6 +915,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max N/ambiguous bases per read")
     p.add_argument("--adapter", default=None, metavar="SEQ",
                    help="3' adapter to remove (cutadapt-style prefix match)")
+    p.add_argument("--min-complexity", type=float, default=None,
+                   help="drop reads whose base-transition fraction is "
+                   "below this (fastp -y semantics; try 0.3)")
     p.add_argument("--paired", default=None, metavar="R2",
                    help="mate FASTQ; pairs survive only if both mates pass")
     p.add_argument("--out2", default=None, help="output path for R2")

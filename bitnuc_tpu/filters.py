@@ -89,6 +89,58 @@ def adapter_positions(
     return first.astype(np.int64)
 
 
+def complexity_fraction(
+    ascii_arr: np.ndarray, start: np.ndarray, end: np.ndarray
+) -> np.ndarray:
+    """fastp's low-complexity measure per read: the fraction of positions
+    in [start, end) whose base differs from the NEXT base (fastp
+    -y/--low_complexity_filter, default threshold 0.30). Homopolymers
+    score 0.0, random sequence ~0.75. Reads with fewer than 2 spanned
+    bases score 1.0 (never complexity-filtered; the length filter owns
+    them)."""
+    R, L = ascii_arr.shape
+    pos = np.arange(L - 1, dtype=np.int64)[None, :]
+    in_pair = (pos >= start[:, None]) & (pos + 1 < end[:, None])
+    diff = ascii_arr[:, :-1] != ascii_arr[:, 1:]
+    n_pairs = in_pair.sum(axis=1)
+    frac = (in_pair & diff).sum(axis=1) / np.maximum(n_pairs, 1)
+    return np.where(n_pairs > 0, frac, 1.0)
+
+
+def triplet_entropy(
+    ascii_arr: np.ndarray, start: np.ndarray, end: np.ndarray
+) -> np.ndarray:
+    """Shannon entropy (bits, 0..6) of the trinucleotide distribution in
+    [start, end) — the DUST-class complexity signal. Windows touching
+    non-ACGT bases are skipped; reads with no valid triplet score 6.0
+    (maximally complex: never filtered on entropy alone)."""
+    R, L = ascii_arr.shape
+    code = np.full(256, -1, np.int8)
+    for i, b in enumerate(b"ACGT"):
+        code[b] = i
+        code[b + 32] = i
+    c = code[ascii_arr].astype(np.int64)
+    if L < 3:
+        return np.full(R, 6.0)
+    k0, k1, k2 = c[:, :-2], c[:, 1:-1], c[:, 2:]
+    key = k0 * 16 + k1 * 4 + k2
+    pos = np.arange(L - 2, dtype=np.int64)[None, :]
+    ok = (
+        (pos >= start[:, None])
+        & (pos + 3 <= end[:, None])
+        & (k0 >= 0)
+        & (k1 >= 0)
+        & (k2 >= 0)
+    )
+    onehot = (key[:, :, None] == np.arange(64)[None, None, :]) & ok[:, :, None]
+    counts = onehot.sum(axis=1).astype(np.float64)
+    n = counts.sum(axis=1)
+    p = counts / np.maximum(n, 1)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = -(p * np.log2(np.where(p > 0, p, 1))).sum(axis=1)
+    return np.where(n > 0, h, 6.0)
+
+
 def filter_reads(
     ascii_arr: np.ndarray,
     quals: np.ndarray,
@@ -100,6 +152,7 @@ def filter_reads(
     adapter: Optional[bytes] = None,
     adapter_max_error: float = 0.1,
     adapter_min_overlap: int = 3,
+    min_complexity: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(keep [R] bool, start [R], end [R]) for a rectangular read batch.
 
@@ -128,6 +181,10 @@ def filter_reads(
     if max_n is not None:
         n_bad = (in_span & ~_ACGT[ascii_arr]).sum(axis=1)
         keep &= n_bad <= int(max_n)
+    if min_complexity is not None:
+        keep &= complexity_fraction(ascii_arr, start, end) >= float(
+            min_complexity
+        )
     return keep, start, end
 
 
@@ -156,7 +213,8 @@ def _iter_record_batches(path, batch_reads):
         yield names, seqs, quals
 
 
-def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter):
+def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
+                  min_complexity=None):
     """(keep, start, end) for one list-batch."""
     lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
     L = max(int(lens.max()), 1) if len(seqs) else 1
@@ -166,7 +224,8 @@ def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter):
         a[i, : len(s)] = np.frombuffer(s, np.uint8)
         q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
     return filter_reads(
-        a, q, lens, min_len, min_mean_q, trim_q, max_n, adapter=adapter
+        a, q, lens, min_len, min_mean_q, trim_q, max_n, adapter=adapter,
+        min_complexity=min_complexity,
     )
 
 
@@ -179,6 +238,7 @@ def filter_fastq(
     max_n: Optional[int] = None,
     adapter: Optional[bytes] = None,
     batch_reads: int = 65536,
+    min_complexity: Optional[float] = None,
 ) -> dict:
     """Stream FASTQ -> trimmed/filtered FASTQ; returns summary stats.
 
@@ -189,7 +249,8 @@ def filter_fastq(
     with open(out_path, "wb") as out:
         for names, seqs, quals in _iter_record_batches(in_path, batch_reads):
             keep, start, end = _batch_filter(
-                seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter
+                seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
+                min_complexity,
             )
             n_in += len(seqs)
             bases_in += sum(len(s) for s in seqs)
@@ -220,6 +281,7 @@ def filter_fastq_paired(
     max_n: Optional[int] = None,
     adapter: Optional[bytes] = None,
     batch_reads: int = 65536,
+    min_complexity: Optional[float] = None,
 ) -> dict:
     """Paired-end twin of filter_fastq: R1/R2 stream in lockstep and a pair
     survives only if BOTH mates pass (trimming is per-mate) — the standard
@@ -236,10 +298,12 @@ def filter_fastq_paired(
             if len(names2) != len(names1):
                 raise ValueError("paired inputs have different record counts")
             k1, s1, e1 = _batch_filter(
-                seqs1, quals1, min_len, min_mean_q, trim_q, max_n, adapter
+                seqs1, quals1, min_len, min_mean_q, trim_q, max_n, adapter,
+                min_complexity,
             )
             k2, s2, e2 = _batch_filter(
-                seqs2, quals2, min_len, min_mean_q, trim_q, max_n, adapter
+                seqs2, quals2, min_len, min_mean_q, trim_q, max_n, adapter,
+                min_complexity,
             )
             keep = k1 & k2
             n_in += len(seqs1)

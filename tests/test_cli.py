@@ -330,3 +330,13 @@ def test_cli_sketch_k21(tmp_path, capsys, rng):
     assert rep["k"] == 21 and 0.5 < rep["jaccard"] < 1.0
     assert cli.main(["sketch", pa, pa, "-k", "21", "-w", "8"]) == 0
     assert json.loads(capsys.readouterr().out)["jaccard"] == 1.0
+
+
+def test_cli_filter_min_complexity(tmp_path, capsys, rng):
+    good = random_seq(rng, 80).upper()
+    poly = b"A" * 80
+    p = _write_fastq(tmp_path / "in.fq", [good, poly])
+    out = str(tmp_path / "out.fq")
+    assert cli.main(["filter", p, "-o", out, "--min-complexity", "0.3"]) == 0
+    kept = open(out, "rb").read().splitlines()
+    assert len(kept) == 4 and kept[1] == good

@@ -219,3 +219,65 @@ def test_count_cli_min_count(tmp_path, capsys):
     assert cli.main(["count", str(p), "-k", "4", "--min-count", "3"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["ACGT\t3"]
+
+
+def test_complexity_fraction_semantics():
+    from bitnuc_tpu.filters import complexity_fraction
+
+    a = np.zeros((3, 20), np.uint8)
+    a[0, :] = ord("A")                       # homopolymer -> 0.0
+    a[1, :] = np.tile([ord("A"), ord("C")], 10)  # alternating -> 1.0
+    a[2, :10] = ord("G")                     # only 1 spanned base -> 1.0
+    start = np.array([0, 0, 3], np.int64)
+    end = np.array([20, 20, 4], np.int64)
+    frac = complexity_fraction(a, start, end)
+    assert frac[0] == 0.0 and frac[1] == 1.0 and frac[2] == 1.0
+    # span restriction: positions outside [start, end) don't count
+    a[0, 10:] = ord("T")
+    frac = complexity_fraction(a, np.array([0]*1+[0, 3], np.int64)[:3],
+                               np.array([10, 20, 4], np.int64))
+    assert frac[0] == 0.0  # the A->T transition at 9->10 is outside
+
+
+def test_triplet_entropy_bounds(rng):
+    from bitnuc_tpu.filters import triplet_entropy
+
+    homo = b"A" * 60
+    rand = random_seq(rng, 2000).upper()
+    withn = b"ACGT" * 5 + b"N" + b"ACGT" * 5
+    L = max(len(homo), len(rand), len(withn))
+    a = np.zeros((3, L), np.uint8)
+    for i, s in enumerate((homo, rand, withn)):
+        a[i, : len(s)] = np.frombuffer(s, np.uint8)
+    start = np.zeros(3, np.int64)
+    end = np.array([len(homo), len(rand), len(withn)], np.int64)
+    h = triplet_entropy(a, start, end)
+    assert h[0] == 0.0
+    assert 5.0 < h[1] <= 6.0  # random ~ uniform over 64 triplets
+    # oracle check on the N-containing read: count valid windows by hand
+    import collections, math
+    cnt = collections.Counter()
+    s = withn
+    for p in range(len(s) - 2):
+        win = s[p : p + 3]
+        if b"N" not in win:
+            cnt[bytes(win)] += 1
+    n = sum(cnt.values())
+    want = -sum(c / n * math.log2(c / n) for c in cnt.values())
+    assert abs(h[2] - want) < 1e-9
+
+
+def test_filter_reads_min_complexity(rng):
+    from bitnuc_tpu.filters import filter_reads
+
+    good = random_seq(rng, 100).upper()
+    poly = b"T" * 100
+    a = np.zeros((2, 100), np.uint8)
+    a[0] = np.frombuffer(good, np.uint8)
+    a[1] = np.frombuffer(poly, np.uint8)
+    q = np.full((2, 100), ord("I"), np.uint8)
+    lens = np.array([100, 100], np.int64)
+    keep, _, _ = filter_reads(a, q, lens, min_complexity=0.3)
+    assert keep.tolist() == [True, False]
+    keep, _, _ = filter_reads(a, q, lens)  # off by default
+    assert keep.tolist() == [True, True]
