@@ -765,6 +765,33 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_orf(args) -> int:
+    """Longest ORF per record across all six frames (getorf-class).
+    TSV: name, strand, start, end, length, stopped."""
+    import numpy as np
+
+    from .ops import orf
+
+    names, reads = _read_any(args.path, validate=False)
+    ln, s, e, isrc, stopped = map(
+        np.asarray, orf.longest_orf(reads.words, reads.lengths)
+    )
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i, name in enumerate(names):
+            if ln[i] < args.min_len:
+                continue
+            out.write(
+                f"{name.decode()}\t{'-' if isrc[i] else '+'}\t{int(s[i])}"
+                f"\t{int(e[i])}\t{int(ln[i])}"
+                f"\t{'stop' if stopped[i] else 'open'}\n"
+            )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -1032,6 +1059,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write unmerged pairs here (interleaved FASTA)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "orf",
+        help="longest open reading frame per record, all six frames",
+    )
+    p.add_argument("path", help="FASTA/FASTQ[.gz]")
+    p.add_argument("--min-len", type=int, default=0,
+                   help="suppress records whose longest ORF is shorter")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_orf)
 
     p = sub.add_parser(
         "correct",

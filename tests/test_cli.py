@@ -340,3 +340,12 @@ def test_cli_filter_min_complexity(tmp_path, capsys, rng):
     assert cli.main(["filter", p, "-o", out, "--min-complexity", "0.3"]) == 0
     kept = open(out, "rb").read().splitlines()
     assert len(kept) == 4 and kept[1] == good
+
+
+def test_cli_orf(tmp_path, capsys):
+    seq = b"CCGGCC" + b"ATG" + b"GCC" * 10 + b"TAA" + b"CCGGCC"
+    p = _write_fasta(tmp_path / "o.fa", [seq, b"CCCCCC"])
+    assert cli.main(["orf", p, "--min-len", "30"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1  # the ORF-less record is suppressed
+    assert rows[0][1:] == ["+", "6", "39", "33", "stop"]

@@ -1,0 +1,80 @@
+"""ORF detection vs a brute-force 6-frame python oracle and planted ORFs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import random_seq
+
+from bitnuc_tpu.ops import orf
+from bitnuc_tpu.sequence import PackedReads
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+_STOPS = (b"TAA", b"TAG", b"TGA")
+
+
+def rc(s: bytes) -> bytes:
+    return s[::-1].translate(_RC)
+
+
+def naive_longest(seq: bytes):
+    """(length, start, end, is_rc, stopped) with the op's exact rules."""
+    def one_strand(s):
+        """(len, start, stopped): ORF = ATG to the first in-frame stop at
+        or after it (exclusive), open to the last whole codon otherwise."""
+        n = len(s)
+        best = (0, 0, False)
+        for p in range(n - 2):
+            if s[p : p + 3] != b"ATG":
+                continue
+            q = p
+            stopped = False
+            while q + 3 <= n:
+                if s[q : q + 3] in _STOPS:
+                    stopped = True
+                    break
+                q += 3
+            length = q - p
+            if length > best[0]:
+                best = (length, p, stopped)
+        return best
+
+    lf, sf, stf = one_strand(seq)
+    lr, sr, str_ = one_strand(rc(seq))
+    if lr > lf:
+        n = len(seq)
+        return lr, n - sr - lr, n - sr, True, str_
+    return lf, sf, sf + lf, False, stf
+
+
+def test_longest_orf_planted(rng):
+    # hand-built read: junk, ATG + 30 coding bases + TAA, junk (no other
+    # ATG/stops by construction using only C/G filler)
+    filler = b"CCGGCC"
+    coding = b"ATG" + b"GCC" * 10 + b"TAA"
+    seq = filler + coding + filler
+    r = PackedReads.from_ascii([seq])
+    ln, s, e, isrc, stopped = map(np.asarray, orf.longest_orf(r.words, r.lengths))
+    assert (ln[0], s[0], e[0]) == (33, 6, 39)
+    assert not isrc[0] and stopped[0]
+
+
+def test_longest_orf_reverse_strand_and_open(rng):
+    coding = b"ATG" + b"GTC" * 12  # open ORF (no stop), 39 bases
+    seq = rc(b"CC" + coding + b"CC")
+    r = PackedReads.from_ascii([seq])
+    ln, s, e, isrc, stopped = map(np.asarray, orf.longest_orf(r.words, r.lengths))
+    want = naive_longest(seq)
+    assert (ln[0], s[0], e[0], bool(isrc[0]), bool(stopped[0])) == want
+    assert isrc[0] and not stopped[0] and ln[0] == 39
+
+
+def test_longest_orf_vs_naive_fuzz(rng):
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(3, 200, 30)]
+    seqs += [b"", b"AT", b"ATG", b"ATGTAA", b"TTACAT"]  # edges; last = rc(ATGTAA)
+    r = PackedReads.from_ascii(seqs)
+    ln, s, e, isrc, stopped = map(np.asarray, orf.longest_orf(r.words, r.lengths))
+    for i, q in enumerate(seqs):
+        want = naive_longest(q)
+        got = (int(ln[i]), int(s[i]), int(e[i]), bool(isrc[i]), bool(stopped[i]))
+        assert got == want, (i, q, got, want)
