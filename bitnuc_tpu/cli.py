@@ -767,25 +767,42 @@ def cmd_merge(args) -> int:
 
 def cmd_orf(args) -> int:
     """Longest ORF per record across all six frames (getorf-class).
-    TSV: name, strand, start, end, length, stopped."""
+    TSV: name, strand, start, end, length, stopped[, protein with
+    --translate]."""
     import numpy as np
 
-    from .ops import orf
+    from .ops import orf, revcomp, split
 
     names, reads = _read_any(args.path, validate=False)
     ln, s, e, isrc, stopped = map(
         np.asarray, orf.longest_orf(reads.words, reads.lengths)
     )
+    aa = n_aa = None
+    if args.translate:
+        # the ORF in its own strand's coordinates: forward [s, e);
+        # reverse strand [L - e, L - s) of the reverse complement
+        import jax.numpy as jnp
+
+        rc = revcomp.reverse_complement_reads(reads.words, reads.lengths)
+        w = jnp.where(jnp.asarray(isrc)[:, None], rc, reads.words)
+        start = np.where(isrc, np.asarray(reads.lengths) - e, s)
+        ow, olen = split.slice_reads(
+            w, reads.lengths, jnp.asarray(start, np.int32), jnp.asarray(ln)
+        )
+        aa, n_aa = map(np.asarray, orf.translate_reads(ow, olen))
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
         for i, name in enumerate(names):
             if ln[i] < args.min_len:
                 continue
-            out.write(
+            row = (
                 f"{name.decode()}\t{'-' if isrc[i] else '+'}\t{int(s[i])}"
                 f"\t{int(e[i])}\t{int(ln[i])}"
-                f"\t{'stop' if stopped[i] else 'open'}\n"
+                f"\t{'stop' if stopped[i] else 'open'}"
             )
+            if aa is not None:
+                row += "\t" + aa[i, : n_aa[i]].tobytes().decode()
+            out.write(row + "\n")
     finally:
         if out is not sys.stdout:
             out.close()
@@ -1067,6 +1084,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path", help="FASTA/FASTQ[.gz]")
     p.add_argument("--min-len", type=int, default=0,
                    help="suppress records whose longest ORF is shorter")
+    p.add_argument("--translate", action="store_true",
+                   help="append the protein sequence (standard code)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_orf)
 

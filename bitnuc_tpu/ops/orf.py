@@ -36,6 +36,32 @@ _STOPS = (
     np.int32(3 * 16 + 2 * 4 + 0),  # TGA
 )
 
+# standard genetic code (table 1), indexed by the codon value above
+_CODON_AA = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L",
+    "CTT": "L", "CTC": "L", "CTA": "L", "CTG": "L",
+    "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V",
+    "TCT": "S", "TCC": "S", "TCA": "S", "TCG": "S",
+    "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T",
+    "GCT": "A", "GCC": "A", "GCA": "A", "GCG": "A",
+    "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q",
+    "AAT": "N", "AAC": "N", "AAA": "K", "AAG": "K",
+    "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "TGT": "C", "TGC": "C", "TGA": "*", "TGG": "W",
+    "CGT": "R", "CGC": "R", "CGA": "R", "CGG": "R",
+    "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+_BASE_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+_AA_LUT = np.zeros(64, np.int32)
+for _codon, _aa in _CODON_AA.items():
+    _AA_LUT[
+        _BASE_CODE[_codon[0]] * 16 + _BASE_CODE[_codon[1]] * 4 + _BASE_CODE[_codon[2]]
+    ] = ord(_aa)
+
 
 def _best_orf_one_strand(words, lengths):
     """(length [B], start [B], stopped [B]) of the longest ATG..stop ORF
@@ -84,6 +110,34 @@ def _best_orf_one_strand(words, lengths):
         & (best > 0)
     )
     return best, jnp.where(best > 0, start, 0), stopped
+
+
+@jax.jit
+def translate_reads(
+    words: jax.Array, lengths: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Translate frame 0 of each read with the standard genetic code.
+
+    Returns (aa [B, L//3] uint8 ASCII amino acids, '*' for stops, 0 past
+    each read's last whole codon; n_aa [B] int32). The 64-entry codon ->
+    AA map applies as a one-hot contraction (no gather,
+    docs/DESIGN.md §2); slice an ORF first with ops.split.slice_reads to
+    translate arbitrary frames/strands.
+    """
+    codes = bitops.unpack_words(words).astype(jnp.int32)
+    B, L = codes.shape
+    lengths = jnp.asarray(lengths, jnp.int32)
+    L3 = (L // 3) * 3
+    v = codes[:, :L3].reshape(B, L3 // 3, 3)
+    codon = v[..., 0] * 16 + v[..., 1] * 4 + v[..., 2]
+    onehot = codon[..., None] == jnp.arange(64, dtype=jnp.int32)
+    aa = jnp.sum(
+        onehot * jnp.asarray(_AA_LUT)[None, None, :], axis=-1
+    ).astype(jnp.uint8)
+    n_aa = lengths // 3
+    idx = jnp.arange(L3 // 3, dtype=jnp.int32)
+    aa = jnp.where(idx[None, :] < n_aa[:, None], aa, 0)
+    return aa, n_aa
 
 
 @jax.jit

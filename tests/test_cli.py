@@ -349,3 +349,15 @@ def test_cli_orf(tmp_path, capsys):
     rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 1  # the ORF-less record is suppressed
     assert rows[0][1:] == ["+", "6", "39", "33", "stop"]
+
+
+def test_cli_orf_translate(tmp_path, capsys):
+    coding = b"ATG" + b"GCCGTT" * 5 + b"TAA"  # M + (AV)*5, stop
+    rcseq = (b"CC" + coding + b"CC")[::-1].translate(
+        bytes.maketrans(b"ACGT", b"TGCA")
+    )
+    p = _write_fasta(tmp_path / "t.fa", [b"AA" + coding, rcseq])
+    assert cli.main(["orf", p, "--translate"]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0][6] == "MAVAVAVAVAV" and rows[0][1] == "+"
+    assert rows[1][6] == "MAVAVAVAVAV" and rows[1][1] == "-"

@@ -78,3 +78,28 @@ def test_longest_orf_vs_naive_fuzz(rng):
         want = naive_longest(q)
         got = (int(ln[i]), int(s[i]), int(e[i]), bool(isrc[i]), bool(stopped[i]))
         assert got == want, (i, q, got, want)
+
+
+# standard code as an independent encoding: 64-char string in TCAG order
+_TCAG = "TCAG"
+_AA64 = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+
+
+def py_translate(s: bytes) -> str:
+    out = []
+    for p in range(0, len(s) - 2, 3):
+        c = s[p : p + 3].decode()
+        i = _TCAG.index(c[0]) * 16 + _TCAG.index(c[1]) * 4 + _TCAG.index(c[2])
+        out.append(_AA64[i])
+    return "".join(out)
+
+
+def test_translate_reads_vs_table(rng):
+    seqs = [random_seq(rng, int(n)).upper() for n in (3, 5, 48, 301)]
+    seqs.append(b"ATGGCCTAA")  # M A *
+    r = PackedReads.from_ascii(seqs)
+    aa, n_aa = map(np.asarray, orf.translate_reads(r.words, r.lengths))
+    for i, q in enumerate(seqs):
+        got = aa[i, : n_aa[i]].tobytes().decode()
+        assert got == py_translate(q), (i, q)
+    assert aa[-1, :3].tobytes() == b"MA*"
