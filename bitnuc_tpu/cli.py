@@ -1020,7 +1020,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("ref", help="reference FASTA (multi-contig ok)")
     p.add_argument("path", help="reads FASTA/FASTQ[.gz]")
-    p.add_argument("-k", type=int, default=15, help="minimizer k (<= 15)")
+    p.add_argument("-k", type=int, default=15, help="minimizer k (<= 31)")
     p.add_argument("-w", type=int, default=10, help="minimizer window")
     p.add_argument("--max-occ", type=int, default=8,
                    help="drop index keys with more reference occurrences")
@@ -1042,7 +1042,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("ref", help="reference FASTA (multi-contig ok)")
     p.add_argument("path", help="reads FASTA/FASTQ[.gz]")
-    p.add_argument("-k", type=int, default=15, help="minimizer k (<= 15)")
+    p.add_argument("-k", type=int, default=15, help="minimizer k (<= 31)")
     p.add_argument("-w", type=int, default=10, help="minimizer window")
     p.add_argument("--max-occ", type=int, default=8)
     p.add_argument("--min-seeds", type=int, default=2)

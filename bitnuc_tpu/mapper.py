@@ -9,8 +9,10 @@ codebase's TPU idioms — no scatter, no variadic reduce, no
 data-dependent control flow, one gather whose cost is bounded by design:
 
 1. SEEDS — (w,k)-minimizers with positions (`ops.kmer.minimizer_positions`
-   + `minimizer_sketch_mask`), the same sketch construction the sketching
-   ops use. k <= 15 keeps the 0xFFFFFFFF sentinel unambiguous.
+   / `minimizer_positions64` + `minimizer_sketch_mask`), the same sketch
+   construction the sketching ops use. Keys are (lo, hi) u32 pairs
+   throughout — hi is identically 0 for k <= 15, real for 16 <= k <= 31
+   (sentinel headroom caps k at 31).
 2. INDEX — one device pass builds a table of DISTINCT minimizer keys with
    up to `max_occ` reference positions per key. Occurrence columns come
    from STATIC left-shifts of the (key, pos)-sorted seed array (the rank-i
@@ -22,8 +24,8 @@ data-dependent control flow, one gather whose cost is bounded by design:
    [table keys ++ query keys] with a tag tiebreak. Because table keys are
    distinct and ascending, the matching table ROW INDEX is a monotone
    sequence recoverable by `lax.cummax` (a pointer forward-fill, validated
-   by a cummax key-fill) — the general segmented value-broadcast problem
-   never arises. A second sort un-permutes, then a single bounded gather
+   against the gathered table key) — the general segmented value-broadcast
+   problem never arises. A second sort un-permutes, then a single bounded gather
    ([B, L] rows x max_occ contiguous columns) fetches candidate
    positions. Everything else is elementwise.
 4. VOTE — candidate diagonals (ref_pos - read_pos) are sorted row-wise
@@ -77,24 +79,24 @@ def _shift_head(x: jax.Array, m: int, fill) -> jax.Array:
 def _build_table(words, length, k: int, w: int, max_occ: int, base_valid=None):
     """Distinct-key minimizer table from one packed sequence.
 
-    Returns (keys [N] u32 with the distinct keys sorted first and sentinel
-    padding after, pos [N, max_occ] i32 with -1 padding, nocc [N] i32).
+    Returns (lo [N] u32, hi [N] u32, pos [N, max_occ] i32 with -1
+    padding, nocc [N] i32): distinct keys sorted ascending by (hi, lo)
+    first, sentinel padding after; hi is identically 0 for k <= 15.
     Keys with more than max_occ reference occurrences are dropped whole.
     base_valid masks k-mers touching N / contig-separator bases out of
     seed selection entirely.
     """
-    vals, pos, valid = kmer_ops.minimizer_positions(
-        words, length, k, w, base_valid=base_valid
-    )
+    vlo, vhi, pos, valid = _seed_keys(words, length, k, w, base_valid)
     sel = kmer_ops.minimizer_sketch_mask(pos, valid)
-    keys = jnp.where(sel, vals, _SENT).reshape(-1)
+    lo = jnp.where(sel, vlo, _SENT).reshape(-1)
+    hi = jnp.where(sel, vhi, _SENT).reshape(-1)
     rpos = jnp.where(sel, pos, _BIG).reshape(-1).astype(jnp.int32)
 
-    keys_s, pos_s = jax.lax.sort((keys, rpos), num_keys=2)
-    N = keys_s.shape[0]
+    hi_s, lo_s, pos_s = jax.lax.sort((hi, lo, rpos), num_keys=3)
+    N = lo_s.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
+        [jnp.ones((1,), bool), (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
     )
     # next boundary strictly after i == run end for every row of the run
     at_or_after = jnp.flip(
@@ -104,16 +106,31 @@ def _build_table(words, length, k: int, w: int, max_occ: int, base_valid=None):
     run_start = jax.lax.cummax(jnp.where(first, idx, 0))
     run_len = run_end - run_start
 
-    keep = (keys_s != _SENT) & (run_len <= max_occ)
+    keep = ((lo_s != _SENT) | (hi_s != _SENT)) & (run_len <= max_occ)
     start = first & keep
     cols = [
         jnp.where(start & (i < run_len), _shift_head(pos_s, i, _BIG), -1)
         for i in range(max_occ)
     ]
-    skey = jnp.where(start, keys_s, _SENT)
+    shi = jnp.where(start, hi_s, _SENT)
+    slo = jnp.where(start, lo_s, _SENT)
     nocc = jnp.where(start, run_len, 0)
-    out = jax.lax.sort(tuple([skey] + cols + [nocc]), num_keys=1)
-    return out[0], jnp.stack(out[1:-1], axis=-1), out[-1]
+    out = jax.lax.sort(tuple([shi, slo] + cols + [nocc]), num_keys=2)
+    return out[1], out[0], jnp.stack(out[2:-1], axis=-1), out[-1]
+
+
+def _seed_keys(words, lengths, k: int, w: int, base_valid=None):
+    """(lo, hi, pos, valid) minimizer seeds for any k <= 31: pair keys,
+    with hi identically 0 for k <= 15 (one mapper code path — the extra
+    all-zero sort column costs little and removes a key-width fork)."""
+    if k > 15:
+        return kmer_ops.minimizer_positions64(
+            words, lengths, k, w, base_valid=base_valid
+        )
+    vals, pos, valid = kmer_ops.minimizer_positions(
+        words, lengths, k, w, base_valid=base_valid
+    )
+    return vals, jnp.zeros_like(vals), pos, valid
 
 
 class MinimizerIndex:
@@ -131,8 +148,15 @@ class MinimizerIndex:
         w,
         max_occ,
         contig_starts=None,
+        keys_hi=None,
     ):
-        self.keys = np.asarray(keys, np.uint32)  # [Nk] sorted distinct
+        self.keys = np.asarray(keys, np.uint32)  # [Nk] low key words
+        # high key words ([Nk]; zeros for k <= 15) — sorted by (hi, lo)
+        self.keys_hi = (
+            np.zeros_like(self.keys)
+            if keys_hi is None
+            else np.asarray(keys_hi, np.uint32)
+        )
         self.pos = np.asarray(pos, np.int32)  # [Nk, max_occ], -1 padded
         self.nocc = np.asarray(nocc, np.int32)  # [Nk]
         self.ref_words = np.asarray(ref_words, np.uint32)  # [Wr]
@@ -161,7 +185,7 @@ class MinimizerIndex:
         (so alignment windows treat them as ordinary mismatching bases).
         Pass base_valid to extend the mask (e.g. contig separators —
         build_multi)."""
-        assert 1 <= k <= 15, "minimizer keys must leave sentinel headroom"
+        assert 1 <= k <= 31, "minimizer keys must leave sentinel headroom"
         assert w >= 1 and max_occ >= 1
         if isinstance(ref, (bytes, bytearray)):
             from . import io as bnio
@@ -180,13 +204,13 @@ class MinimizerIndex:
             n = int(ref_len)
         if base_valid is not None:
             base_valid = jnp.asarray(np.asarray(base_valid, bool))[None, :]
-        keys, pos, nocc = _build_table(
+        lo, hi, pos, nocc = _build_table(
             words, jnp.array([n], jnp.int32), k, w, max_occ, base_valid
         )
-        keys = np.asarray(keys)
-        live = int((keys != _SENT).sum())
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        live = int(((lo != _SENT) | (hi != _SENT)).sum())
         return cls(
-            keys[:live],
+            lo[:live],
             np.asarray(pos)[:live],
             np.asarray(nocc)[:live],
             np.asarray(words)[0],
@@ -195,6 +219,7 @@ class MinimizerIndex:
             w,
             max_occ,
             contig_starts,
+            keys_hi=hi[:live],
         )
 
     @classmethod
@@ -232,6 +257,7 @@ class MinimizerIndex:
         np.savez_compressed(
             path,
             keys=self.keys,
+            keys_hi=self.keys_hi,
             pos=self.pos,
             nocc=self.nocc,
             ref_words=self.ref_words,
@@ -255,6 +281,7 @@ class MinimizerIndex:
             w,
             max_occ,
             z["contig_starts"] if "contig_starts" in z.files else None,
+            keys_hi=z["keys_hi"] if "keys_hi" in z.files else None,
         )
 
     def __len__(self) -> int:
@@ -266,19 +293,22 @@ class MinimizerIndex:
 # --------------------------------------------------------------------------
 
 
-def _seed_candidates(words, lengths, t_keys, t_pos, k: int, w: int):
+def _seed_candidates(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
     """Candidate diagonals for every read: [B, L, max_occ] int32
-    (ref_pos - read_pos + _DOFF; _BIG where there is no candidate)."""
+    (ref_pos - read_pos + _DOFF; _BIG where there is no candidate).
+    Pair keys throughout (hi == 0 for k <= 15)."""
     B = words.shape[0]
-    vals, pos, valid = kmer_ops.minimizer_positions(words, lengths, k, w)
+    vlo, vhi, pos, valid = _seed_keys(words, lengths, k, w)
     sel = kmer_ops.minimizer_sketch_mask(pos, valid)
-    qk = jnp.where(sel, vals, _SENT)  # [B, L]
+    qlo = jnp.where(sel, vlo, _SENT)  # [B, L]
+    qhi = jnp.where(sel, vhi, _SENT)
     qp = jnp.where(sel, pos, 0).astype(jnp.int32)
-    L = qk.shape[-1]
+    L = qlo.shape[-1]
     Q = B * L
-    Nk = t_keys.shape[0]
+    Nk = t_lo.shape[0]
 
-    key_all = jnp.concatenate([t_keys, qk.reshape(-1)])
+    lo_all = jnp.concatenate([t_lo, qlo.reshape(-1)])
+    hi_all = jnp.concatenate([t_hi, qhi.reshape(-1)])
     tag = jnp.concatenate(
         [jnp.zeros(Nk, jnp.uint32), jnp.ones(Q, jnp.uint32)]
     )
@@ -288,14 +318,14 @@ def _seed_candidates(words, lengths, t_keys, t_pos, k: int, w: int):
     orig = jnp.concatenate(
         [jnp.full(Nk, Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
     )
-    k_s, _, ptr_s, orig_s = jax.lax.sort((key_all, tag, ptr, orig), num_keys=2)
+    _, _, _, ptr_s, orig_s = jax.lax.sort(
+        (hi_all, lo_all, tag, ptr, orig), num_keys=3
+    )
 
-    # table rows are distinct + ascending, so "my key's table row" is a
-    # monotone pointer forward-fill; the key forward-fill validates it
-    tptr = jax.lax.cummax(ptr_s)
-    kfill = jax.lax.cummax(jnp.where(ptr_s >= 0, k_s, 0))
-    ok = (tptr >= 0) & (kfill == k_s) & (k_s != _SENT)
-    tptr = jnp.where(ok, tptr, Nk)  # Nk = all-miss dummy row
+    # table rows are distinct and ascending by (hi, lo), so "my key's
+    # table row" is a monotone pointer forward-fill; validity is checked
+    # against the gathered table key below (no key forward-fill needed)
+    tptr = jnp.maximum(jax.lax.cummax(ptr_s), 0)
 
     _, tptr_u = jax.lax.sort((orig_s, tptr), num_keys=1)
     tq = tptr_u[:Q].reshape(B, L)
@@ -303,9 +333,13 @@ def _seed_candidates(words, lengths, t_keys, t_pos, k: int, w: int):
     pos_pad = jnp.concatenate(
         [t_pos, jnp.full((1, t_pos.shape[1]), -1, jnp.int32)]
     )
+    lo_pad = jnp.concatenate([t_lo, jnp.full((1,), _SENT, jnp.uint32)])
+    hi_pad = jnp.concatenate([t_hi, jnp.full((1,), _SENT, jnp.uint32)])
+    tq = jnp.minimum(tq, Nk)  # empty-table safety: dummy all-miss row
     cand = jnp.take(pos_pad, tq, axis=0)  # [B, L, max_occ] — THE one gather
+    hit = (jnp.take(lo_pad, tq) == qlo) & (jnp.take(hi_pad, tq) == qhi) & sel
     diag = jnp.where(
-        cand >= 0, cand - qp[..., None] + _DOFF, _BIG
+        hit[..., None] & (cand >= 0), cand - qp[..., None] + _DOFF, _BIG
     )
     return diag.reshape(B, -1)
 
@@ -372,7 +406,8 @@ def _reverse_reads(words: jax.Array, lengths: jax.Array) -> jax.Array:
 def _map_core(
     words,
     lengths,
-    t_keys,
+    t_lo,
+    t_hi,
     t_pos,
     ref_words,
     ref_len,
@@ -392,7 +427,8 @@ def _map_core(
     diag2 = _seed_candidates(
         jnp.concatenate([words, rc_words]),
         jnp.concatenate([lengths, lengths]),
-        t_keys,
+        t_lo,
+        t_hi,
         t_pos,
         k,
         w,
@@ -470,6 +506,7 @@ def map_reads(
         reads.words,
         reads.lengths,
         jnp.asarray(index.keys),
+        jnp.asarray(index.keys_hi),
         jnp.asarray(index.pos),
         jnp.asarray(index.ref_words),
         np.int32(index.ref_len),
@@ -522,9 +559,9 @@ def map_reads_sharded(
         gap=gap,
     )
     fn = jax.shard_map(
-        lambda wd, ln, tk, tp, rw, rl: core(wd, ln, tk, tp, rw, rl),
+        lambda wd, ln, tl, th, tp, rw, rl: core(wd, ln, tl, th, tp, rw, rl),
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
         out_specs=P(axis),
         check_vma=False,
     )
@@ -532,6 +569,7 @@ def map_reads_sharded(
         reads.words,
         jnp.asarray(reads.lengths, jnp.int32),
         jnp.asarray(index.keys),
+        jnp.asarray(index.keys_hi),
         jnp.asarray(index.pos),
         jnp.asarray(index.ref_words),
         jnp.full((), index.ref_len, jnp.int32),

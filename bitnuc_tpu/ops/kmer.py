@@ -801,6 +801,78 @@ def _sliding_min2(hi: jax.Array, lo: jax.Array, w: int, fill) -> Tuple[jax.Array
     return combine(h, l, _shift_tail(h, off, fill), _shift_tail(l, off, fill))
 
 
+def _sliding_argmin2(
+    hi: jax.Array, lo: jax.Array, w: int, fill
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(min hi, min lo, GLOBAL position of the leftmost min) per w-window
+    under lexicographic (hi, lo, pos) order — the pair-key twin of
+    _sliding_argmin."""
+    L = hi.shape[-1]
+    pos0 = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), hi.shape)
+
+    def combine(h1, l1, p1, h2, l2, p2):
+        take2 = (
+            (h2 < h1)
+            | ((h2 == h1) & (l2 < l1))
+            | ((h2 == h1) & (l2 == l1) & (p2 < p1))
+        )
+        return (
+            jnp.where(take2, h2, h1),
+            jnp.where(take2, l2, l1),
+            jnp.where(take2, p2, p1),
+        )
+
+    pows = {1: (hi, lo, pos0)}
+    m = 1
+    big = jnp.int32(2**30)
+    while 2 * m <= w:
+        h, l, p = pows[m]
+        pows[2 * m] = combine(
+            h, l, p,
+            _shift_tail(h, m, fill), _shift_tail(l, m, fill),
+            _shift_tail(p, m, big),
+        )
+        m *= 2
+    half = m
+    h, l, p = pows[half]
+    off = w - half
+    return combine(
+        h, l, p,
+        _shift_tail(h, off, fill), _shift_tail(l, off, fill),
+        _shift_tail(p, off, big),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "w", "canonical"))
+def minimizer_positions64(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    w: int,
+    canonical: bool = False,
+    base_valid=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """minimizer_positions for the large-k regime (keys as (lo, hi) u32
+    pairs, 16 <= k <= 32): (lo, hi, positions, valid). Semantics mirror
+    minimizer_positions exactly, including base_valid masking."""
+    assert 1 <= k <= 32
+    lo, hi, valid_k = _window_keys(words, lengths, k, canonical, base_valid)
+    sent = jnp.uint32(0xFFFFFFFF)
+    lo = jnp.where(valid_k, lo, sent)
+    hi = jnp.where(valid_k, hi, sent)
+    hi_m, lo_m, pos = _sliding_argmin2(hi, lo, w, sent)
+    L = lo.shape[-1]
+    p_idx = jnp.arange(L, dtype=jnp.int32)
+    valid = p_idx <= (jnp.asarray(lengths, jnp.int32)[..., None] - (k + w - 1))
+    valid = valid & ((hi_m != sent) | (lo_m != sent))
+    return (
+        jnp.where(valid, lo_m, sent),
+        jnp.where(valid, hi_m, sent),
+        jnp.where(valid, pos, -1),
+        valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "w", "canonical"))
 def minimizers64(
     words: jax.Array,

@@ -204,3 +204,45 @@ def test_map_tandem_repeat_coherent_interval(rng):
     s, e = int(out["ref_start"][0]), int(out["ref_end"][0])
     assert e - s == 45
     assert s in (1000, 1045)  # a real copy, same copy both ends
+
+
+@pytest.mark.parametrize("k,w", [(21, 10), (31, 6)])
+def test_index_build_vs_naive_wide_k(rng, k, w):
+    # 64-bit key regime: parity against the same brute-force dict oracle
+    ref = random_seq(rng, 900).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=k, w=w, max_occ=8)
+    want = naive_seed_table(ref, k, w, 8)
+    got_keys = [
+        (int(h) << 32) | int(l) for l, h in zip(idx.keys, idx.keys_hi)
+    ]
+    assert got_keys == sorted(want)
+    for row, key in enumerate(got_keys):
+        ps = want[key]
+        assert idx.pos[row, : len(ps)].tolist() == ps
+
+
+def test_map_planted_reads_wide_k(rng):
+    ref = random_seq(rng, 5000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=21, w=10)
+    reads = [
+        ref[1500:1650],
+        rc(ref[3200:3350]),
+        random_seq(rng, 150).upper(),
+    ]
+    out = mapper.map_reads(idx, PackedReads.from_ascii(reads))
+    assert out["mapped"].tolist() == [True, True, False]
+    assert out["strand"][:2].tolist() == [b"+", b"-"]
+    assert out["ref_start"][:2].tolist() == [1500, 3200]
+    assert out["ref_end"][:2].tolist() == [1650, 3350]
+    assert out["cost"][:2].tolist() == [0, 0]
+    # save/load keeps the wide keys
+    import tempfile, os
+    fd, pth = tempfile.mkstemp(suffix=".npz"); os.close(fd)
+    try:
+        idx.save(pth)
+        idx2 = mapper.MinimizerIndex.load(pth)
+        assert (idx2.keys_hi == idx.keys_hi).all() and idx2.keys_hi.any()
+        out2 = mapper.map_reads(idx2, PackedReads.from_ascii(reads))
+        np.testing.assert_array_equal(out2["ref_start"], out["ref_start"])
+    finally:
+        os.unlink(pth)
