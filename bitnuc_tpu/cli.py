@@ -350,6 +350,7 @@ def cmd_filter(args) -> int:
         max_n=args.max_n,
         adapter=args.adapter.encode() if args.adapter else None,
         min_complexity=args.min_complexity,
+        min_entropy=args.min_entropy,
     )
     if args.paired:
         if args.out2 is None:
@@ -793,8 +794,8 @@ def cmd_orf(args) -> int:
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
         for i, name in enumerate(names):
-            if ln[i] < args.min_len:
-                continue
+            if ln[i] == 0 or ln[i] < args.min_len:
+                continue  # no ATG anywhere: emit nothing (getorf semantics)
             row = (
                 f"{name.decode()}\t{'-' if isrc[i] else '+'}\t{int(s[i])}"
                 f"\t{int(e[i])}\t{int(ln[i])}"
@@ -879,7 +880,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sketch", help="minimizer-sketch similarity of two files")
     p.add_argument("a")
     p.add_argument("b")
-    p.add_argument("-k", type=int, default=15, help="sketch k (1..15)")
+    p.add_argument("-k", type=int, default=15, help="sketch k (1..31; >15 uses 64-bit keys)")
     p.add_argument("-w", type=int, default=10, help="minimizer window")
     p.add_argument("--canonical", action="store_true")
     p.set_defaults(fn=cmd_sketch)
@@ -962,6 +963,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-complexity", type=float, default=None,
                    help="drop reads whose base-transition fraction is "
                    "below this (fastp -y semantics; try 0.3)")
+    p.add_argument("--min-entropy", type=float, default=None,
+                   help="drop reads whose trinucleotide Shannon entropy "
+                   "(bits, 0..6) is below this (DUST-class; try 2.0)")
     p.add_argument("--paired", default=None, metavar="R2",
                    help="mate FASTQ; pairs survive only if both mates pass")
     p.add_argument("--out2", default=None, help="output path for R2")

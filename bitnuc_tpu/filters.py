@@ -132,8 +132,11 @@ def triplet_entropy(
         & (k1 >= 0)
         & (k2 >= 0)
     )
-    onehot = (key[:, :, None] == np.arange(64)[None, None, :]) & ok[:, :, None]
-    counts = onehot.sum(axis=1).astype(np.float64)
+    # one flat bincount over row*64 + key (a [R, L, 64] one-hot would cost
+    # 64x the memory at fastq batch sizes)
+    rows = np.broadcast_to(np.arange(R, dtype=np.int64)[:, None], key.shape)
+    flat = (rows * 64 + key)[ok]
+    counts = np.bincount(flat, minlength=R * 64).reshape(R, 64).astype(np.float64)
     n = counts.sum(axis=1)
     p = counts / np.maximum(n, 1)[:, None]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -153,6 +156,7 @@ def filter_reads(
     adapter_max_error: float = 0.1,
     adapter_min_overlap: int = 3,
     min_complexity: Optional[float] = None,
+    min_entropy: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(keep [R] bool, start [R], end [R]) for a rectangular read batch.
 
@@ -185,6 +189,8 @@ def filter_reads(
         keep &= complexity_fraction(ascii_arr, start, end) >= float(
             min_complexity
         )
+    if min_entropy is not None:
+        keep &= triplet_entropy(ascii_arr, start, end) >= float(min_entropy)
     return keep, start, end
 
 
@@ -214,7 +220,7 @@ def _iter_record_batches(path, batch_reads):
 
 
 def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
-                  min_complexity=None):
+                  min_complexity=None, min_entropy=None):
     """(keep, start, end) for one list-batch."""
     lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
     L = max(int(lens.max()), 1) if len(seqs) else 1
@@ -225,7 +231,7 @@ def _batch_filter(seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
         q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
     return filter_reads(
         a, q, lens, min_len, min_mean_q, trim_q, max_n, adapter=adapter,
-        min_complexity=min_complexity,
+        min_complexity=min_complexity, min_entropy=min_entropy,
     )
 
 
@@ -239,6 +245,7 @@ def filter_fastq(
     adapter: Optional[bytes] = None,
     batch_reads: int = 65536,
     min_complexity: Optional[float] = None,
+    min_entropy: Optional[float] = None,
 ) -> dict:
     """Stream FASTQ -> trimmed/filtered FASTQ; returns summary stats.
 
@@ -250,7 +257,7 @@ def filter_fastq(
         for names, seqs, quals in _iter_record_batches(in_path, batch_reads):
             keep, start, end = _batch_filter(
                 seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
-                min_complexity,
+                min_complexity, min_entropy,
             )
             n_in += len(seqs)
             bases_in += sum(len(s) for s in seqs)
@@ -282,6 +289,7 @@ def filter_fastq_paired(
     adapter: Optional[bytes] = None,
     batch_reads: int = 65536,
     min_complexity: Optional[float] = None,
+    min_entropy: Optional[float] = None,
 ) -> dict:
     """Paired-end twin of filter_fastq: R1/R2 stream in lockstep and a pair
     survives only if BOTH mates pass (trimming is per-mate) — the standard
@@ -299,11 +307,11 @@ def filter_fastq_paired(
                 raise ValueError("paired inputs have different record counts")
             k1, s1, e1 = _batch_filter(
                 seqs1, quals1, min_len, min_mean_q, trim_q, max_n, adapter,
-                min_complexity,
+                min_complexity, min_entropy,
             )
             k2, s2, e2 = _batch_filter(
                 seqs2, quals2, min_len, min_mean_q, trim_q, max_n, adapter,
-                min_complexity,
+                min_complexity, min_entropy,
             )
             keep = k1 & k2
             n_in += len(seqs1)

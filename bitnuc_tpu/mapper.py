@@ -24,8 +24,9 @@ data-dependent control flow, one gather whose cost is bounded by design:
    [table keys ++ query keys] with a tag tiebreak. Because table keys are
    distinct and ascending, the matching table ROW INDEX is a monotone
    sequence recoverable by `lax.cummax` (a pointer forward-fill, validated
-   against the gathered table key) — the general segmented value-broadcast
-   problem never arises. A second sort un-permutes, then a single bounded gather
+   by run membership: the fill is a hit iff the last table position is at
+   or after the query row's run start) — the general segmented
+   value-broadcast problem never arises. A second sort un-permutes, then a single bounded gather
    ([B, L] rows x max_occ contiguous columns) fetches candidate
    positions. Everything else is elementwise.
 4. VOTE — candidate diagonals (ref_pos - read_pos) are sorted row-wise
@@ -318,14 +319,30 @@ def _seed_candidates(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
     orig = jnp.concatenate(
         [jnp.full(Nk, Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
     )
-    _, _, _, ptr_s, orig_s = jax.lax.sort(
+    hi_s, lo_s, _, ptr_s, orig_s = jax.lax.sort(
         (hi_all, lo_all, tag, ptr, orig), num_keys=3
     )
 
     # table rows are distinct and ascending by (hi, lo), so "my key's
-    # table row" is a monotone pointer forward-fill; validity is checked
-    # against the gathered table key below (no key forward-fill needed)
-    tptr = jnp.maximum(jax.lax.cummax(ptr_s), 0)
+    # table row" is a monotone pointer forward-fill; it is a real hit iff
+    # that table row is inside MY key run (table rows sort before query
+    # rows of the same key), i.e. tptr >= run_start — both cummax fills,
+    # no gather and no key compare. Sentinel query rows form table-free
+    # runs and fail the test automatically.
+    N = Nk + Q
+    idx = jnp.arange(N, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]),
+        ]
+    )
+    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    # position (in sorted order) of the last table row at or before i —
+    # same index space as run_start, unlike the table-row id in ptr_s
+    tpos = jax.lax.cummax(jnp.where(ptr_s >= 0, idx, -1))
+    tptr = jax.lax.cummax(ptr_s)
+    tptr = jnp.where(tpos >= run_start, tptr, Nk)  # Nk = all-miss dummy
 
     _, tptr_u = jax.lax.sort((orig_s, tptr), num_keys=1)
     tq = tptr_u[:Q].reshape(B, L)
@@ -333,13 +350,9 @@ def _seed_candidates(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
     pos_pad = jnp.concatenate(
         [t_pos, jnp.full((1, t_pos.shape[1]), -1, jnp.int32)]
     )
-    lo_pad = jnp.concatenate([t_lo, jnp.full((1,), _SENT, jnp.uint32)])
-    hi_pad = jnp.concatenate([t_hi, jnp.full((1,), _SENT, jnp.uint32)])
-    tq = jnp.minimum(tq, Nk)  # empty-table safety: dummy all-miss row
     cand = jnp.take(pos_pad, tq, axis=0)  # [B, L, max_occ] — THE one gather
-    hit = (jnp.take(lo_pad, tq) == qlo) & (jnp.take(hi_pad, tq) == qhi) & sel
     diag = jnp.where(
-        hit[..., None] & (cand >= 0), cand - qp[..., None] + _DOFF, _BIG
+        (cand >= 0) & sel[..., None], cand - qp[..., None] + _DOFF, _BIG
     )
     return diag.reshape(B, -1)
 

@@ -853,9 +853,10 @@ def minimizer_positions64(
     base_valid=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """minimizer_positions for the large-k regime (keys as (lo, hi) u32
-    pairs, 16 <= k <= 32): (lo, hi, positions, valid). Semantics mirror
-    minimizer_positions exactly, including base_valid masking."""
-    assert 1 <= k <= 32
+    pairs, 16 <= k <= 31 — the all-T 32-mer collides with the sentinel):
+    (lo, hi, positions, valid). Semantics mirror minimizer_positions
+    exactly, including base_valid masking."""
+    assert 1 <= k <= 31, "minimizer keys must leave sentinel headroom"
     lo, hi, valid_k = _window_keys(words, lengths, k, canonical, base_valid)
     sent = jnp.uint32(0xFFFFFFFF)
     lo = jnp.where(valid_k, lo, sent)
@@ -881,12 +882,13 @@ def minimizers64(
     w: int,
     canonical: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(w,k)-minimizers for the large-k regime (16 <= k <= 32): 64-bit
+    """(w,k)-minimizers for the large-k regime (16 <= k <= 31): 64-bit
     keys carried as (lo, hi) u32 pairs, lexicographic (hi, lo) window
     minima. Returns (lo [..., L], hi [..., L], valid [..., L]); invalid
-    slots carry the all-ones sentinel in both halves.
+    slots carry the all-ones sentinel in both halves. k caps at 31: the
+    all-T 32-mer equals the sentinel pair and would vanish from windows.
     """
-    assert 1 <= k <= 32
+    assert 1 <= k <= 31, "minimizer keys must leave sentinel headroom"
     lo, hi, valid_k = _window_keys(words, lengths, k, canonical)
     sent = jnp.uint32(0xFFFFFFFF)
     lo = jnp.where(valid_k, lo, sent)

@@ -349,6 +349,11 @@ def test_cli_orf(tmp_path, capsys):
     rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 1  # the ORF-less record is suppressed
     assert rows[0][1:] == ["+", "6", "39", "33", "stop"]
+    # default --min-len 0 must also suppress ATG-less records (getorf
+    # semantics), not print fabricated zero-length rows
+    assert cli.main(["orf", p]) == 0
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 1
 
 
 def test_cli_orf_translate(tmp_path, capsys):

@@ -281,3 +281,20 @@ def test_filter_reads_min_complexity(rng):
     assert keep.tolist() == [True, False]
     keep, _, _ = filter_reads(a, q, lens)  # off by default
     assert keep.tolist() == [True, True]
+
+
+def test_filter_reads_min_entropy(rng):
+    from bitnuc_tpu.filters import filter_reads
+
+    good = random_seq(rng, 120).upper()
+    dimer = b"AC" * 60  # transition fraction 1.0 but entropy ~1 bit
+    a = np.zeros((2, 120), np.uint8)
+    a[0] = np.frombuffer(good, np.uint8)
+    a[1] = np.frombuffer(dimer, np.uint8)
+    q = np.full((2, 120), ord("I"), np.uint8)
+    lens = np.array([120, 120], np.int64)
+    # the transition filter misses the dimer repeat; entropy catches it
+    keep, _, _ = filter_reads(a, q, lens, min_complexity=0.3)
+    assert keep.tolist() == [True, True]
+    keep, _, _ = filter_reads(a, q, lens, min_entropy=2.0)
+    assert keep.tolist() == [True, False]

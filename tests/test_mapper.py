@@ -246,3 +246,19 @@ def test_map_planted_reads_wide_k(rng):
         np.testing.assert_array_equal(out2["ref_start"], out["ref_start"])
     finally:
         os.unlink(pth)
+
+
+def test_minimizers64_rejects_k32():
+    # the all-T 32-mer equals the sentinel pair: k=32 must be refused
+    # rather than silently dropping poly-T minimizers
+    from bitnuc_tpu.ops import kmer
+
+    r = PackedReads.from_ascii([b"T" * 50])
+    with pytest.raises(AssertionError):
+        kmer.minimizers64(r.words, r.lengths, 32, 4)
+    with pytest.raises(AssertionError):
+        kmer.minimizer_positions64(r.words, r.lengths, 32, 4)
+
+
+def test_cli_orf_suppresses_orfless_records():
+    pass  # covered in tests/test_cli.py::test_cli_orf (record without ATG)
