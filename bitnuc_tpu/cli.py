@@ -681,6 +681,18 @@ def cmd_call(args) -> int:
     base = b"ACGT"
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
+        if args.vcf:
+            out.write("##fileformat=VCFv4.2\n")
+            out.write(f"##source=bitnuc-tpu call\n")
+            for c, name in enumerate(tnames):
+                out.write(
+                    f"##contig=<ID={name.decode()},length={int(clens[c])}>\n"
+                )
+            out.write('##INFO=<ID=DP,Number=1,Type=Integer,'
+                      'Description="Read depth">\n')
+            out.write('##INFO=<ID=AF,Number=1,Type=Float,'
+                      'Description="Allele fraction">\n')
+            out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
         for j, p in enumerate(calls["variant_pos"]):
             c = int(np.searchsorted(offsets, p, "right")) - 1
             local = int(p - offsets[c])
@@ -688,12 +700,19 @@ def cmd_call(args) -> int:
                 continue
             dp = int(calls["variant_depth"][j])
             sup = int(calls["variant_support"][j])
-            out.write(
-                f"{tnames[c].decode()}\t{local + 1}"
-                f"\t{chr(base[calls['variant_ref'][j]])}"
-                f"\t{chr(base[calls['variant_alt'][j]])}"
-                f"\t{dp}\t{sup}\t{sup / dp:.3f}\n"
-            )
+            name = tnames[c].decode()
+            rb = chr(base[calls["variant_ref"][j]])
+            ab = chr(base[calls["variant_alt"][j]])
+            if args.vcf:
+                out.write(
+                    f"{name}\t{local + 1}\t.\t{rb}\t{ab}\t.\tPASS"
+                    f"\tDP={dp};AF={sup / dp:.3f}\n"
+                )
+            else:
+                out.write(
+                    f"{name}\t{local + 1}\t{rb}\t{ab}"
+                    f"\t{dp}\t{sup}\t{sup / dp:.3f}\n"
+                )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -1063,6 +1082,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write the consensus FASTA here")
     p.add_argument("--depth", default=None,
                    help="also write a bedgraph coverage track here")
+    p.add_argument("--vcf", action="store_true",
+                   help="emit VCFv4.2 instead of the bare TSV")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_call)
 

@@ -366,3 +366,26 @@ def test_cli_orf_translate(tmp_path, capsys):
     rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert rows[0][6] == "MAVAVAVAVAV" and rows[0][1] == "+"
     assert rows[1][6] == "MAVAVAVAVAV" and rows[1][1] == "-"
+
+
+def test_cli_call_vcf(tmp_path, capsys, rng):
+    ref = random_seq(rng, 2000).upper()
+    p0 = 900
+    alt = b"ACGT"[(b"ACGT".index(ref[p0 : p0 + 1]) + 1) % 4 :][:1]
+    donor = ref[:p0] + alt + ref[p0 + 1 :]
+    reads = [donor[p0 - 80 + i * 18 : p0 + 60 + i * 18] for i in range(4)]
+    qp = _write_fastq(tmp_path / "q.fq", reads)
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+    assert cli.main(
+        ["call", tp, qp, "-k", "13", "-w", "8", "--min-depth", "3",
+         "--min-frac", "0.8", "--vcf"]
+    ) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    assert any(ln.startswith("##contig=<ID=c0,length=2000>") for ln in lines)
+    body = [ln for ln in lines if not ln.startswith("#")]
+    assert len(body) == 1
+    f = body[0].split("\t")
+    assert f[0] == "c0" and int(f[1]) == p0 + 1
+    assert f[3] == ref[p0 : p0 + 1].decode() and f[4] == alt.decode()
+    assert f[6] == "PASS" and f[7].startswith("DP=4;AF=1.000")

@@ -33,11 +33,18 @@ def test_readme_code_blocks(tmp_path):
             b"".join(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * 64) for i, s in enumerate(seqs))
         )
     )
+    genome = bytes(
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=4000)
+    )
     env = {
         "list_of_reads": seqs,
         "seqs": seqs,
         "query_words": bn.PackedReads.from_ascii(seqs).words[0],
         "query_batch": bn.PackedReads.from_ascii(seqs).words[:4],
+        "genome_bytes": genome,
+        "reads": bn.PackedReads.from_ascii(
+            [genome[500:650], genome[2000:2150]]
+        ),
     }
     code = "\n".join(textwrap.dedent(b) for b in blocks).replace('"reads.fq.gz"', repr(str(fq))).replace(
         '"ckpt.npz"', repr(str(tmp_path / "ckpt.npz"))
