@@ -349,6 +349,60 @@ def bench_map(batch=4096, read_len=150, genome_mb=4):
     return batch / t
 
 
+def bench_merge(batch=16384, read_len=150, frag_len=250):
+    """Paired-end overlap merging: pairs merged/sec (offset scan + fragment
+    construction; planted overlapping pairs so every pair takes the full
+    qualifying path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bitnuc_tpu.ops import merge_pairs
+    from bitnuc_tpu.sequence import PackedReads
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    rng = np.random.default_rng(13)
+    frag = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(batch, frag_len))
+    comp = frag[:, ::-1]
+    comp = np.frombuffer(b"ACGT", np.uint8)[
+        3 - np.searchsorted(np.frombuffer(b"ACGT", np.uint8), comp)
+    ]
+    r1 = PackedReads.from_ascii(frag[:, :read_len],
+                                lengths=np.full(batch, read_len, np.int32))
+    r2 = PackedReads.from_ascii(comp[:, :read_len],
+                                lengths=np.full(batch, read_len, np.int32))
+
+    def make(key):
+        perm = jax.random.permutation(key, batch)
+        return (r1.words[perm], r1.lengths, r2.words[perm], r2.lengths)
+
+    t = amortized_seconds_per_call(
+        lambda w1, l1, w2, l2: merge_pairs.merge_pairs(w1, l1, w2, l2), make
+    )
+    return batch / t
+
+
+def bench_orf(batch=16384, read_len=512):
+    """Six-frame ORF detection: bases scanned/sec (both strands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops import orf
+    from bitnuc_tpu.utils.bitops import n_words_for
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    W = n_words_for(read_len)
+
+    def make(key):
+        return (
+            jax.random.bits(key, (batch, W), jnp.uint32),
+            jnp.full((batch,), read_len, jnp.int32),
+        )
+
+    t = amortized_seconds_per_call(orf.longest_orf, make)
+    return batch * read_len / t
+
+
 def bench_memcpy(mbytes=128):
     """Device xor-copy calibration: effective GB/s (read+write)."""
     import jax
@@ -454,6 +508,8 @@ def main():
             ),
             ("sw_align_cells_per_sec_chip", bench_align(), "cells/s"),
             ("reads_mapped_per_sec_chip", bench_map(), "reads/s"),
+            ("pairs_merged_per_sec_chip", bench_merge(), "pairs/s"),
+            ("orf_bases_scanned_per_sec_chip", bench_orf(), "bases/s"),
             ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),
             ("fastq_pipeline_python_bases_per_sec", bench_pipeline(staged=False), "bases/s"),
             ("device_xor_copy_bandwidth", bench_memcpy(), "GB/s"),
