@@ -617,6 +617,36 @@ def cmd_map(args) -> int:
     idx, offsets = _ref_index(args, contigs)
 
     qnames, reads = _read_any(args.path, validate=False)  # N = mismatches
+    if args.long:
+        res = mapper.map_reads_long(idx, reads, min_chain=args.min_seeds)
+        qlens = np.asarray(reads.lengths)
+        out = sys.stdout if args.out is None else open(args.out, "w")
+        try:
+            for i, qn in enumerate(qnames):
+                if not res["mapped"][i] and not args.all:
+                    continue
+                ql = int(qlens[i])
+                if res["mapped"][i]:
+                    s0, e0 = int(res["ref_start"][i]), int(res["ref_end"][i])
+                    c = int(np.searchsorted(offsets, s0, "right")) - 1
+                    tn, tl = tnames[c].decode(), int(clens[c])
+                    ts = s0 - int(offsets[c])
+                    te = min(e0 + idx.k - int(offsets[c]), tl)
+                    sc = int(res["chain_score"][i])
+                    mapq = min(60, sc)
+                    row = (
+                        f"{qn.decode()}\t{ql}\t{int(res['q_start'][i])}"
+                        f"\t{min(int(res['q_end'][i]) + idx.k, ql)}"
+                        f"\t{res['strand'][i].decode()}\t{tn}\t{tl}"
+                        f"\t{ts}\t{te}\t{sc}\t{te - ts}\t{mapq}"
+                    )
+                else:
+                    row = f"{qn.decode()}\t{ql}\t0\t{ql}\t+\t*\t0\t0\t0\t0\t0\t0"
+                out.write(row + "\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        return 0
     res = mapper.map_reads(
         idx,
         reads,
@@ -1056,6 +1086,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "build and save it here")
     p.add_argument("--all", action="store_true",
                    help="also print unmapped reads (target '*')")
+    p.add_argument("--long", action="store_true",
+                   help="chain-based long-read mode (anchor-granular "
+                   "spans, tolerates indel drift; minimap2 --no-align "
+                   "regime)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_map)
 

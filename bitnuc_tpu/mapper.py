@@ -294,9 +294,9 @@ class MinimizerIndex:
 # --------------------------------------------------------------------------
 
 
-def _seed_candidates(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
-    """Candidate diagonals for every read: [B, L, max_occ] int32
-    (ref_pos - read_pos + _DOFF; _BIG where there is no candidate).
+def _seed_anchors(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
+    """Seed anchors for every read: (rpos [B, L, max_occ] int32 with -1
+    where there is no hit, qpos [B, L] int32, hit [B, L, max_occ] bool).
     Pair keys throughout (hi == 0 for k <= 15)."""
     B = words.shape[0]
     vlo, vhi, pos, valid = _seed_keys(words, lengths, k, w)
@@ -351,9 +351,16 @@ def _seed_candidates(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
         [t_pos, jnp.full((1, t_pos.shape[1]), -1, jnp.int32)]
     )
     cand = jnp.take(pos_pad, tq, axis=0)  # [B, L, max_occ] — THE one gather
-    diag = jnp.where(
-        (cand >= 0) & sel[..., None], cand - qp[..., None] + _DOFF, _BIG
-    )
+    hit = (cand >= 0) & sel[..., None]
+    return cand, qp, hit
+
+
+def _seed_candidates(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
+    """Candidate diagonals for every read: [B, L * max_occ] int32
+    (ref_pos - read_pos + _DOFF; _BIG where there is no candidate)."""
+    B = words.shape[0]
+    cand, qp, hit = _seed_anchors(words, lengths, t_lo, t_hi, t_pos, k, w)
+    diag = jnp.where(hit, cand - qp[..., None] + _DOFF, _BIG)
     return diag.reshape(B, -1)
 
 
@@ -595,4 +602,102 @@ def map_reads_sharded(
         "ref_end": np.asarray(ref_end),
         "cost": np.asarray(cost),
         "support": support,
+    }
+
+
+# --------------------------------------------------------------------------
+# long-read mode: chain instead of vote (minimap2 --no-align analog)
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit, static_argnames=("k", "w", "lookback")
+)
+def _map_long_core(
+    words,
+    lengths,
+    t_lo,
+    t_hi,
+    t_pos,
+    k: int,
+    w: int,
+    max_gap,
+    gap_unit,
+    lookback: int,
+):
+    from .ops import chain as chain_ops
+
+    B = words.shape[0]
+    lengths = jnp.asarray(lengths, jnp.int32)
+    rc_words = revcomp_ops.reverse_complement_reads(words, lengths)
+    cand, qp, hit = _seed_anchors(
+        jnp.concatenate([words, rc_words]),
+        jnp.concatenate([lengths, lengths]),
+        t_lo,
+        t_hi,
+        t_pos,
+        k,
+        w,
+    )
+    M = cand.shape[1] * cand.shape[2]
+    rpos = jnp.where(hit, cand, -1).reshape(2 * B, M)
+    qpos = jnp.broadcast_to(qp[:, :, None], cand.shape).reshape(2 * B, M)
+    score, sr, er, sq, eq = chain_ops.chain_anchors(
+        rpos, qpos, rpos >= 0, max_gap, gap_unit, lookback
+    )
+    use_rc = score[B:] > score[:B]  # forward wins ties
+
+    def pick(x):
+        return jnp.where(use_rc, x[B:], x[:B])
+
+    score, sr, er, sq, eq = map(pick, (score, sr, er, sq, eq))
+    # reverse-strand query span (rc k-mer starts) -> forward k-mer starts:
+    # the k-mer at rc position p spans forward [L - p - k, L - p)
+    q_start = jnp.where(use_rc, lengths - eq - k, sq)
+    q_end = jnp.where(use_rc, lengths - sq - k, eq)
+    return score, use_rc, sr, er, q_start, q_end
+
+
+def map_reads_long(
+    index: MinimizerIndex,
+    reads,
+    min_chain: int = 3,
+    max_gap: int = 2048,
+    gap_unit: int = 16,
+    lookback: int = 64,
+) -> dict:
+    """Chain-based mapping for long / indel-rich reads (the minimap2
+    --no-align regime): anchors from the same minimizer join, placement
+    from collinear chaining (ops.chain) instead of the short-read
+    diagonal vote — diagonal drift up to max_gap per link is tolerated,
+    where the vote's fixed bins are not.
+
+    Returns numpy arrays per read: mapped (chain score >= min_chain),
+    strand, ref_start/ref_end and q_start/q_end — the INCLUSIVE first and
+    last chained anchor coordinates (anchor granularity: spans cover the
+    chained k-mers' start positions, not base-exact alignment ends; run
+    ops.align on the spanned window when base-exact ends are needed) —
+    and chain_score (anchor count net of gap penalties).
+    """
+    score, use_rc, sr, er, q_start, q_end = _map_long_core(
+        reads.words,
+        reads.lengths,
+        jnp.asarray(index.keys),
+        jnp.asarray(index.keys_hi),
+        jnp.asarray(index.pos),
+        index.k,
+        index.w,
+        np.int32(max_gap),
+        np.int32(gap_unit),
+        lookback,
+    )
+    score = np.asarray(score)
+    return {
+        "mapped": score >= min_chain,
+        "strand": np.where(np.asarray(use_rc), b"-", b"+"),
+        "ref_start": np.asarray(sr),
+        "ref_end": np.asarray(er),
+        "q_start": np.asarray(q_start),
+        "q_end": np.asarray(q_end),
+        "chain_score": score,
     }

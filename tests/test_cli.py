@@ -389,3 +389,16 @@ def test_cli_call_vcf(tmp_path, capsys, rng):
     assert f[0] == "c0" and int(f[1]) == p0 + 1
     assert f[3] == ref[p0 : p0 + 1].decode() and f[4] == alt.decode()
     assert f[6] == "PASS" and f[7].startswith("DP=4;AF=1.000")
+
+
+def test_cli_map_long(tmp_path, capsys, rng):
+    ref = random_seq(rng, 9000).upper()
+    src = ref[2000:3500]
+    read = src[:500] + src[503:1000] + src[1002:]  # two small deletions
+    qp = _write_fastq(tmp_path / "q.fq", [read])
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+    assert cli.main(["map", tp, qp, "--long", "--min-seeds", "10"]) == 0
+    row = capsys.readouterr().out.strip().split("\t")
+    assert row[4] == "+" and row[5] == "c0"
+    assert 1990 <= int(row[7]) <= 2100 and 3400 <= int(row[8]) <= 3500
+    assert int(row[9]) >= 10  # chain score column

@@ -262,3 +262,51 @@ def test_minimizers64_rejects_k32():
 
 def test_cli_orf_suppresses_orfless_records():
     pass  # covered in tests/test_cli.py::test_cli_orf (record without ATG)
+
+
+def test_map_reads_long_indel_read(rng):
+    """A 2kb read with scattered indels breaks the fixed-bin vote but
+    chains cleanly; both strands agree on the reference span."""
+    ref = random_seq(rng, 12000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=15, w=10)
+    src = ref[3000:5000]
+    read = bytearray()
+    p = 0
+    while p < len(src):
+        chunk = int(rng.integers(120, 300))
+        read += src[p : p + chunk]
+        p += chunk
+        if p < len(src):
+            if rng.random() < 0.5:
+                read += random_seq(rng, int(rng.integers(1, 15))).upper()
+            else:
+                p += int(rng.integers(1, 15))
+    long_read = bytes(read)
+    junk = random_seq(rng, 2000).upper()
+    pr = PackedReads.from_ascii([long_read, rc(long_read), junk])
+    out = mapper.map_reads_long(idx, pr, min_chain=10)
+    assert out["mapped"].tolist() == [True, True, False]
+    assert out["strand"][:2].tolist() == [b"+", b"-"]
+    for i in (0, 1):
+        assert 2990 <= out["ref_start"][i] <= 3100
+        assert 4900 <= out["ref_end"][i] <= 5000
+        assert out["chain_score"][i] > 100
+    # strands see the same anchors: identical reference spans
+    assert out["ref_start"][0] == out["ref_start"][1]
+    assert out["ref_end"][0] == out["ref_end"][1]
+    # forward-converted query spans cover most of the read on both strands
+    for i in (0, 1):
+        assert out["q_start"][i] < 60
+        assert out["q_end"][i] > len(long_read) - 80
+
+
+def test_map_reads_long_matches_short_on_clean_reads(rng):
+    ref = random_seq(rng, 6000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    pr = PackedReads.from_ascii([ref[1200:1500]])
+    short = mapper.map_reads(idx, pr)
+    longm = mapper.map_reads_long(idx, pr, min_chain=3)
+    assert longm["mapped"][0] and short["mapped"][0]
+    # chain span sits inside the exact fit interval (anchor granularity)
+    assert short["ref_start"][0] <= longm["ref_start"][0]
+    assert longm["ref_end"][0] <= short["ref_end"][0]
