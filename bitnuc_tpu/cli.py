@@ -859,6 +859,92 @@ def cmd_orf(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic random subsample of a FASTA/FASTQ (seqtk sample
+    analog): FRAC in (0,1) keeps each record independently; an integer
+    N >= 1 keeps exactly min(N, total) records (choice without
+    replacement). Record text passes through verbatim."""
+    import numpy as np
+
+    from . import io as bnio
+
+    data = bnio._read_bytes(args.path)
+    if _sniff_format(args.path) == "fasta":
+        names, seqs = bnio._split_records_fasta(data)
+        recs = [b">%s\n%s\n" % (n, s) for n, s in zip(names, seqs)]
+    else:
+        names, seqs, quals = [], [], []
+        import io as _io
+
+        f = _io.BytesIO(data)
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            if not h.strip():
+                continue
+            s0 = f.readline().strip()
+            f.readline()
+            q0 = f.readline().strip()
+            names.append(h.strip())
+            seqs.append(s0)
+            quals.append(q0)
+        recs = [
+            b"%s\n%s\n+\n%s\n" % (n, s, q)
+            for n, s, q in zip(names, seqs, quals)
+        ]
+    rng = np.random.default_rng(args.seed)
+    n = len(recs)
+    amount = float(args.amount)
+    if amount < 1:
+        keep = np.flatnonzero(rng.random(n) < amount)
+    else:
+        m = min(int(amount), n)
+        keep = np.sort(rng.choice(n, size=m, replace=False))
+    out = sys.stdout.buffer if args.out is None else open(args.out, "wb")
+    try:
+        for i in keep:
+            out.write(recs[i])
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    print(f"{len(keep)}/{n} records", file=sys.stderr)
+    return 0
+
+
+def cmd_subseq(args) -> int:
+    """Extract a region from a named record (samtools faidx-style
+    REGION = name[:start-end], 1-based inclusive)."""
+    from . import io as bnio
+
+    names, seqs = bnio._split_records_fasta(bnio._read_bytes(args.path)) \
+        if _sniff_format(args.path) == "fasta" else (None, None)
+    if names is None:
+        names, reads = _read_any(args.path, validate=False)
+        seqs = reads.to_ascii()
+    name, _, span = args.region.partition(":")
+    try:
+        idx = [n.decode() for n in names].index(name)
+    except ValueError:
+        raise SystemExit(f"record {name!r} not found")
+    seq = seqs[idx]
+    if span:
+        a, _, b = span.partition("-")
+        start = max(int(a) - 1, 0)
+        end = min(int(b), len(seq)) if b else len(seq)
+        if start >= end:
+            raise SystemExit(f"empty span {args.region!r}")
+        seq = seq[start:end]
+        name = f"{name}:{start + 1}-{end}"
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        out.write(f">{name}\n{seq.decode()}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -1135,6 +1221,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write unmerged pairs here (interleaved FASTA)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "sample", help="random subsample (fraction or exact count)"
+    )
+    p.add_argument("path", help="FASTA/FASTQ[.gz]")
+    p.add_argument("amount", help="fraction in (0,1) or record count")
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "subseq", help="extract name[:start-end] (1-based inclusive)"
+    )
+    p.add_argument("path", help="FASTA/FASTQ[.gz]")
+    p.add_argument("region", help="record name, optionally :start-end")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
+    p.set_defaults(fn=cmd_subseq)
 
     p = sub.add_parser(
         "orf",

@@ -402,3 +402,24 @@ def test_cli_map_long(tmp_path, capsys, rng):
     assert row[4] == "+" and row[5] == "c0"
     assert 1990 <= int(row[7]) <= 2100 and 3400 <= int(row[8]) <= 3500
     assert int(row[9]) >= 10  # chain score column
+
+
+def test_cli_sample_and_subseq(tmp_path, capsys, rng):
+    seqs = [random_seq(rng, 50).upper() for _ in range(40)]
+    qp = _write_fastq(tmp_path / "s.fq", seqs)
+    assert cli.main(["sample", qp, "10", "-s", "7"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("@r") == 10
+    assert cli.main(["sample", qp, "10", "-s", "7"]) == 0
+    assert capsys.readouterr().out == out  # seeded: deterministic
+    assert cli.main(["sample", qp, "0.5", "-s", "7"]) == 0
+    n = capsys.readouterr().out.count("@r")
+    assert 8 <= n <= 32
+
+    tp = _write_fasta(tmp_path / "g.fa", seqs[:3])
+    assert cli.main(["subseq", tp, "c1:11-20"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0] == ">c1:11-20" and lines[1].encode() == seqs[1][10:20]
+    assert cli.main(["subseq", qp, "r2"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[1].encode() == seqs[2]
