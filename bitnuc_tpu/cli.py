@@ -618,7 +618,9 @@ def cmd_map(args) -> int:
 
     qnames, reads = _read_any(args.path, validate=False)  # N = mismatches
     if args.long:
-        res = mapper.map_reads_long(idx, reads, min_chain=args.min_seeds)
+        res = mapper.map_reads_long(
+            idx, reads, min_chain=args.min_seeds, extend=args.extend
+        )
         qlens = np.asarray(reads.lengths)
         out = sys.stdout if args.out is None else open(args.out, "w")
         try:
@@ -631,14 +633,22 @@ def cmd_map(args) -> int:
                     c = int(np.searchsorted(offsets, s0, "right")) - 1
                     tn, tl = tnames[c].decode(), int(clens[c])
                     ts = s0 - int(offsets[c])
-                    te = min(e0 + idx.k - int(offsets[c]), tl)
+                    # --extend coordinates are base-exact already;
+                    # anchor-granular spans cover k-mer starts
+                    e_adj = e0 if args.extend else e0 + idx.k
+                    te = min(e_adj - int(offsets[c]), tl)
                     sc = int(res["chain_score"][i])
+                    nm = (
+                        max(ql - int(res["cost"][i]), 0)
+                        if args.extend
+                        else sc
+                    )
                     mapq = min(60, sc)
                     row = (
                         f"{qn.decode()}\t{ql}\t{int(res['q_start'][i])}"
                         f"\t{min(int(res['q_end'][i]) + idx.k, ql)}"
                         f"\t{res['strand'][i].decode()}\t{tn}\t{tl}"
-                        f"\t{ts}\t{te}\t{sc}\t{te - ts}\t{mapq}"
+                        f"\t{ts}\t{te}\t{nm}\t{te - ts}\t{mapq}"
                     )
                 else:
                     row = f"{qn.decode()}\t{ql}\t0\t{ql}\t+\t*\t0\t0\t0\t0\t0\t0"
@@ -1176,6 +1186,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chain-based long-read mode (anchor-granular "
                    "spans, tolerates indel drift; minimap2 --no-align "
                    "regime)")
+    p.add_argument("--extend", action="store_true",
+                   help="with --long: base-exact coordinates + edit cost "
+                   "via the wavefront fit over the chain window")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_map)
 

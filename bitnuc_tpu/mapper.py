@@ -462,27 +462,35 @@ def _map_core(
     d0 = jnp.where(use_rc, lo_r, lo_f) - _DOFF  # est. forward ref start
     q_words = jnp.where(use_rc[:, None], rc_words, words)
 
-    # word-aligned window [ws*16, ws*16 + Wwin*16) around the diagonal;
-    # fit alignment's free ends absorb the <=15-base alignment slack
+    # word-aligned window around the diagonal; fit alignment's free ends
+    # absorb the <=15-base alignment slack
     Lb = W * bitops.BASES_PER_WORD
     Wwin = (Lb + 2 * pad) // bitops.BASES_PER_WORD + 1
     ws = jnp.clip(d0 - pad, 0, jnp.maximum(ref_len - 1, 0)) // 16
-    ref_pad = jnp.concatenate(
-        [ref_words, jnp.zeros((Wwin,), jnp.uint32)]
+    cost, ref_start, ref_end = _fit_extend(
+        q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap
     )
+    return support, use_rc, ref_start, ref_end, cost
+
+
+def _fit_extend(q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap):
+    """Base-exact (cost, ref_start, ref_end) of each read fitted into the
+    word-aligned reference window starting at word ws (Wwin words wide).
+
+    One [2B] batched fit: the forward pass and the reversed-operand pass
+    stack, so the wavefront scan's sequential steps are paid once (the
+    scan, not the FLOPs, is the extension bottleneck at batch scale). The
+    reversed half uses the LATE tie policy: forward ties pick the
+    leftmost placement's END, reversed-late ties pick the largest
+    reversed end = the leftmost placement's START — without it, tandem
+    repeats yield incoherent (even empty) intervals from the two passes.
+    """
+    B = q_words.shape[0]
+    ref_pad = jnp.concatenate([ref_words, jnp.zeros((Wwin,), jnp.uint32)])
     win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(ref_pad, (s,), (Wwin,))
     )(ws)
     wlen = jnp.clip(ref_len - ws * 16, 0, Wwin * 16).astype(jnp.int32)
-
-    # end + exact start from ONE batched fit: the forward pass and the
-    # reversed-operand pass stack to [2B], so the wavefront scan's
-    # sequential steps are paid once (the scan, not the FLOPs, is the
-    # extension bottleneck at batch scale). The reversed half uses the
-    # LATE tie policy: forward ties pick the leftmost placement's END,
-    # reversed-late ties pick the largest reversed end = the leftmost
-    # placement's START — without it, tandem repeats yield incoherent
-    # (even empty) intervals from the two passes.
     cost2, endj2 = align_ops.fit_distance(
         jnp.concatenate([q_words, _reverse_reads(q_words, lengths)]),
         jnp.concatenate([lengths, lengths]),
@@ -495,9 +503,7 @@ def _map_core(
         ),
     )
     cost, endj, endj_rev = cost2[:B], endj2[:B], endj2[B:]
-    ref_end = ws * 16 + endj
-    ref_start = ws * 16 + (wlen - endj_rev)
-    return support, use_rc, ref_start, ref_end, cost
+    return cost, ws * 16 + (wlen - endj_rev), ws * 16 + endj
 
 
 def map_reads(
@@ -611,7 +617,7 @@ def map_reads_sharded(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "w", "lookback")
+    jax.jit, static_argnames=("k", "w", "lookback", "extend", "pad", "mismatch", "gap")
 )
 def _map_long_core(
     words,
@@ -619,11 +625,17 @@ def _map_long_core(
     t_lo,
     t_hi,
     t_pos,
+    ref_words,
+    ref_len,
     k: int,
     w: int,
     max_gap,
     gap_unit,
     lookback: int,
+    extend: bool = False,
+    pad: int = 32,
+    mismatch: int = 1,
+    gap: int = 1,
 ):
     from .ops import chain as chain_ops
 
@@ -655,7 +667,22 @@ def _map_long_core(
     # the k-mer at rc position p spans forward [L - p - k, L - p)
     q_start = jnp.where(use_rc, lengths - eq - k, sq)
     q_end = jnp.where(use_rc, lengths - sq - k, eq)
-    return score, use_rc, sr, er, q_start, q_end
+    if not extend:
+        z = jnp.zeros_like(score)
+        return score, use_rc, sr, er, q_start, q_end, z
+    # base-exact extension: fit the whole read into the chain's reference
+    # window (window width caps at 1.25x the read + padding, so reads
+    # whose chains imply more net deletion get clamped — their cost rises
+    # instead of the shapes growing unboundedly)
+    W = words.shape[-1]
+    Lb = W * bitops.BASES_PER_WORD
+    Wwin = (Lb + Lb // 4 + 2 * pad) // bitops.BASES_PER_WORD + 1
+    q_words = jnp.where(use_rc[:, None], rc_words, words)
+    ws = jnp.clip(sr - pad, 0, None) // 16
+    cost, rs, re = _fit_extend(
+        q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap
+    )
+    return score, use_rc, rs, re, q_start, q_end, cost
 
 
 def map_reads_long(
@@ -665,6 +692,10 @@ def map_reads_long(
     max_gap: int = 2048,
     gap_unit: int = 16,
     lookback: int = 64,
+    extend: bool = False,
+    pad: int = 32,
+    mismatch: int = 1,
+    gap: int = 1,
 ) -> dict:
     """Chain-based mapping for long / indel-rich reads (the minimap2
     --no-align regime): anchors from the same minimizer join, placement
@@ -674,25 +705,36 @@ def map_reads_long(
 
     Returns numpy arrays per read: mapped (chain score >= min_chain),
     strand, ref_start/ref_end and q_start/q_end — the INCLUSIVE first and
-    last chained anchor coordinates (anchor granularity: spans cover the
-    chained k-mers' start positions, not base-exact alignment ends; run
-    ops.align on the spanned window when base-exact ends are needed) —
-    and chain_score (anchor count net of gap penalties).
+    last chained anchor coordinates (anchor granularity) — and
+    chain_score (anchor count net of gap penalties).
+
+    extend=True additionally fits the WHOLE read into the chain's
+    reference window with the wavefront alignment, replacing
+    ref_start/ref_end with base-exact coordinates and adding "cost"
+    (total edit cost). The window caps at 1.25x the read length + 2*pad;
+    wavefront work grows with read length squared — right for reads up
+    to a few kb, not 100kb (chunk longer reads by their chain spans).
     """
-    score, use_rc, sr, er, q_start, q_end = _map_long_core(
+    score, use_rc, sr, er, q_start, q_end, cost = _map_long_core(
         reads.words,
         reads.lengths,
         jnp.asarray(index.keys),
         jnp.asarray(index.keys_hi),
         jnp.asarray(index.pos),
+        jnp.asarray(index.ref_words),
+        np.int32(index.ref_len),
         index.k,
         index.w,
         np.int32(max_gap),
         np.int32(gap_unit),
         lookback,
+        extend,
+        pad,
+        mismatch,
+        gap,
     )
     score = np.asarray(score)
-    return {
+    out = {
         "mapped": score >= min_chain,
         "strand": np.where(np.asarray(use_rc), b"-", b"+"),
         "ref_start": np.asarray(sr),
@@ -701,3 +743,6 @@ def map_reads_long(
         "q_end": np.asarray(q_end),
         "chain_score": score,
     }
+    if extend:
+        out["cost"] = np.asarray(cost)
+    return out

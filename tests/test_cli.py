@@ -423,3 +423,17 @@ def test_cli_sample_and_subseq(tmp_path, capsys, rng):
     assert cli.main(["subseq", qp, "r2"]) == 0
     lines = capsys.readouterr().out.splitlines()
     assert lines[1].encode() == seqs[2]
+
+
+def test_cli_map_long_extend(tmp_path, capsys, rng):
+    ref = random_seq(rng, 8000).upper()
+    src = ref[2500:3700]
+    read = src[:400] + src[404:]  # one 4-base deletion
+    qp = _write_fastq(tmp_path / "q.fq", [read])
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+    assert cli.main(
+        ["map", tp, qp, "--long", "--extend", "--min-seeds", "10"]
+    ) == 0
+    row = capsys.readouterr().out.strip().split("\t")
+    assert (int(row[7]), int(row[8])) == (2500, 3700)  # base-exact
+    assert int(row[9]) == len(read) - 4  # nmatch = qlen - cost

@@ -310,3 +310,19 @@ def test_map_reads_long_matches_short_on_clean_reads(rng):
     # chain span sits inside the exact fit interval (anchor granularity)
     assert short["ref_start"][0] <= longm["ref_start"][0]
     assert longm["ref_end"][0] <= short["ref_end"][0]
+
+
+def test_map_reads_long_extend_base_exact(rng):
+    ref = random_seq(rng, 10000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=15, w=10)
+    src = ref[4000:5500]
+    read = src[:500] + src[503:1000] + src[1002:]  # deletions of 3 and 2
+    pr = PackedReads.from_ascii([read, rc(read)])
+    out = mapper.map_reads_long(idx, pr, min_chain=10, extend=True)
+    assert out["mapped"].all() and out["strand"].tolist() == [b"+", b"-"]
+    # base-exact: the fit spans the whole source region with cost == the
+    # total deleted bases (gap cost 1/base)
+    for i in (0, 1):
+        assert out["ref_start"][i] == 4000
+        assert out["ref_end"][i] == 5500
+        assert out["cost"][i] == 5
