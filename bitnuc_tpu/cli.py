@@ -955,6 +955,82 @@ def cmd_subseq(args) -> int:
     return 0
 
 
+def cmd_demux(args) -> int:
+    """Split a FASTQ by leading barcode (nearest within --max-dist,
+    unique best only). BARCODES: a file of NAME<TAB>SEQ or SEQ lines, or
+    a comma-separated list. Writes <prefix>.<name>.fq (+ .unassigned.fq);
+    --trim removes the barcode bases from assigned reads."""
+    import os
+
+    import numpy as np
+
+    from .ops import demux
+    from .sequence import PackedReads
+
+    if os.path.exists(args.barcodes):
+        names, seqs = [], []
+        for ln in open(args.barcodes, "rb").read().splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            parts = ln.split(b"\t")
+            if len(parts) == 2:
+                names.append(parts[0].decode())
+                seqs.append(parts[1].upper())
+            else:
+                names.append(parts[0].decode())
+                seqs.append(parts[0].upper())
+    else:
+        seqs = [b.upper().encode() for b in args.barcodes.split(",")]
+        names = [s.decode() for s in seqs]
+    bc_len = len(seqs[0])
+    if any(len(s) != bc_len for s in seqs):
+        raise SystemExit("all barcodes must share one length")
+
+    rnames, seq_lines, qual_lines = [], [], []
+    from . import io as bnio
+
+    data = bnio._read_bytes(args.path)
+    import io as _io
+
+    f = _io.BytesIO(data)
+    while True:
+        h = f.readline()
+        if not h:
+            break
+        if not h.strip():
+            continue
+        rnames.append(h.strip())
+        seq_lines.append(f.readline().strip())
+        f.readline()
+        qual_lines.append(f.readline().strip())
+
+    pr = PackedReads.from_ascii(seq_lines, validate=False)
+    pb = PackedReads.from_ascii(seqs)
+    idx, _ = map(
+        np.asarray,
+        demux.assign_barcodes(pr.words, pr.lengths, pb.words, bc_len,
+                              args.max_dist),
+    )
+    outs = {}
+    counts = {}
+    try:
+        for i, (h, s0, q0) in enumerate(zip(rnames, seq_lines, qual_lines)):
+            tag = names[idx[i]] if idx[i] >= 0 else "unassigned"
+            if tag not in outs:
+                outs[tag] = open(f"{args.prefix}.{tag}.fq", "wb")
+                counts[tag] = 0
+            counts[tag] += 1
+            if args.trim and idx[i] >= 0:
+                s0, q0 = s0[bc_len:], q0[bc_len:]
+            outs[tag].write(b"%s\n%s\n+\n%s\n" % (h, s0, q0))
+    finally:
+        for fh in outs.values():
+            fh.close()
+    print(json.dumps(counts), file=sys.stderr)
+    return 0
+
+
 def cmd_qc(args) -> int:
     from .qc import qc_profile
 
@@ -1234,6 +1310,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write unmerged pairs here (interleaved FASTA)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "demux", help="split a FASTQ by leading barcode"
+    )
+    p.add_argument("path", help="FASTQ[.gz]")
+    p.add_argument("barcodes",
+                   help="file (NAME\\tSEQ or SEQ per line) or comma list")
+    p.add_argument("-o", "--prefix", default="demux",
+                   help="output prefix (<prefix>.<name>.fq)")
+    p.add_argument("--max-dist", type=int, default=1)
+    p.add_argument("--trim", action="store_true",
+                   help="cut the barcode bases off assigned reads")
+    p.set_defaults(fn=cmd_demux)
 
     p = sub.add_parser(
         "sample", help="random subsample (fraction or exact count)"

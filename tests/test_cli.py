@@ -437,3 +437,23 @@ def test_cli_map_long_extend(tmp_path, capsys, rng):
     row = capsys.readouterr().out.strip().split("\t")
     assert (int(row[7]), int(row[8])) == (2500, 3700)  # base-exact
     assert int(row[9]) == len(read) - 4  # nmatch = qlen - cost
+
+
+def test_cli_demux(tmp_path, capsys, rng):
+    bcs = {b"s1": b"ACGTACGT", b"s2": b"TTTTCCCC"}
+    bcfile = tmp_path / "bc.tsv"
+    bcfile.write_bytes(b"".join(b"%s\t%s\n" % (n, s) for n, s in bcs.items()))
+    r1 = bcs[b"s1"] + random_seq(rng, 40).upper()
+    r2 = bcs[b"s2"] + random_seq(rng, 40).upper()
+    junk = b"GGGGGGGG" + random_seq(rng, 40).upper()
+    qp = _write_fastq(tmp_path / "in.fq", [r1, r2, junk])
+    prefix = str(tmp_path / "out")
+    assert cli.main(
+        ["demux", qp, str(bcfile), "-o", prefix, "--trim"]
+    ) == 0
+    s1 = open(prefix + ".s1.fq", "rb").read().splitlines()
+    assert s1[1] == r1[8:]  # trimmed
+    s2 = open(prefix + ".s2.fq", "rb").read().splitlines()
+    assert s2[1] == r2[8:]
+    un = open(prefix + ".unassigned.fq", "rb").read().splitlines()
+    assert un[1] == junk  # untrimmed
