@@ -450,12 +450,8 @@ def cmd_correct(args) -> int:
         names, seqs = bnio._split_records_fasta(data)
         quals = None
     else:
-        lines = data.split(b"\n")
-        names, seqs, quals = [], [], []
-        for i in range(len(lines) // 4):
-            names.append(lines[4 * i][1:].strip())
-            seqs.append(lines[4 * i + 1].strip())
-            quals.append(lines[4 * i + 3].strip())
+        headers, seqs, quals = bnio.split_records_fastq_full(data)
+        names = [h[1:] for h in headers]
 
     ascii_arr, lens = _rectangularize(seqs, None, None)
     words, _ = codec.encode_reads(jnp.asarray(ascii_arr), jnp.asarray(lens))
@@ -643,10 +639,17 @@ def cmd_map(args) -> int:
                         if args.extend
                         else sc
                     )
+                    # --extend fits the WHOLE read, so the query span is
+                    # [0, ql); anchor spans only describe chain mode
+                    qs = 0 if args.extend else int(res["q_start"][i])
+                    qe = (
+                        ql
+                        if args.extend
+                        else min(int(res["q_end"][i]) + idx.k, ql)
+                    )
                     mapq = min(60, sc)
                     row = (
-                        f"{qn.decode()}\t{ql}\t{int(res['q_start'][i])}"
-                        f"\t{min(int(res['q_end'][i]) + idx.k, ql)}"
+                        f"{qn.decode()}\t{ql}\t{qs}\t{qe}"
                         f"\t{res['strand'][i].decode()}\t{tn}\t{tl}"
                         f"\t{ts}\t{te}\t{nm}\t{te - ts}\t{mapq}"
                     )
@@ -883,22 +886,7 @@ def cmd_sample(args) -> int:
         names, seqs = bnio._split_records_fasta(data)
         recs = [b">%s\n%s\n" % (n, s) for n, s in zip(names, seqs)]
     else:
-        names, seqs, quals = [], [], []
-        import io as _io
-
-        f = _io.BytesIO(data)
-        while True:
-            h = f.readline()
-            if not h:
-                break
-            if not h.strip():
-                continue
-            s0 = f.readline().strip()
-            f.readline()
-            q0 = f.readline().strip()
-            names.append(h.strip())
-            seqs.append(s0)
-            quals.append(q0)
+        names, seqs, quals = bnio.split_records_fastq_full(data)
         recs = [
             b"%s\n%s\n+\n%s\n" % (n, s, q)
             for n, s, q in zip(names, seqs, quals)
@@ -924,17 +912,21 @@ def cmd_sample(args) -> int:
 
 def cmd_subseq(args) -> int:
     """Extract a region from a named record (samtools faidx-style
-    REGION = name[:start-end], 1-based inclusive)."""
+    REGION = name[:start-end], 1-based inclusive). The name matches the
+    header's first whitespace token (faidx convention); record text
+    passes through verbatim — no 2-bit round trip."""
     from . import io as bnio
 
-    names, seqs = bnio._split_records_fasta(bnio._read_bytes(args.path)) \
-        if _sniff_format(args.path) == "fasta" else (None, None)
-    if names is None:
-        names, reads = _read_any(args.path, validate=False)
-        seqs = reads.to_ascii()
+    data = bnio._read_bytes(args.path)
+    if _sniff_format(args.path) == "fasta":
+        names, seqs = bnio._split_records_fasta(data)
+    else:
+        headers, seqs, _ = bnio.split_records_fastq_full(data)
+        names = [h[1:] for h in headers]
     name, _, span = args.region.partition(":")
+    tokens = [n.split()[0].decode() if n.split() else "" for n in names]
     try:
-        idx = [n.decode() for n in names].index(name)
+        idx = tokens.index(name)
     except ValueError:
         raise SystemExit(f"record {name!r} not found")
     seq = seqs[idx]
@@ -969,41 +961,41 @@ def cmd_demux(args) -> int:
 
     if os.path.exists(args.barcodes):
         names, seqs = [], []
-        for ln in open(args.barcodes, "rb").read().splitlines():
+        for lineno, ln in enumerate(
+            open(args.barcodes, "rb").read().splitlines(), 1
+        ):
             ln = ln.strip()
             if not ln:
                 continue
             parts = ln.split(b"\t")
-            if len(parts) == 2:
+            if len(parts) == 1:
+                names.append(parts[0].decode())
+                seqs.append(parts[0].upper())
+            elif len(parts) == 2:
                 names.append(parts[0].decode())
                 seqs.append(parts[1].upper())
             else:
-                names.append(parts[0].decode())
-                seqs.append(parts[0].upper())
+                raise SystemExit(
+                    f"{args.barcodes}:{lineno}: expected SEQ or "
+                    f"NAME<TAB>SEQ, got {len(parts)} fields"
+                )
     else:
         seqs = [b.upper().encode() for b in args.barcodes.split(",")]
         names = [s.decode() for s in seqs]
+    if not seqs:
+        raise SystemExit("no barcodes given")
+    bad = [s for s in seqs if set(s) - set(b"ACGT")]
+    if bad:
+        raise SystemExit(f"non-ACGT barcode: {bad[0].decode()!r}")
     bc_len = len(seqs[0])
     if any(len(s) != bc_len for s in seqs):
         raise SystemExit("all barcodes must share one length")
 
-    rnames, seq_lines, qual_lines = [], [], []
     from . import io as bnio
 
-    data = bnio._read_bytes(args.path)
-    import io as _io
-
-    f = _io.BytesIO(data)
-    while True:
-        h = f.readline()
-        if not h:
-            break
-        if not h.strip():
-            continue
-        rnames.append(h.strip())
-        seq_lines.append(f.readline().strip())
-        f.readline()
-        qual_lines.append(f.readline().strip())
+    rnames, seq_lines, qual_lines = bnio.split_records_fastq_full(
+        bnio._read_bytes(args.path)
+    )
 
     pr = PackedReads.from_ascii(seq_lines, validate=False)
     pb = PackedReads.from_ascii(seqs)

@@ -74,6 +74,31 @@ def _split_records_fasta(data: bytes) -> Tuple[List[bytes], List[bytes]]:
     return names, seqs
 
 
+def split_records_fastq_full(
+    data: bytes,
+) -> Tuple[List[bytes], List[bytes], List[bytes]]:
+    """(headers-with-@, sequences, quality lines) from FASTQ bytes,
+    blank-line tolerant — the qual-preserving record parser shared by the
+    CLI commands that re-emit records verbatim (sample/demux/subseq/...)."""
+    import io as _io
+
+    names: List[bytes] = []
+    seqs: List[bytes] = []
+    quals: List[bytes] = []
+    f = _io.BytesIO(data)
+    while True:
+        h = f.readline()
+        if not h:
+            break
+        if not h.strip():
+            continue
+        names.append(h.strip())
+        seqs.append(f.readline().strip())
+        f.readline()
+        quals.append(f.readline().strip())
+    return names, seqs, quals
+
+
 def _split_records_fastq(data: bytes) -> Tuple[List[bytes], List[bytes]]:
     """(names, sequences) from FASTQ bytes (4-line records)."""
     lines = data.split(b"\n")

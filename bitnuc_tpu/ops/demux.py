@@ -39,7 +39,8 @@ def assign_barcodes(
 
     words/lengths: packed reads; bc_words: [N, Wb] packed barcodes of
     bc_len bases each; a read's FIRST bc_len bases are compared. Reads
-    shorter than bc_len are unassigned. max_dist is traced.
+    shorter than bc_len are unassigned with distance bc_len (sentinel —
+    no real comparison exists). max_dist is traced.
     """
     lengths = jnp.asarray(lengths, jnp.int32)
     Wb = bitops.n_words_for(bc_len)
@@ -57,9 +58,16 @@ def assign_barcodes(
         jnp.where(d == best[:, None], jnp.arange(d.shape[1], dtype=jnp.int32), _BIG),
         axis=1,
     )
+    too_short = lengths < bc_len
     ok = (
         (best <= jnp.asarray(max_dist, jnp.int32))
         & (n_best == 1)
-        & (lengths >= bc_len)
+        & ~too_short
     )
-    return jnp.where(ok, idx, -1), best
+    # reads shorter than the barcode have no meaningful comparison: the
+    # zero-padded head would fabricate a distance, so report bc_len (the
+    # maximum possible + sentinel) instead
+    return (
+        jnp.where(ok, idx, -1),
+        jnp.where(too_short, jnp.int32(bc_len), best),
+    )

@@ -457,3 +457,46 @@ def test_cli_demux(tmp_path, capsys, rng):
     assert s2[1] == r2[8:]
     un = open(prefix + ".unassigned.fq", "rb").read().splitlines()
     assert un[1] == junk  # untrimmed
+
+
+def test_cli_subseq_header_token_and_fastq_passthrough(tmp_path, capsys, rng):
+    seq = random_seq(rng, 60).upper()
+    # FASTA header with a description: the first token must match
+    (tmp_path / "d.fa").write_bytes(b">chr1 Homo sapiens extra\n%s\n" % seq)
+    assert cli.main(["subseq", str(tmp_path / "d.fa"), "chr1:3-12"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[1].encode() == seq[2:12]
+    # FASTQ with Ns: text passes through verbatim (no 2-bit round trip)
+    withn = seq[:20] + b"NNN" + seq[23:]
+    (tmp_path / "n.fq").write_bytes(b"@r0 desc\n%s\n+\n%s\n" % (withn, b"I" * 60))
+    assert cli.main(["subseq", str(tmp_path / "n.fq"), "r0"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[1].encode() == withn
+
+
+def test_cli_demux_rejects_bad_barcode_file(tmp_path, rng):
+    qp = _write_fastq(tmp_path / "r.fq", [random_seq(rng, 40).upper()])
+    bad = tmp_path / "bad.tsv"
+    bad.write_bytes(b"s1\tACGTACGT\textra\n")
+    with pytest.raises(SystemExit):
+        cli.main(["demux", qp, str(bad)])
+    bad.write_bytes(b"")
+    with pytest.raises(SystemExit):
+        cli.main(["demux", qp, str(bad)])
+    bad.write_bytes(b"s1\tACGNACGT\n")
+    with pytest.raises(SystemExit):
+        cli.main(["demux", qp, str(bad)])
+
+
+def test_cli_map_long_extend_whole_read_qspan(tmp_path, capsys, rng):
+    ref = random_seq(rng, 7000).upper()
+    read = ref[2000:3200]
+    qp = _write_fastq(tmp_path / "q.fq", [read])
+    tp = _write_fasta(tmp_path / "t.fa", [ref])
+    assert cli.main(
+        ["map", tp, qp, "--long", "--extend", "--min-seeds", "10"]
+    ) == 0
+    row = capsys.readouterr().out.strip().split("\t")
+    # extend mode fits the whole read: query span must be [0, qlen)
+    assert (int(row[2]), int(row[3])) == (0, len(read))
+    assert int(row[9]) == len(read)  # exact read: nmatch == qlen
