@@ -746,3 +746,46 @@ def map_reads_long(
     if extend:
         out["cost"] = np.asarray(cost)
     return out
+
+
+def map_pairs(
+    index: MinimizerIndex,
+    reads1,
+    reads2,
+    min_insert: int = 0,
+    max_insert: int = 1000,
+    min_seeds: int = 2,
+    **kw,
+) -> dict:
+    """Map R1/R2 mates and annotate proper pairs (FR orientation within
+    the insert-size window — the aligner-standard concordance check).
+
+    Both mates map independently through map_reads (same options via
+    **kw); a pair is PROPER when both map, on opposite strands, with the
+    leftmost mate on '+', and the outer span (insert) inside
+    [min_insert, max_insert]. Returns {"r1", "r2", "proper" [B] bool,
+    "insert" [B] int32 — -1 for non-proper pairs}.
+    """
+    r1 = map_reads(index, reads1, min_seeds=min_seeds, **kw)
+    r2 = map_reads(index, reads2, min_seeds=min_seeds, **kw)
+    both = r1["mapped"] & r2["mapped"]
+    opposite = r1["strand"] != r2["strand"]
+    # forward-strand mate must be leftmost (FR orientation)
+    fwd_is_1 = r1["strand"] == b"+"
+    left_start = np.where(fwd_is_1, r1["ref_start"], r2["ref_start"])
+    right_end = np.where(fwd_is_1, r2["ref_end"], r1["ref_end"])
+    insert = right_end - left_start
+    fr = left_start <= np.where(fwd_is_1, r2["ref_start"], r1["ref_start"])
+    proper = (
+        both
+        & opposite
+        & fr
+        & (insert >= min_insert)
+        & (insert <= max_insert)
+    )
+    return {
+        "r1": r1,
+        "r2": r2,
+        "proper": proper,
+        "insert": np.where(proper, insert, -1).astype(np.int32),
+    }

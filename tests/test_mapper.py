@@ -326,3 +326,44 @@ def test_map_reads_long_extend_base_exact(rng):
         assert out["ref_start"][i] == 4000
         assert out["ref_end"][i] == 5500
         assert out["cost"][i] == 5
+
+
+def test_map_pairs_proper_and_discordant(rng):
+    ref = random_seq(rng, 8000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    # proper pair: fragment 400, R2 as-sequenced = rc of the fragment tail
+    frag = ref[2000:2400]
+    p_r1, p_r2 = frag[:120], rc(frag[-120:])
+    # discordant: mates from distant loci (insert >> max)
+    d_r1, d_r2 = ref[500:620], rc(ref[6000:6120])
+    # same-strand pair: both forward
+    s_r1, s_r2 = ref[3000:3120], ref[3200:3320]
+    # half-mapped pair
+    h_r1, h_r2 = ref[4000:4120], random_seq(rng, 120).upper()
+    out = mapper.map_pairs(
+        idx,
+        PackedReads.from_ascii([p_r1, d_r1, s_r1, h_r1]),
+        PackedReads.from_ascii([p_r2, d_r2, s_r2, h_r2]),
+        min_insert=100,
+        max_insert=800,
+    )
+    assert out["proper"].tolist() == [True, False, False, False]
+    assert out["insert"].tolist() == [400, -1, -1, -1]
+    assert out["r1"]["ref_start"][0] == 2000
+    assert out["r2"]["ref_end"][0] == 2400
+
+
+def test_map_pairs_rf_orientation_rejected(rng):
+    # both map, opposite strands, but the '+' mate is RIGHTMOST (RF) ->
+    # not proper even though the span fits the window
+    ref = random_seq(rng, 6000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    r1 = rc(ref[2000:2120])  # '-' at left
+    r2 = ref[2300:2420]  # '+' at right
+    out = mapper.map_pairs(
+        idx,
+        PackedReads.from_ascii([r1]),
+        PackedReads.from_ascii([r2]),
+        max_insert=1000,
+    )
+    assert not out["proper"][0]
