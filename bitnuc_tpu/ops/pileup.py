@@ -172,3 +172,42 @@ def call_variants(
         "variant_depth": depth[vpos],
         "variant_support": support[vpos],
     }
+
+
+def pileup_counts_sharded(
+    words,
+    lengths,
+    ref_start,
+    use_rc,
+    keep,
+    ref_len: int,
+    mesh,
+    axis: str = "data",
+):
+    """Data-parallel pileup: reads sharded over `axis`, ONE psum of the
+    [ref_len, 4] grid per batch (the same merge shape as the sharded
+    k-mer histograms — traffic independent of batch size). Results match
+    pileup_counts exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    B = words.shape[0]
+    assert B % n == 0, f"batch {B} must divide mesh axis {n}"
+
+    def local(wd, ln, rs, rc_, kp):
+        grid = pileup_counts(wd, ln, rs, rc_, kp, ref_len)
+        return jax.lax.psum(grid, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        words,
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(ref_start, jnp.int32),
+        jnp.asarray(use_rc, bool),
+        jnp.asarray(keep, bool),
+    )

@@ -125,3 +125,33 @@ def test_call_variants_cost_filter_excludes_indel_reads(rng):
     assert calls["depth"][600:740].tolist() == [1] * 140
     assert calls["depth"].sum() == 140
     assert calls["variant_pos"].size == 0
+
+
+def test_pileup_counts_sharded_matches_local(rng):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bitnuc_tpu import parallel
+
+    mesh = parallel.make_mesh((8,), ("data",))
+    ref_len = 400
+    reads, starts, flags, keeps = [], [], [], []
+    for i in range(24):
+        reads.append(random_seq(rng, int(rng.integers(30, 90))).upper())
+        starts.append(int(rng.integers(-20, ref_len)))
+        flags.append(bool(i % 2))
+        keeps.append(bool(i % 5 != 0))
+    pr = PackedReads.from_ascii(reads)
+    args = (
+        pr.words,
+        pr.lengths,
+        jnp.asarray(np.array(starts, np.int32)),
+        jnp.asarray(np.array(flags)),
+        jnp.asarray(np.array(keeps)),
+    )
+    local = np.asarray(pileup.pileup_counts(*args, ref_len))
+    sharded = np.asarray(
+        pileup.pileup_counts_sharded(*args, ref_len, mesh)
+    )
+    np.testing.assert_array_equal(sharded, local)
