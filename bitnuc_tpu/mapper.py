@@ -573,7 +573,7 @@ def map_reads_sharded(
 
     n = mesh.shape[axis]
     B = reads.words.shape[0]
-    assert B % n == 0, f"batch {B} must divide mesh axis {n}"
+    assert B % n == 0, f"mesh axis size {n} must divide batch {B}"
 
     core = partial(
         _map_core,
@@ -760,14 +760,38 @@ def map_pairs(
     """Map R1/R2 mates and annotate proper pairs (FR orientation within
     the insert-size window — the aligner-standard concordance check).
 
-    Both mates map independently through map_reads (same options via
-    **kw); a pair is PROPER when both map, on opposite strands, with the
-    leftmost mate on '+', and the outer span (insert) inside
-    [min_insert, max_insert]. Returns {"r1", "r2", "proper" [B] bool,
-    "insert" [B] int32 — -1 for non-proper pairs}.
+    Both mates map through ONE stacked map_reads dispatch (the tunnel
+    charges per dispatch and bandwidth grows with burst size — two half
+    batches would run slower); a pair is PROPER when both map, on
+    opposite strands, with the leftmost mate on '+', and the outer span
+    (insert) inside [min_insert, max_insert]. Returns {"r1", "r2",
+    "proper" [B] bool, "insert" [B] int32 — -1 for non-proper pairs}.
     """
-    r1 = map_reads(index, reads1, min_seeds=min_seeds, **kw)
-    r2 = map_reads(index, reads2, min_seeds=min_seeds, **kw)
+    from .sequence import PackedReads
+
+    B = reads1.words.shape[0]
+    if reads2.words.shape[0] != B:
+        raise ValueError(
+            f"mate batches differ: {B} R1 reads vs "
+            f"{reads2.words.shape[0]} R2 reads"
+        )
+    W = max(reads1.words.shape[1], reads2.words.shape[1])
+
+    def widen(r):
+        w = jnp.asarray(r.words)
+        if w.shape[1] < W:
+            w = jnp.pad(w, ((0, 0), (0, W - w.shape[1])))
+        return w
+
+    stacked = PackedReads(
+        words=jnp.concatenate([widen(reads1), widen(reads2)]),
+        lengths=jnp.concatenate(
+            [jnp.asarray(reads1.lengths), jnp.asarray(reads2.lengths)]
+        ),
+    )
+    both_res = map_reads(index, stacked, min_seeds=min_seeds, **kw)
+    r1 = {f: v[:B] for f, v in both_res.items()}
+    r2 = {f: v[B:] for f, v in both_res.items()}
     both = r1["mapped"] & r2["mapped"]
     opposite = r1["strand"] != r2["strand"]
     # forward-strand mate must be leftmost (FR orientation)

@@ -192,7 +192,7 @@ def pileup_counts_sharded(
 
     n = mesh.shape[axis]
     B = words.shape[0]
-    assert B % n == 0, f"batch {B} must divide mesh axis {n}"
+    assert B % n == 0, f"mesh axis size {n} must divide batch {B}"
 
     def local(wd, ln, rs, rc_, kp):
         grid = pileup_counts(wd, ln, rs, rc_, kp, ref_len)

@@ -367,3 +367,63 @@ def test_map_pairs_rf_orientation_rejected(rng):
         max_insert=1000,
     )
     assert not out["proper"][0]
+
+
+def test_map_pairs_rejects_mismatched_batches(rng):
+    ref = random_seq(rng, 2000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    with pytest.raises(ValueError):
+        mapper.map_pairs(
+            idx,
+            PackedReads.from_ascii([ref[100:220]]),
+            PackedReads.from_ascii([ref[300:420], ref[500:620]]),
+        )
+
+
+def test_map_pairs_vs_naive_rule_fuzz(rng):
+    """Oracle parity for the FR/insert rule over randomized placements,
+    strands, and window boundaries (given per-mate mapping results)."""
+    ref = random_seq(rng, 12000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    min_ins, max_ins = 150, 450
+    r1s, r2s = [], []
+    for _ in range(40):
+        s1 = int(rng.integers(0, 11800))
+        ins = int(rng.integers(80, 700))
+        s2 = min(s1 + ins - 120, 11880)
+        a = ref[s1 : s1 + 120]
+        b = ref[max(s2, 0) : max(s2, 0) + 120]
+        # random strand layout: FR, RF, FF, or junk mates
+        layout = int(rng.integers(0, 5))
+        if layout == 0:
+            r1s.append(a); r2s.append(rc(b))
+        elif layout == 1:
+            r1s.append(rc(a)); r2s.append(b)
+        elif layout == 2:
+            r1s.append(a); r2s.append(b)
+        elif layout == 3:
+            r1s.append(rc(a)); r2s.append(rc(b))
+        else:
+            r1s.append(a); r2s.append(random_seq(rng, 120).upper())
+    p1, p2 = PackedReads.from_ascii(r1s), PackedReads.from_ascii(r2s)
+    out = mapper.map_pairs(idx, p1, p2, min_insert=min_ins, max_insert=max_ins)
+    r1, r2 = out["r1"], out["r2"]
+    for i in range(len(r1s)):
+        if not (r1["mapped"][i] and r2["mapped"][i]):
+            want = False
+        elif r1["strand"][i] == r2["strand"][i]:
+            want = False
+        else:
+            if r1["strand"][i] == b"+":
+                fs, fe = int(r1["ref_start"][i]), int(r1["ref_end"][i])
+                rs, re_ = int(r2["ref_start"][i]), int(r2["ref_end"][i])
+            else:
+                fs, fe = int(r2["ref_start"][i]), int(r2["ref_end"][i])
+                rs, re_ = int(r1["ref_start"][i]), int(r1["ref_end"][i])
+            ins = re_ - fs
+            want = (fs <= rs) and (min_ins <= ins <= max_ins)
+        assert bool(out["proper"][i]) == want, i
+        if want:
+            assert out["insert"][i] == re_ - fs
+        else:
+            assert out["insert"][i] == -1
