@@ -63,7 +63,8 @@ from .ops.lookup import (  # noqa: F401
 from .ops.revcomp import reverse_complement_reads  # noqa: F401
 from .ops.dedupe import dedupe_reads, mark_duplicates  # noqa: F401
 from .ops.setops import combine_counts, combine_dicts  # noqa: F401
-from . import filters, io, mapper, pipeline, qc  # noqa: F401
+from . import assemble, filters, io, mapper, pipeline, qc  # noqa: F401
+from .assemble import assemble_reads  # noqa: F401
 from .mapper import MinimizerIndex, map_pairs, map_reads, map_reads_long  # noqa: F401
 from .errors import (  # noqa: F401
     IndexOutOfBounds,

@@ -495,6 +495,61 @@ def cmd_correct(args) -> int:
     return 0
 
 
+def cmd_assemble(args) -> int:
+    import numpy as np
+
+    from . import assemble as asm
+    from . import pipeline
+
+    on_invalid = "skip" if args.skip_invalid else "raise"
+    canonical = not args.strand_specific
+    if _sniff_format(args.path) == "fasta":
+        table = pipeline.count_fasta(
+            args.path, args.k, canonical=canonical, on_invalid=on_invalid
+        )
+    else:
+        table = pipeline.count_fastq(
+            args.path,
+            args.k,
+            batch_size=args.batch_size,
+            canonical=canonical,
+            on_invalid=on_invalid,
+        )
+    if isinstance(table, dict):
+        solid = np.fromiter(
+            (key for key, c in table.items() if c >= args.min_count), np.uint64
+        )
+        solid.sort()
+    else:  # dense histogram (k <= MAX_DENSE_K)
+        solid = np.nonzero(np.asarray(table) >= args.min_count)[0].astype(np.uint64)
+    seqs, circ = asm.assemble_keys(solid, args.k, both_strands=canonical)
+
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i, s in enumerate(seqs):
+            flag = "yes" if circ[i] else "no"
+            out.write(f">utg{i + 1:06d} len={len(s)} circ={flag}\n")
+            ss = s.decode()
+            for j in range(0, len(ss), 80):
+                out.write(ss[j : j + 80] + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    lens = sorted((len(s) for s in seqs), reverse=True)
+    total = sum(lens)
+    acc, n50 = 0, 0
+    for ln in lens:
+        acc += ln
+        if 2 * acc >= total:
+            n50 = ln
+            break
+    print(
+        f"{len(seqs)} unitigs, {total} bases, N50 {n50}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_align(args) -> int:
     import os
 
@@ -1365,6 +1420,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_correct)
+
+    p = sub.add_parser(
+        "assemble",
+        help="de Bruijn unitig assembly of the solid k-mer spectrum",
+    )
+    p.add_argument("path", help="reads (FASTA/FASTQ, .gz ok)")
+    p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="spectrum count for a k-mer to be solid")
+    p.add_argument("--strand-specific", action="store_true",
+                   help="build the graph from reads as written (no revcomp)")
+    p.add_argument("--skip-invalid", action="store_true",
+                   help="drop k-mers containing N instead of raising")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--out", default=None,
+                   help="write FASTA here instead of stdout")
+    p.set_defaults(fn=cmd_assemble)
 
     p = sub.add_parser(
         "qc", help="FastQC-style per-cycle quality report as JSON"

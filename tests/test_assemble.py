@@ -1,0 +1,186 @@
+"""Unitig assembly: naive-oracle fuzz, conservation, genome reconstruction.
+
+Oracle = dict-based walk assembler implementing the same compacted-DBG
+contract (maximal paths of simple edges; cycles broken at the minimum
+packed key). The reference crate has no assembler — semantics are the
+standard bcalm2-style unitig definition (see bitnuc_tpu/assemble.py).
+"""
+
+import numpy as np
+import pytest
+
+from bitnuc_tpu import PackedReads, assemble
+
+CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+BASES = "ACGT"
+
+
+def packed(s: str) -> int:
+    return sum(CODE[c] << (2 * i) for i, c in enumerate(s))
+
+
+def naive_unitigs(kmers: set, k: int):
+    """Walk assembler over a k-mer string set -> [(seq, circular)]."""
+    def succs(x):
+        return [x[1:] + b for b in BASES if x[1:] + b in kmers]
+
+    def preds(y):
+        return [b + y[:-1] for b in BASES if b + y[:-1] in kmers]
+
+    nxt = {}
+    for x in kmers:
+        s = succs(x)
+        if len(s) == 1 and len(preds(s[0])) == 1:
+            nxt[x] = s[0]
+    has_pred = set(nxt.values())
+    out, visited = [], set()
+    for s in sorted(x for x in kmers if x not in has_pred):
+        seq, cur = s, s
+        visited.add(s)
+        while cur in nxt:
+            cur = nxt[cur]
+            seq += cur[-1]
+            visited.add(cur)
+        out.append((seq, False))
+    rem = set(kmers) - visited
+    while rem:  # pure cycles: break at min packed key (impl's tie-break)
+        s = min(rem, key=packed)
+        seq, cur = s, s
+        rem.discard(s)
+        while nxt[cur] != s:
+            cur = nxt[cur]
+            seq += cur[-1]
+            rem.discard(cur)
+        out.append((seq, True))
+    return out
+
+
+def keys_of(kmers, dtype=np.uint64):
+    return np.sort(np.array([packed(x) for x in kmers], dtype=dtype))
+
+
+def windows(seq: str, k: int):
+    return [seq[i : i + k] for i in range(len(seq) - k + 1)]
+
+
+def random_kmer_set(rng, k, mode):
+    """Realistic graphs: chains from random sequences + noise + cycles."""
+    kmers = set()
+    if mode in ("seq", "mixed"):
+        for _ in range(rng.integers(1, 4)):
+            L = int(rng.integers(k, 6 * k))
+            kmers |= set(windows("".join(rng.choice(list(BASES), L)), k))
+    if mode in ("noise", "mixed"):
+        for _ in range(int(rng.integers(0, 12))):
+            kmers.add("".join(rng.choice(list(BASES), k)))
+    if mode == "cycle":
+        L = int(rng.integers(k + 1, 4 * k))
+        g = "".join(rng.choice(list(BASES), L))
+        kmers |= set(windows(g + g[: k - 1], k))
+    return kmers
+
+
+@pytest.mark.parametrize("mode", ["seq", "noise", "mixed", "cycle"])
+def test_fuzz_vs_oracle(mode):
+    rng = np.random.default_rng(hash(mode) % 2**31)
+    for trial in range(12):
+        k = int(rng.integers(3, 6))
+        kmers = random_kmer_set(rng, k, mode)
+        if not kmers:
+            continue
+        seqs, circ = assemble.unitigs_from_keys(keys_of(kmers), k)
+        got = sorted((s.decode(), c) for s, c in zip(seqs, circ))
+        want = sorted(naive_unitigs(kmers, k))
+        assert got == want, (k, sorted(kmers))
+        # Conservation: output windows == input k-mer set, each exactly once.
+        cover = [w for s in seqs for w in windows(s.decode(), k)]
+        assert sorted(cover) == sorted(kmers)
+
+
+def test_empty_single_and_unsorted():
+    assert assemble.unitigs_from_keys(np.array([], np.uint64), 5) == ([], [])
+    seqs, circ = assemble.unitigs_from_keys(keys_of({"ACGTA"}), 5)
+    assert seqs == [b"ACGTA"] and circ == [False]
+    with pytest.raises(ValueError):
+        assemble.unitigs_from_keys(np.array([3, 1], np.uint64), 3)
+
+
+def _genome(rng, n):
+    return "".join(rng.choice(list(BASES), n))
+
+
+def _reads_covering(genome, rlen=100, step=7, wrap=False):
+    src = genome + genome[: rlen - 1] if wrap else genome
+    reads = [src[i : i + rlen] for i in range(0, len(src) - rlen + 1, step)]
+    if not wrap and (len(genome) - rlen) % step:
+        reads.append(genome[-rlen:])
+    return [r.encode() for r in reads]
+
+
+def test_genome_reconstruction_strand_specific():
+    rng = np.random.default_rng(7)
+    genome = _genome(rng, 400)
+    reads = PackedReads.from_ascii(_reads_covering(genome))
+    seqs, circ = assemble.assemble_reads(reads, 21, min_count=1, both_strands=False)
+    assert [s.decode() for s in seqs] == [genome] and circ == [False]
+
+
+def test_genome_reconstruction_both_strands():
+    rng = np.random.default_rng(8)
+    genome = _genome(rng, 350)
+    reads = PackedReads.from_ascii(_reads_covering(genome))
+    seqs, circ = assemble.assemble_reads(reads, 21, min_count=1)
+    want = min(genome.encode(), assemble.rc_ascii(genome.encode()))
+    assert seqs == [want] and circ == [False]
+
+
+def test_circular_genome():
+    rng = np.random.default_rng(9)
+    genome = _genome(rng, 200)
+    reads = PackedReads.from_ascii(_reads_covering(genome, wrap=True))
+    for both in (False, True):
+        seqs, circ = assemble.assemble_reads(reads, 21, min_count=1, both_strands=both)
+        assert len(seqs) == 1 and circ == [True]
+        s = seqs[0]
+        assert len(s) == len(genome) + 20  # c + k - 1, wrap overlap repeated
+        assert s[:20] == s[-20:]
+        core = s[: len(genome)].decode()
+        assert core in genome + genome or (
+            both and core in (lambda r: r + r)(assemble.rc_ascii(genome.encode()).decode())
+        )
+
+
+def test_min_count_drops_error_branches():
+    rng = np.random.default_rng(10)
+    genome = _genome(rng, 300)
+    good = _reads_covering(genome) * 2  # every genomic k-mer seen >= 2x
+    bad = bytearray(good[3])
+    bad[50] = ord("A") if bad[50] != ord("A") else ord("C")  # 1x error read
+    reads = PackedReads.from_ascii(good + [bytes(bad)])
+    seqs, _ = assemble.assemble_reads(reads, 21, min_count=2, both_strands=False)
+    assert [s.decode() for s in seqs] == [genome]
+
+
+def test_assemble_counts_matches_reads_path():
+    rng = np.random.default_rng(11)
+    genome = _genome(rng, 250)
+    raw = _reads_covering(genome)
+    counts = {}
+    for r in raw:
+        for w in windows(r.decode(), 21):
+            key = min(packed(w), packed(w.translate(str.maketrans(BASES, "TGCA"))[::-1]))
+            counts[key] = counts.get(key, 0) + 1
+    via_counts = assemble.assemble_counts(counts, 21, min_count=1)
+    via_reads = assemble.assemble_reads(
+        PackedReads.from_ascii(raw), 21, min_count=1
+    )
+    assert via_counts == via_reads
+
+
+def test_write_fasta(tmp_path):
+    p = tmp_path / "utg.fa"
+    assemble.write_fasta(p, [b"ACGT" * 30, b"TTTTT"], [False, True])
+    text = p.read_text().splitlines()
+    assert text[0] == ">utg000001 len=120 circ=no"
+    assert text[1] == "ACGT" * 20 and text[2] == "ACGT" * 10
+    assert text[3] == ">utg000002 len=5 circ=yes"

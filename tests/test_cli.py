@@ -500,3 +500,25 @@ def test_cli_map_long_extend_whole_read_qspan(tmp_path, capsys, rng):
     # extend mode fits the whole read: query span must be [0, qlen)
     assert (int(row[2]), int(row[3])) == (0, len(read))
     assert int(row[9]) == len(read)  # exact read: nmatch == qlen
+
+
+def test_cli_assemble(tmp_path, capsys, rng):
+    from bitnuc_tpu import assemble as asm
+
+    genome = random_seq(rng, 300).upper()
+    reads = [genome[i : i + 80] for i in range(0, 221, 5)]
+    p = _write_fastq(tmp_path / "asm.fq", reads * 2)  # every k-mer >= 2x
+    out = tmp_path / "utg.fa"
+    assert cli.main(["assemble", p, "-k", "21", "--min-count", "2",
+                     "--out", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith(">utg000001 len=300 circ=no")
+    seq = "".join(lines[1:]).encode()
+    assert seq in (genome, asm.rc_ascii(genome))
+
+    # k <= 12 takes the dense-histogram branch; strand-specific graph
+    assert cli.main(["assemble", p, "-k", "11", "--min-count", "1",
+                     "--strand-specific"]) == 0
+    text = capsys.readouterr().out
+    body = "".join(l for l in text.splitlines() if not l.startswith(">"))
+    assert body.encode() == genome
