@@ -66,6 +66,82 @@ def _wyllie_rank(prev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return rank, jump
 
 
+class _Graph:
+    """Edge structure + chain decomposition of a solid k-mer set.
+
+    Arrays over the n sorted keys: outdeg/indeg, the unique-successor /
+    unique-predecessor candidates (succ1/pred1, valid when the degree is
+    exactly 1), the simple-edge function nxt and its inverse prev, and the
+    Wyllie decomposition (rank, start, circ_start).
+    """
+
+    __slots__ = (
+        "keys", "k", "outdeg", "indeg", "succ1", "pred1",
+        "nxt", "prev", "rank", "start", "circ_start",
+    )
+
+    def __init__(self, keys: np.ndarray, k: int):
+        n = keys.shape[0]
+        self.keys, self.k = keys, k
+        iota = np.arange(n, dtype=np.int64)
+        shift_hi = np.uint64(2 * (k - 1))
+        mask_km1 = np.uint64((1 << (2 * (k - 1))) - 1)
+        suf = keys >> np.uint64(2)
+        pre_shifted = (keys & mask_km1) << np.uint64(2)
+
+        # Edge structure via 8 sorted joins: successor y_b = suf | b <<
+        # 2(k-1), predecessor p_b = (pre << 2) | b.
+        succ_ok = np.zeros((4, n), dtype=bool)
+        succ_idx = np.zeros((4, n), dtype=np.int64)
+        pred_ok = np.zeros((4, n), dtype=bool)
+        pred_idx = np.zeros((4, n), dtype=np.int64)
+        for b in range(4):
+            ok, idx = _member(keys, suf | (np.uint64(b) << shift_hi))
+            succ_ok[b], succ_idx[b] = ok, idx
+            ok, idx = _member(keys, pre_shifted | np.uint64(b))
+            pred_ok[b], pred_idx[b] = ok, idx
+        self.outdeg = succ_ok.sum(axis=0)
+        self.indeg = pred_ok.sum(axis=0)
+        self.succ1 = succ_idx[succ_ok.argmax(axis=0), iota]
+        self.pred1 = pred_idx[pred_ok.argmax(axis=0), iota]
+
+        # nxt[i]: unique successor when the edge is "simple" (internal to a
+        # unitig): outdeg(x) == 1 and indeg(y) == 1. nxt is then injective,
+        # so its inverse prev is a well-defined predecessor forest.
+        simple = (self.outdeg == 1) & (self.indeg[self.succ1] == 1)
+        self.nxt = np.where(simple, self.succ1, np.int64(-1))
+        prev = np.full(n, -1, dtype=np.int64)
+        src = np.nonzero(self.nxt >= 0)[0]
+        prev[self.nxt[src]] = src
+
+        # Rank; break each pure cycle at its minimum-index (= minimum-key,
+        # keys are sorted) node, found by min-propagating pointer doubling.
+        rank, start = _wyllie_rank(prev)
+        circ_start = np.zeros(n, dtype=bool)
+        cyc = rank >= n
+        if cyc.any():
+            mn = iota.copy()
+            j2 = np.where(prev >= 0, prev, iota)
+            for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
+                mn = np.minimum(mn, mn[j2])
+                j2 = j2[j2]
+            brk = cyc & (mn == iota)
+            circ_start[brk] = True
+            prev[brk] = -1
+            rank, start = _wyllie_rank(prev)
+        self.prev = prev
+        self.rank, self.start, self.circ_start = rank, start, circ_start
+
+
+def _check_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    if not 1 <= k <= 32:
+        raise ValueError(f"k must be in [1, 32], got {k}")
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    if keys.shape[0] > 1 and not bool(np.all(keys[1:] > keys[:-1])):
+        raise ValueError("keys must be sorted and unique")
+    return keys
+
+
 def unitigs_from_keys(
     keys: np.ndarray, k: int
 ) -> Tuple[List[bytes], List[bool]]:
@@ -78,59 +154,13 @@ def unitigs_from_keys(
     emitted linearly as c + k - 1 bases starting at its minimum-key node
     (so its first and last k-1 bases coincide).
     """
-    if not 1 <= k <= 32:
-        raise ValueError(f"k must be in [1, 32], got {k}")
-    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    keys = _check_keys(keys, k)
     n = keys.shape[0]
     if n == 0:
         return [], []
-    if n > 1 and not bool(np.all(keys[1:] > keys[:-1])):
-        raise ValueError("keys must be sorted and unique")
-
-    iota = np.arange(n, dtype=np.int64)
+    g = _Graph(keys, k)
+    rank, start, circ_start = g.rank, g.start, g.circ_start
     shift_hi = np.uint64(2 * (k - 1))
-    mask_km1 = np.uint64((1 << (2 * (k - 1))) - 1)
-    suf = keys >> np.uint64(2)
-    pre_shifted = (keys & mask_km1) << np.uint64(2)
-
-    # Edge structure via 8 sorted joins: successor y_b = suf | b << 2(k-1),
-    # predecessor p_b = (pre << 2) | b.
-    succ_ok = np.zeros((4, n), dtype=bool)
-    succ_idx = np.zeros((4, n), dtype=np.int64)
-    indeg = np.zeros(n, dtype=np.int64)
-    for b in range(4):
-        ok, idx = _member(keys, suf | (np.uint64(b) << shift_hi))
-        succ_ok[b], succ_idx[b] = ok, idx
-        ok, _ = _member(keys, pre_shifted | np.uint64(b))
-        indeg += ok
-    outdeg = succ_ok.sum(axis=0)
-
-    # nxt[i]: unique successor when the edge is "simple" (internal to a
-    # unitig): outdeg(x) == 1 and indeg(y) == 1. nxt is then injective, so
-    # its inverse prev is a well-defined predecessor forest.
-    bsel = succ_ok.argmax(axis=0)
-    cand = succ_idx[bsel, iota]
-    simple = (outdeg == 1) & (indeg[cand] == 1)
-    nxt = np.where(simple, cand, np.int64(-1))
-    prev = np.full(n, -1, dtype=np.int64)
-    src = np.nonzero(nxt >= 0)[0]
-    prev[nxt[src]] = src
-
-    # Rank; break each pure cycle at its minimum-index (= minimum-key,
-    # keys are sorted) node, found by min-propagating pointer doubling.
-    rank, start = _wyllie_rank(prev)
-    circ_start = np.zeros(n, dtype=bool)
-    cyc = rank >= n
-    if cyc.any():
-        mn = iota.copy()
-        j2 = np.where(prev >= 0, prev, iota)
-        for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
-            mn = np.minimum(mn, mn[j2])
-            j2 = j2[j2]
-        brk = cyc & (mn == iota)
-        circ_start[brk] = True
-        prev[brk] = -1
-        rank, start = _wyllie_rank(prev)
 
     # Emit: order nodes by (chain, rank); chain c of length m spans
     # out[offs[c] : offs[c] + m + k - 1]; the rank-0 node contributes its
@@ -161,17 +191,18 @@ def unitigs_from_keys(
     return seqs, [bool(f) for f in circ]
 
 
-def _runs_to_keys(lo, hi, counts, min_count: int) -> np.ndarray:
-    """Run-start (lo, hi, counts) arrays -> sorted uint64 solid-key array."""
+def _runs_to_keys(lo, hi, counts, min_count: int):
+    """Run-start (lo, hi, counts) -> sorted uint64 solid keys + counts."""
     from .ops import kmer as kmer_ops
 
     lo, hi, counts = kmer_ops.compact_runs(lo, hi, counts)
     m = counts >= min_count
-    return (hi[m].astype(np.uint64) << np.uint64(32)) | lo[m].astype(np.uint64)
+    keys = (hi[m].astype(np.uint64) << np.uint64(32)) | lo[m].astype(np.uint64)
+    return keys, counts[m].astype(np.int64)
 
 
-def _expand_both_strands(keys: np.ndarray, k: int) -> np.ndarray:
-    """Union a solid-key set with its reverse complements (host mirror of
+def _rc_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement packed keys (host mirror of
     ops.revcomp.revcomp_key's bit dance, kept on host: metadata-sized)."""
     x = ~keys
     m2 = np.uint64(0x3333333333333333)
@@ -179,8 +210,110 @@ def _expand_both_strands(keys: np.ndarray, k: int) -> np.ndarray:
     x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
     x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
     x = x.byteswap()  # full 2-bit-group reversal of the 64-bit word
-    rc = x >> np.uint64(64 - 2 * k) if k < 32 else x
-    return np.union1d(keys, rc)
+    return x >> np.uint64(64 - 2 * k) if k < 32 else x
+
+
+def _expand_both_strands(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Strand-symmetrize a (canonical) solid set: union in the reverse
+    complements, carrying each key's count to its rc twin."""
+    allk = np.concatenate([keys, _rc_keys(keys, k)])
+    allc = np.concatenate([counts, counts])
+    o = np.argsort(allk, kind="stable")
+    allk, allc = allk[o], allc[o]
+    keep = np.empty(allk.shape[0], dtype=bool)
+    if allk.shape[0]:
+        keep[0] = True
+        keep[1:] = allk[1:] != allk[:-1]  # palindromes collapse to one row
+    return allk[keep], allc[keep]
+
+
+def _chain_table(g: "_Graph"):
+    """Chain decomposition as flat arrays: (order, cid, heads, tails, m)
+    where order lists nodes by (chain, rank), cid is each sorted node's
+    chain ordinal, heads/tails are the rank-0/last node per chain, and m
+    the per-chain node count."""
+    n = g.keys.shape[0]
+    order = np.lexsort((g.rank, g.start))
+    ch_s = g.start[order]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = ch_s[1:] != ch_s[:-1]
+    cid = np.cumsum(first) - 1
+    m = np.bincount(cid)
+    heads = order[first]
+    tails = order[np.cumsum(m) - 1]
+    return order, cid, heads, tails, m
+
+
+def clean_keys(
+    keys: np.ndarray,
+    counts: Optional[np.ndarray],
+    k: int,
+    *,
+    tip_len: Optional[int] = None,
+    pop_bubbles: bool = True,
+    rounds: int = 8,
+):
+    """Remove sequencing-error artifacts from a solid k-mer set — the
+    standard DBG cleaning passes (SPAdes/velvet-class heuristics), run on
+    the chain decomposition so each round is O(n log n) vectorized numpy:
+
+    - **tips**: chains dead-ended on exactly one side, spanning fewer than
+      tip_len bases (default 2k), whose other side attaches to the graph —
+      the signature of errors near read ends;
+    - **bubbles**: alternative chains sharing both a unique branch
+      predecessor and a unique rejoin successor (<= tip_len bases — a
+      mid-read substitution makes a 2k-1-base arm); all but the highest
+      mean-coverage arm in each (branch, rejoin) group are removed.
+
+    Iterates until fixed point (or `rounds`). Returns (keys, counts).
+    """
+    keys = _check_keys(keys, k)
+    counts = (
+        np.ones(keys.shape[0], dtype=np.int64)
+        if counts is None
+        else np.asarray(counts, dtype=np.int64)
+    )
+    if counts.shape != keys.shape:
+        raise ValueError("counts must align with keys")
+    if tip_len is None:
+        tip_len = 2 * k
+    for _ in range(rounds):
+        n = keys.shape[0]
+        if n == 0:
+            break
+        g = _Graph(keys, k)
+        order, cid, heads, tails, m = _chain_table(g)
+        circ = g.circ_start[heads]
+        head_dead = g.indeg[heads] == 0
+        tail_dead = g.outdeg[tails] == 0
+        bases = m + (k - 1)
+        drop = (~circ) & (head_dead ^ tail_dead) & (bases < tip_len)
+        if pop_bubbles:
+            arm = (
+                (~circ)
+                & (g.indeg[heads] == 1)
+                & (g.outdeg[tails] == 1)
+                & (bases < tip_len)
+            )
+            ai = np.nonzero(arm)[0]
+            if ai.shape[0]:
+                # group arms by (branch node, rejoin node); keep max coverage
+                cov = np.bincount(cid, weights=counts[order].astype(np.float64)) / m
+                gkey = g.pred1[heads[ai]] * np.int64(n + 1) + g.succ1[tails[ai]]
+                o2 = np.lexsort((-cov[ai], gkey))
+                gk = gkey[o2]
+                best = np.empty(ai.shape[0], dtype=bool)
+                best[0] = True
+                best[1:] = gk[1:] != gk[:-1]
+                drop = drop.copy()
+                drop[ai[o2[~best]]] = True
+        if not drop.any():
+            break
+        keep = np.ones(n, dtype=bool)
+        keep[order[drop[cid]]] = False
+        keys, counts = keys[keep], counts[keep]
+    return keys, counts
 
 
 def _canonical_rotation(seq: bytes) -> bytes:
@@ -194,7 +327,14 @@ def _canonical_rotation(seq: bytes) -> bytes:
 
 
 def assemble_keys(
-    keys: np.ndarray, k: int, *, both_strands: bool = False
+    keys: np.ndarray,
+    k: int,
+    *,
+    counts: Optional[np.ndarray] = None,
+    both_strands: bool = False,
+    clean: bool = False,
+    tip_len: Optional[int] = None,
+    pop_bubbles: bool = True,
 ) -> Tuple[List[bytes], List[bool]]:
     """Unitigs from a solid-key set, optionally strand-symmetrized.
 
@@ -202,24 +342,40 @@ def assemble_keys(
     usual canonical-spectrum workflow), then deduplicates the resulting
     rc-paired unitigs, keeping the lexicographically smaller strand
     (circular ones compare by minimum rotation over both strands).
-    Output is sorted longest-first, ties by sequence.
+    clean=True runs the tip/bubble error-removal passes (clean_keys) on
+    the symmetrized graph first. Output is sorted longest-first, ties by
+    sequence.
     """
-    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    keys = _check_keys(keys, k)
+    counts = (
+        np.ones(keys.shape[0], dtype=np.int64)
+        if counts is None
+        else np.asarray(counts, dtype=np.int64)
+    )
     if both_strands:
-        keys = _expand_both_strands(keys, k)
+        keys, counts = _expand_both_strands(keys, counts, k)
+    if clean:
+        keys, counts = clean_keys(
+            keys, counts, k, tip_len=tip_len, pop_bubbles=pop_bubbles
+        )
     seqs, circ = unitigs_from_keys(keys, k)
     if both_strands:
         kept_s: List[bytes] = []
         kept_c: List[bool] = []
         seen_rot = set()
+        seqset = set(seqs)
         for s, c in zip(seqs, circ):
             if c:
                 rot = _canonical_rotation(s[: len(s) - (k - 1)] if len(s) > k - 1 else s)
                 if rot in seen_rot:
                     continue
                 seen_rot.add(rot)
-            elif s > rc_ascii(s):
-                continue  # its rc twin is (or was) emitted
+            else:
+                r = rc_ascii(s)
+                # keep the smaller strand; if cleaning broke rc symmetry
+                # (equal-coverage bubble ties), keep the twinless survivor
+                if s > r and r in seqset:
+                    continue
             kept_s.append(s)
             kept_c.append(c)
         seqs, circ = kept_s, kept_c
@@ -234,6 +390,8 @@ def assemble_reads(
     min_count: int = 2,
     both_strands: bool = True,
     base_valid=None,
+    clean: bool = False,
+    tip_len: Optional[int] = None,
 ) -> Tuple[List[bytes], List[bool]]:
     """Assemble a PackedReads batch into unitigs.
 
@@ -243,28 +401,38 @@ def assemble_reads(
     compacts the strand-symmetric de Bruijn graph. both_strands=False
     instead builds the strand-specific graph from the reads as written
     (counting non-canonically) — useful for oriented data and tests.
+    clean=True additionally clips tips and pops bubbles (clean_keys) —
+    the pass that rescues min_count=1 assemblies of low-coverage data.
     """
     from .ops import kmer as kmer_ops
 
-    lo, hi, counts, _ = kmer_ops.count_kmers_runs(
+    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
         reads.words, reads.lengths, k, canonical=both_strands, base_valid=base_valid
     )
-    keys = _runs_to_keys(lo, hi, counts, min_count)
-    return assemble_keys(keys, k, both_strands=both_strands)
+    keys, cts = _runs_to_keys(lo, hi, cts, min_count)
+    return assemble_keys(
+        keys, k, counts=cts, both_strands=both_strands, clean=clean, tip_len=tip_len
+    )
 
 
 def assemble_counts(
-    counts: dict, k: int, *, min_count: int = 2, both_strands: bool = True
+    counts: dict,
+    k: int,
+    *,
+    min_count: int = 2,
+    both_strands: bool = True,
+    clean: bool = False,
+    tip_len: Optional[int] = None,
 ) -> Tuple[List[bytes], List[bool]]:
     """Unitigs from a {packed_kmer: count} dict (pipeline.count_fastq's
     large-k return — the streaming / genome-scale entry point)."""
-    solid = np.fromiter(
-        (key for key, c in counts.items() if c >= min_count),
-        dtype=np.uint64,
-        count=-1,
+    items = [(key, c) for key, c in counts.items() if c >= min_count]
+    items.sort()
+    solid = np.array([key for key, _ in items], dtype=np.uint64)
+    cts = np.array([c for _, c in items], dtype=np.int64)
+    return assemble_keys(
+        solid, k, counts=cts, both_strands=both_strands, clean=clean, tip_len=tip_len
     )
-    solid.sort()
-    return assemble_keys(solid, k, both_strands=both_strands)
 
 
 def write_fasta(path, seqs: List[bytes], circular: Optional[List[bool]] = None,

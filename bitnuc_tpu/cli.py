@@ -516,13 +516,17 @@ def cmd_assemble(args) -> int:
             on_invalid=on_invalid,
         )
     if isinstance(table, dict):
-        solid = np.fromiter(
-            (key for key, c in table.items() if c >= args.min_count), np.uint64
-        )
-        solid.sort()
+        items = sorted((key, c) for key, c in table.items() if c >= args.min_count)
+        solid = np.array([key for key, _ in items], dtype=np.uint64)
+        cts = np.array([c for _, c in items], dtype=np.int64)
     else:  # dense histogram (k <= MAX_DENSE_K)
-        solid = np.nonzero(np.asarray(table) >= args.min_count)[0].astype(np.uint64)
-    seqs, circ = asm.assemble_keys(solid, args.k, both_strands=canonical)
+        table = np.asarray(table)
+        solid = np.nonzero(table >= args.min_count)[0].astype(np.uint64)
+        cts = table[solid.astype(np.int64)].astype(np.int64)
+    seqs, circ = asm.assemble_keys(
+        solid, args.k, counts=cts, both_strands=canonical,
+        clean=args.clean, tip_len=args.tip_len,
+    )
 
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
@@ -1431,6 +1435,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spectrum count for a k-mer to be solid")
     p.add_argument("--strand-specific", action="store_true",
                    help="build the graph from reads as written (no revcomp)")
+    p.add_argument("--clean", action="store_true",
+                   help="clip tips and pop bubbles before compaction")
+    p.add_argument("--tip-len", type=int, default=None,
+                   help="max tip/bubble-arm span in bases (default 2k)")
     p.add_argument("--skip-invalid", action="store_true",
                    help="drop k-mers containing N instead of raising")
     p.add_argument("--batch-size", type=int, default=4096)

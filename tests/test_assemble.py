@@ -184,3 +184,69 @@ def test_write_fasta(tmp_path):
     assert text[0] == ">utg000001 len=120 circ=no"
     assert text[1] == "ACGT" * 20 and text[2] == "ACGT" * 10
     assert text[3] == ">utg000002 len=5 circ=yes"
+
+
+def _mutate(read: bytes, pos: int) -> bytes:
+    b = bytearray(read)
+    b[pos] = ord("A") if b[pos] != ord("A") else ord("C")
+    return bytes(b)
+
+
+def test_tip_clipping():
+    rng = np.random.default_rng(21)
+    genome = _genome(rng, 300)
+    good = _reads_covering(genome)
+    bad = _mutate(good[4], 79)  # error at the read's last base -> a tip
+    reads = PackedReads.from_ascii(good + [bad])
+    broken, _ = assemble.assemble_reads(reads, 21, min_count=1, both_strands=False)
+    assert len(broken) > 1  # the tip shatters the contig without cleaning
+    seqs, circ = assemble.assemble_reads(
+        reads, 21, min_count=1, both_strands=False, clean=True
+    )
+    assert [s.decode() for s in seqs] == [genome] and circ == [False]
+
+
+def test_bubble_popping():
+    rng = np.random.default_rng(22)
+    genome = _genome(rng, 300)
+    good = _reads_covering(genome) * 2  # genomic coverage >= 2
+    bad = _mutate(good[6], 40)  # mid-read error, k flank each side -> bubble
+    reads = PackedReads.from_ascii(good + [bad])
+    broken, _ = assemble.assemble_reads(reads, 21, min_count=1, both_strands=False)
+    assert len(broken) > 1
+    seqs, _ = assemble.assemble_reads(
+        reads, 21, min_count=1, both_strands=False, clean=True
+    )
+    assert [s.decode() for s in seqs] == [genome]
+
+
+def test_clean_both_strands():
+    rng = np.random.default_rng(23)
+    genome = _genome(rng, 260)
+    good = _reads_covering(genome) * 2
+    reads = PackedReads.from_ascii(
+        good + [_mutate(good[4], 79), _mutate(good[6], 40)]
+    )
+    seqs, _ = assemble.assemble_reads(reads, 21, min_count=1, clean=True)
+    want = min(genome.encode(), assemble.rc_ascii(genome.encode()))
+    assert seqs == [want]
+
+
+@pytest.mark.parametrize("mode", ["seq", "mixed", "cycle"])
+def test_clean_fuzz_subset_and_fixed_point(mode):
+    rng = np.random.default_rng(hash(("clean", mode)) % 2**31)
+    for _ in range(8):
+        k = int(rng.integers(3, 6))
+        kmers = random_kmer_set(rng, k, mode)
+        if not kmers:
+            continue
+        keys = keys_of(kmers)
+        cts = rng.integers(1, 30, keys.shape[0]).astype(np.int64)
+        ck, cc = assemble.clean_keys(keys, cts, k)
+        assert set(ck.tolist()) <= set(keys.tolist())
+        assert cc.shape == ck.shape
+        ck2, _ = assemble.clean_keys(ck, cc, k)  # fixed point
+        assert np.array_equal(ck2, ck)
+        seqs, circ = assemble.unitigs_from_keys(ck, k)  # still a valid DBG
+        cover = [w for s in seqs for w in windows(s.decode(), k)]
+        assert sorted(packed(w) for w in cover) == sorted(ck.tolist())
