@@ -403,6 +403,42 @@ def bench_orf(batch=16384, read_len=512):
     return batch * read_len / t
 
 
+def bench_assemble(genome_mb=2, read_len=150, step=30, k=31):
+    """De Bruijn unitig assembly end-to-end (device canonical spectrum +
+    host sorted-join graph compaction): read bases consumed/sec. The wall
+    clock is host-synced by construction — the result is a materialized
+    python list of unitig byte strings. In-bench oracle: the random genome
+    must come back as exactly ONE unitig (strand-normalized)."""
+    import time
+
+    import numpy as np
+
+    from bitnuc_tpu import assemble
+    from bitnuc_tpu.sequence import PackedReads
+
+    rng = np.random.default_rng(17)
+    n = genome_mb << 20
+    g = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    starts = np.unique(np.append(np.arange(0, n - read_len + 1, step),
+                                 n - read_len))
+    reads = PackedReads.from_ascii(
+        g[starts[:, None] + np.arange(read_len)],
+        lengths=np.full(len(starts), read_len, np.int32),
+    )
+    best = float("inf")
+    seqs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        seqs, _circ = assemble.assemble_reads(reads, k, min_count=1)
+        best = min(best, time.perf_counter() - t0)
+    gb = g.tobytes()
+    assert len(seqs) == 1 and seqs[0] in (gb, assemble.rc_ascii(gb)), (
+        len(seqs),
+        len(seqs[0]) if seqs else 0,
+    )
+    return len(starts) * read_len / best
+
+
 def bench_memcpy(mbytes=128):
     """Device xor-copy calibration: effective GB/s (read+write)."""
     import jax
@@ -510,6 +546,7 @@ def main():
             ("reads_mapped_per_sec_chip", bench_map(), "reads/s"),
             ("pairs_merged_per_sec_chip", bench_merge(), "pairs/s"),
             ("orf_bases_scanned_per_sec_chip", bench_orf(), "bases/s"),
+            ("assembly_read_bases_per_sec", bench_assemble(), "bases/s"),
             ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),
             ("fastq_pipeline_python_bases_per_sec", bench_pipeline(staged=False), "bases/s"),
             ("device_xor_copy_bandwidth", bench_memcpy(), "GB/s"),

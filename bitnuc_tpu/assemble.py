@@ -43,7 +43,7 @@ def rc_ascii(seq: bytes) -> bytes:
 def _member(sorted_keys: np.ndarray, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Membership of q in a sorted unique key array: (present, index)."""
     n = sorted_keys.shape[0]
-    idx = np.minimum(np.searchsorted(sorted_keys, q), n - 1)
+    idx = np.minimum(np.searchsorted(sorted_keys, q), n - 1).astype(np.int32)
     return sorted_keys[idx] == q, idx
 
 
@@ -54,15 +54,25 @@ def _wyllie_rank(prev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     Pointer doubling: after ceil(log2 n) + 1 rounds, rank[i] is the exact
     distance to the start and jump[i] IS the start — for chains. Nodes on
     pure cycles never reach a fixed point, so their rank keeps doubling;
-    rank >= n is the (exact) cycle detector the caller uses.
+    rank >= n is the (exact) cycle detector the caller uses. Early exit
+    when every jump pointer is a fixed point (no cycles and the longest
+    chain already resolved) — real unitigs are kilobases, so this usually
+    stops after ~a dozen of the worst-case ~31 rounds.
     """
     n = prev.shape[0]
-    iota = np.arange(n, dtype=np.int64)
+    iota = np.arange(n, dtype=np.int32)
     jump = np.where(prev >= 0, prev, iota)
     rank = (prev >= 0).astype(np.int64)
     for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
         rank = rank + rank[jump]
-        jump = jump[jump]
+        jump2 = jump[jump]
+        # Converged AND every target is a real start: done. The start check
+        # matters — a cycle whose length divides 2^round also fixes its
+        # jump pointers (onto cycle nodes), and must keep doubling so the
+        # rank >= n detector fires.
+        if np.array_equal(jump2, jump) and bool((prev[jump] < 0).all()):
+            return rank, jump
+        jump = jump2
     return rank, jump
 
 
@@ -76,41 +86,46 @@ class _Graph:
     """
 
     __slots__ = (
-        "keys", "k", "outdeg", "indeg", "succ1", "pred1",
-        "nxt", "prev", "rank", "start", "circ_start",
+        "keys", "k", "outdeg", "indeg", "succ1", "pred1", "succ_ok",
+        "succ_idx", "nxt", "prev", "rank", "start", "circ_start",
     )
 
     def __init__(self, keys: np.ndarray, k: int):
         n = keys.shape[0]
         self.keys, self.k = keys, k
-        iota = np.arange(n, dtype=np.int64)
+        iota = np.arange(n, dtype=np.int32)
         shift_hi = np.uint64(2 * (k - 1))
-        mask_km1 = np.uint64((1 << (2 * (k - 1))) - 1)
         suf = keys >> np.uint64(2)
-        pre_shifted = (keys & mask_km1) << np.uint64(2)
 
-        # Edge structure via 8 sorted joins: successor y_b = suf | b <<
-        # 2(k-1), predecessor p_b = (pre << 2) | b.
+        # Edge structure via 4 sorted joins: successor y_b = suf | b <<
+        # 2(k-1). Each candidate array is itself SORTED (suf is monotone in
+        # keys; OR-ing constant high bits preserves order), so searchsorted
+        # runs cache-friendly. Predecessor structure needs no joins of its
+        # own: every edge is discovered once as (x -> y), so indeg is a
+        # bincount of the targets and pred1 a (collision-don't-care)
+        # scatter of the sources — pred1 is only read where indeg == 1.
         succ_ok = np.zeros((4, n), dtype=bool)
-        succ_idx = np.zeros((4, n), dtype=np.int64)
-        pred_ok = np.zeros((4, n), dtype=bool)
-        pred_idx = np.zeros((4, n), dtype=np.int64)
+        succ_idx = np.zeros((4, n), dtype=np.int32)
+        indeg = np.zeros(n, dtype=np.int64)
+        pred1 = np.zeros(n, dtype=np.int32)
         for b in range(4):
             ok, idx = _member(keys, suf | (np.uint64(b) << shift_hi))
             succ_ok[b], succ_idx[b] = ok, idx
-            ok, idx = _member(keys, pre_shifted | np.uint64(b))
-            pred_ok[b], pred_idx[b] = ok, idx
+            tgt = idx[ok]
+            indeg += np.bincount(tgt, minlength=n)
+            pred1[tgt] = iota[ok]
         self.outdeg = succ_ok.sum(axis=0)
-        self.indeg = pred_ok.sum(axis=0)
+        self.indeg = indeg
         self.succ1 = succ_idx[succ_ok.argmax(axis=0), iota]
-        self.pred1 = pred_idx[pred_ok.argmax(axis=0), iota]
+        self.pred1 = pred1
+        self.succ_ok, self.succ_idx = succ_ok, succ_idx
 
         # nxt[i]: unique successor when the edge is "simple" (internal to a
         # unitig): outdeg(x) == 1 and indeg(y) == 1. nxt is then injective,
         # so its inverse prev is a well-defined predecessor forest.
         simple = (self.outdeg == 1) & (self.indeg[self.succ1] == 1)
-        self.nxt = np.where(simple, self.succ1, np.int64(-1))
-        prev = np.full(n, -1, dtype=np.int64)
+        self.nxt = np.where(simple, self.succ1, np.int32(-1))
+        prev = np.full(n, -1, dtype=np.int32)
         src = np.nonzero(self.nxt >= 0)[0]
         prev[self.nxt[src]] = src
 
@@ -143,7 +158,7 @@ def _check_keys(keys: np.ndarray, k: int) -> np.ndarray:
 
 
 def unitigs_from_keys(
-    keys: np.ndarray, k: int
+    keys: np.ndarray, k: int, *, _graph=None, _chain_of_out=None
 ) -> Tuple[List[bytes], List[bool]]:
     """Compact a sorted unique uint64 k-mer key array into unitigs.
 
@@ -158,7 +173,7 @@ def unitigs_from_keys(
     n = keys.shape[0]
     if n == 0:
         return [], []
-    g = _Graph(keys, k)
+    g = _graph if _graph is not None else _Graph(keys, k)
     rank, start, circ_start = g.rank, g.start, g.circ_start
     shift_hi = np.uint64(2 * (k - 1))
 
@@ -188,15 +203,82 @@ def unitigs_from_keys(
     ends = offs + out_len
     circ = circ_start[head_nodes]
     seqs = [ascii_all[offs[c] : ends[c]].tobytes() for c in range(len(lens))]
+    if _chain_of_out is not None:
+        _chain_of_out[order] = cid.astype(np.int32)
     return seqs, [bool(f) for f in circ]
 
 
+def unitig_graph(
+    keys: np.ndarray, k: int
+) -> Tuple[List[bytes], List[bool], List[Tuple[int, int]]]:
+    """Unitigs PLUS the inter-unitig link edges of the graph as given.
+
+    Returns (seqs, circular, links) where links are (a, b) unitig-ordinal
+    pairs meaning unitig a's last k-mer has a DBG edge into unitig b's
+    first k-mer (k-1 base overlap — the GFA L-line relation). Every
+    non-internal edge appears exactly once; a circular unitig carries its
+    own (c, c) self-link. The graph is taken as given: for a
+    strand-symmetrized key set both orientations appear as separate
+    segments (the doubled-graph GFA convention).
+    """
+    keys = _check_keys(keys, k)
+    n = keys.shape[0]
+    if n == 0:
+        return [], [], []
+    g = _Graph(keys, k)
+    chain_of = np.empty(n, dtype=np.int32)
+    seqs, circ = unitigs_from_keys(keys, k, _graph=g, _chain_of_out=chain_of)
+    iota = np.arange(n, dtype=np.int32)
+    pairs = set()
+    for b in range(4):
+        y = g.succ_idx[b]
+        # external edge: exists, and is not the internal chain edge
+        # (prev[y] == x). Cycle-break edges fail prev[y] == x (prev was
+        # cut), yielding exactly the circular self-link.
+        ext = g.succ_ok[b] & (g.prev[y] != iota)
+        xs = np.nonzero(ext)[0]
+        pairs.update(zip(chain_of[xs].tolist(), chain_of[y[xs]].tolist()))
+    return seqs, circ, sorted(pairs)
+
+
+def write_gfa(
+    path,
+    seqs: List[bytes],
+    links: List[Tuple[int, int]],
+    k: int,
+    circular: Optional[List[bool]] = None,
+    prefix: str = "utg",
+) -> None:
+    """Write a unitig graph as GFA 1.0: S lines (with LN tags) + L lines
+    with the k-1 base overlap CIGAR. Orientations are all '+' — the graph
+    is emitted as given (doubled for strand-symmetrized sets)."""
+    with open(path, "wb") as f:
+        f.write(b"H\tVN:Z:1.0\n")
+        for i, s in enumerate(seqs):
+            name = b"%s%06d" % (prefix.encode(), i + 1)
+            f.write(b"S\t%s\t%s\tLN:i:%d\n" % (name, s, len(s)))
+        ov = b"%dM" % (k - 1)
+        for a, b in links:
+            f.write(
+                b"L\t%s%06d\t+\t%s%06d\t+\t%s\n"
+                % (prefix.encode(), a + 1, prefix.encode(), b + 1, ov)
+            )
+
+
 def _runs_to_keys(lo, hi, counts, min_count: int):
-    """Run-start (lo, hi, counts) -> sorted uint64 solid keys + counts."""
+    """Run-start (lo, hi, counts) device arrays -> sorted uint64 solid keys
+    + counts on host. Compacts ON DEVICE first (ops.kmer.pack_runs_front)
+    and pulls only a power-of-two slice covering the distinct rows — the
+    host download is O(distinct k-mers), not O(window slots) (4-5x fewer
+    bytes at typical coverage; pow2 caps keep the slice-program count
+    logarithmic for the slow remote compiler)."""
     from .ops import kmer as kmer_ops
 
-    lo, hi, counts = kmer_ops.compact_runs(lo, hi, counts)
-    m = counts >= min_count
+    lo, hi, counts = kmer_ops.pack_runs_front(lo, hi, counts)
+    nu = max(int((counts > 0).sum()), 1)
+    cap = min(lo.shape[0], 1 << max(10, (nu - 1).bit_length()))
+    lo, hi, counts = (np.asarray(x[:cap]) for x in (lo, hi, counts))
+    m = counts >= max(min_count, 1)
     keys = (hi[m].astype(np.uint64) << np.uint64(32)) | lo[m].astype(np.uint64)
     return keys, counts[m].astype(np.int64)
 
@@ -326,6 +408,35 @@ def _canonical_rotation(seq: bytes) -> bytes:
     )
 
 
+def prepare_keys(
+    keys: np.ndarray,
+    counts: Optional[np.ndarray],
+    k: int,
+    *,
+    both_strands: bool = False,
+    clean: bool = False,
+    tip_len: Optional[int] = None,
+    pop_bubbles: bool = True,
+):
+    """The shared pre-compaction pipeline: validate, optionally strand-
+    symmetrize (_expand_both_strands), optionally clean (clean_keys).
+    Returns the final (keys, counts) the graph is built from — what
+    unitig_graph/GFA output should consume."""
+    keys = _check_keys(keys, k)
+    counts = (
+        np.ones(keys.shape[0], dtype=np.int64)
+        if counts is None
+        else np.asarray(counts, dtype=np.int64)
+    )
+    if both_strands:
+        keys, counts = _expand_both_strands(keys, counts, k)
+    if clean:
+        keys, counts = clean_keys(
+            keys, counts, k, tip_len=tip_len, pop_bubbles=pop_bubbles
+        )
+    return keys, counts
+
+
 def assemble_keys(
     keys: np.ndarray,
     k: int,
@@ -346,18 +457,10 @@ def assemble_keys(
     the symmetrized graph first. Output is sorted longest-first, ties by
     sequence.
     """
-    keys = _check_keys(keys, k)
-    counts = (
-        np.ones(keys.shape[0], dtype=np.int64)
-        if counts is None
-        else np.asarray(counts, dtype=np.int64)
+    keys, counts = prepare_keys(
+        keys, counts, k, both_strands=both_strands, clean=clean,
+        tip_len=tip_len, pop_bubbles=pop_bubbles,
     )
-    if both_strands:
-        keys, counts = _expand_both_strands(keys, counts, k)
-    if clean:
-        keys, counts = clean_keys(
-            keys, counts, k, tip_len=tip_len, pop_bubbles=pop_bubbles
-        )
     seqs, circ = unitigs_from_keys(keys, k)
     if both_strands:
         kept_s: List[bytes] = []

@@ -527,6 +527,13 @@ def cmd_assemble(args) -> int:
         solid, args.k, counts=cts, both_strands=canonical,
         clean=args.clean, tip_len=args.tip_len,
     )
+    if args.gfa:
+        fk, _ = asm.prepare_keys(solid, cts, args.k, both_strands=canonical,
+                                 clean=args.clean, tip_len=args.tip_len)
+        gseqs, gcirc, links = asm.unitig_graph(fk, args.k)
+        asm.write_gfa(args.gfa, gseqs, links, args.k, circular=gcirc)
+        print(f"gfa: {len(gseqs)} segments, {len(links)} links -> {args.gfa}",
+              file=sys.stderr)
 
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
@@ -1439,6 +1446,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clip tips and pop bubbles before compaction")
     p.add_argument("--tip-len", type=int, default=None,
                    help="max tip/bubble-arm span in bases (default 2k)")
+    p.add_argument("--gfa", default=None,
+                   help="also write the unitig graph as GFA 1.0 here")
     p.add_argument("--skip-invalid", action="store_true",
                    help="drop k-mers containing N instead of raising")
     p.add_argument("--batch-size", type=int, default=4096)

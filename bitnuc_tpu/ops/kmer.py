@@ -484,6 +484,20 @@ def merge_sorted_runs(lo, hi, counts):
     return weighted_runs_from_sorted(hi_s, lo_s, ct_s)
 
 
+@jax.jit
+def pack_runs_front(lo, hi, counts):
+    """Push live runs (count > 0) to the FRONT in ascending (hi, lo) order,
+    dead slots to the back — one extra device sort pass that lets hosts
+    download O(n_unique) rows instead of O(window slots) (assemble.py's
+    spectrum ingest pulls a power-of-two slice of this). The dead flag is
+    the primary sort key, so a live all-ones key (e.g. the k=32 poly-T
+    k-mer) still lands inside the live prefix."""
+    counts = counts.astype(jnp.int32)
+    dead = (counts == 0).astype(jnp.uint8)
+    _, hi_s, lo_s, ct_s = jax.lax.sort((dead, hi, lo, counts), num_keys=3)
+    return lo_s, hi_s, ct_s
+
+
 def compact_runs(lo, hi, counts):
     """Host helper: run-start layout (count_kmers_runs) -> dense numpy
     (keys_lo, keys_hi, counts) of just the distinct k-mers, ascending."""

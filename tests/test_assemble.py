@@ -250,3 +250,39 @@ def test_clean_fuzz_subset_and_fixed_point(mode):
         seqs, circ = assemble.unitigs_from_keys(ck, k)  # still a valid DBG
         cover = [w for s in seqs for w in windows(s.decode(), k)]
         assert sorted(packed(w) for w in cover) == sorted(ck.tolist())
+
+
+@pytest.mark.parametrize("mode", ["seq", "noise", "mixed", "cycle"])
+def test_unitig_graph_links_vs_overlap_oracle(mode):
+    # Edge x->y exists iff both k-mers are in the set and overlap k-1; at
+    # unitig level that is exactly: tail (k-1)-suffix of a == head
+    # (k-1)-prefix of b. So the full expected link set is enumerable from
+    # the unitig sequences alone.
+    rng = np.random.default_rng(hash(("gfa", mode)) % 2**31)
+    for _ in range(8):
+        k = int(rng.integers(3, 6))
+        kmers = random_kmer_set(rng, k, mode)
+        if not kmers:
+            continue
+        seqs, circ, links = assemble.unitig_graph(keys_of(kmers), k)
+        want = sorted(
+            (i, j)
+            for i, a in enumerate(seqs)
+            for j, b in enumerate(seqs)
+            if a[-(k - 1):] == b[: k - 1]
+        )
+        assert links == want, (k, sorted(kmers))
+        # circular unitigs carry their self-link
+        for i, c in enumerate(circ):
+            if c:
+                assert (i, i) in links
+
+
+def test_write_gfa(tmp_path):
+    p = tmp_path / "g.gfa"
+    assemble.write_gfa(p, [b"ACGTA", b"GTACG"], [(0, 1)], 4)
+    lines = p.read_text().splitlines()
+    assert lines[0] == "H\tVN:Z:1.0"
+    assert lines[1] == "S\tutg000001\tACGTA\tLN:i:5"
+    assert lines[2] == "S\tutg000002\tGTACG\tLN:i:5"
+    assert lines[3] == "L\tutg000001\t+\tutg000002\t+\t3M"
