@@ -249,14 +249,17 @@ def write_gfa(
     circular: Optional[List[bool]] = None,
     prefix: str = "utg",
 ) -> None:
-    """Write a unitig graph as GFA 1.0: S lines (with LN tags) + L lines
-    with the k-1 base overlap CIGAR. Orientations are all '+' — the graph
-    is emitted as given (doubled for strand-symmetrized sets)."""
+    """Write a unitig graph as GFA 1.0: S lines (with LN tags; circular
+    segments additionally carry a CR:i:1 tag next to their (c, c)
+    self-link) + L lines with the k-1 base overlap CIGAR. Orientations are
+    all '+' — the graph is emitted as given (doubled for strand-symmetrized
+    sets)."""
     with open(path, "wb") as f:
         f.write(b"H\tVN:Z:1.0\n")
         for i, s in enumerate(seqs):
             name = b"%s%06d" % (prefix.encode(), i + 1)
-            f.write(b"S\t%s\t%s\tLN:i:%d\n" % (name, s, len(s)))
+            circ_tag = b"\tCR:i:1" if circular and circular[i] else b""
+            f.write(b"S\t%s\t%s\tLN:i:%d%s\n" % (name, s, len(s), circ_tag))
         ov = b"%dM" % (k - 1)
         for a, b in links:
             f.write(
@@ -382,7 +385,11 @@ def clean_keys(
             if ai.shape[0]:
                 # group arms by (branch node, rejoin node); keep max coverage
                 cov = np.bincount(cid, weights=counts[order].astype(np.float64)) / m
-                gkey = g.pred1[heads[ai]] * np.int64(n + 1) + g.succ1[tails[ai]]
+                # explicit int64: numpy 1.x value-based casting would keep
+                # int32 and wrap for n > ~46341, colliding unrelated groups
+                gkey = g.pred1[heads[ai]].astype(np.int64) * np.int64(n + 1) + (
+                    g.succ1[tails[ai]].astype(np.int64)
+                )
                 o2 = np.lexsort((-cov[ai], gkey))
                 gk = gkey[o2]
                 best = np.empty(ai.shape[0], dtype=bool)
@@ -398,14 +405,35 @@ def clean_keys(
     return keys, counts
 
 
+def _least_rotation(seq: bytes) -> bytes:
+    """Booth's algorithm: lexicographically least rotation in O(L)."""
+    n = len(seq)
+    if n <= 1:
+        return seq
+    s = seq + seq
+    f = [-1] * len(s)
+    kmin = 0
+    for j in range(1, len(s)):
+        sj = s[j]
+        i = f[j - kmin - 1]
+        while i != -1 and sj != s[kmin + i + 1]:
+            if sj < s[kmin + i + 1]:
+                kmin = j - i - 1
+            i = f[i]
+        if sj != s[kmin + i + 1]:
+            if sj < s[kmin + i + 1]:  # i == -1 here
+                kmin = j
+            f[j - kmin] = -1
+        else:
+            f[j - kmin] = i + 1
+    return s[kmin : kmin + n]
+
+
 def _canonical_rotation(seq: bytes) -> bytes:
     """Minimum rotation over both strands — the rotation/strand-invariant
-    identity of a circular unitig (cycles are rare; O(L^2) is fine here)."""
-    r = rc_ascii(seq)
-    return min(
-        min(seq[i:] + seq[:i] for i in range(len(seq))),
-        min(r[i:] + r[:i] for i in range(len(r))),
-    )
+    identity of a circular unitig. O(L) via Booth's least-rotation on each
+    strand (plasmid/chromosome-scale cycles must not hit an O(L^2) path)."""
+    return min(_least_rotation(seq), _least_rotation(rc_ascii(seq)))
 
 
 def prepare_keys(
@@ -437,6 +465,40 @@ def prepare_keys(
     return keys, counts
 
 
+def dedupe_strand_twins(
+    seqs: List[bytes], circ: List[bool], k: int
+) -> Tuple[List[bytes], List[bool]]:
+    """Deduplicate rc-paired unitigs of a strand-symmetrized graph, keeping
+    the lexicographically smaller strand (circular ones compare by minimum
+    rotation over both strands)."""
+    kept_s: List[bytes] = []
+    kept_c: List[bool] = []
+    seen_rot = set()
+    seqset = set(seqs)
+    for s, c in zip(seqs, circ):
+        if c:
+            rot = _canonical_rotation(s[: len(s) - (k - 1)] if len(s) > k - 1 else s)
+            if rot in seen_rot:
+                continue
+            seen_rot.add(rot)
+        else:
+            r = rc_ascii(s)
+            # keep the smaller strand; if cleaning broke rc symmetry
+            # (equal-coverage bubble ties), keep the twinless survivor
+            if s > r and r in seqset:
+                continue
+        kept_s.append(s)
+        kept_c.append(c)
+    return kept_s, kept_c
+
+
+def _sort_longest_first(
+    seqs: List[bytes], circ: List[bool]
+) -> Tuple[List[bytes], List[bool]]:
+    order = sorted(range(len(seqs)), key=lambda i: (-len(seqs[i]), seqs[i]))
+    return [seqs[i] for i in order], [circ[i] for i in order]
+
+
 def assemble_keys(
     keys: np.ndarray,
     k: int,
@@ -446,6 +508,7 @@ def assemble_keys(
     clean: bool = False,
     tip_len: Optional[int] = None,
     pop_bubbles: bool = True,
+    prepared: bool = False,
 ) -> Tuple[List[bytes], List[bool]]:
     """Unitigs from a solid-key set, optionally strand-symmetrized.
 
@@ -454,36 +517,20 @@ def assemble_keys(
     rc-paired unitigs, keeping the lexicographically smaller strand
     (circular ones compare by minimum rotation over both strands).
     clean=True runs the tip/bubble error-removal passes (clean_keys) on
-    the symmetrized graph first. Output is sorted longest-first, ties by
-    sequence.
+    the symmetrized graph first. prepared=True means `keys` already went
+    through prepare_keys (callers that also need the graph can share one
+    pass); clean/tip_len are ignored then. Output is sorted longest-first,
+    ties by sequence.
     """
-    keys, counts = prepare_keys(
-        keys, counts, k, both_strands=both_strands, clean=clean,
-        tip_len=tip_len, pop_bubbles=pop_bubbles,
-    )
+    if not prepared:
+        keys, counts = prepare_keys(
+            keys, counts, k, both_strands=both_strands, clean=clean,
+            tip_len=tip_len, pop_bubbles=pop_bubbles,
+        )
     seqs, circ = unitigs_from_keys(keys, k)
     if both_strands:
-        kept_s: List[bytes] = []
-        kept_c: List[bool] = []
-        seen_rot = set()
-        seqset = set(seqs)
-        for s, c in zip(seqs, circ):
-            if c:
-                rot = _canonical_rotation(s[: len(s) - (k - 1)] if len(s) > k - 1 else s)
-                if rot in seen_rot:
-                    continue
-                seen_rot.add(rot)
-            else:
-                r = rc_ascii(s)
-                # keep the smaller strand; if cleaning broke rc symmetry
-                # (equal-coverage bubble ties), keep the twinless survivor
-                if s > r and r in seqset:
-                    continue
-            kept_s.append(s)
-            kept_c.append(c)
-        seqs, circ = kept_s, kept_c
-    order = sorted(range(len(seqs)), key=lambda i: (-len(seqs[i]), seqs[i]))
-    return [seqs[i] for i in order], [circ[i] for i in order]
+        seqs, circ = dedupe_strand_twins(seqs, circ, k)
+    return _sort_longest_first(seqs, circ)
 
 
 def assemble_reads(

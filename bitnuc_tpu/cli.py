@@ -523,17 +523,21 @@ def cmd_assemble(args) -> int:
         table = np.asarray(table)
         solid = np.nonzero(table >= args.min_count)[0].astype(np.uint64)
         cts = table[solid.astype(np.int64)].astype(np.int64)
-    seqs, circ = asm.assemble_keys(
-        solid, args.k, counts=cts, both_strands=canonical,
-        clean=args.clean, tip_len=args.tip_len,
-    )
+    # one prepare pass (symmetrize + clean); FASTA and GFA both derive from it
+    fk, fc = asm.prepare_keys(solid, cts, args.k, both_strands=canonical,
+                              clean=args.clean, tip_len=args.tip_len)
     if args.gfa:
-        fk, _ = asm.prepare_keys(solid, cts, args.k, both_strands=canonical,
-                                 clean=args.clean, tip_len=args.tip_len)
         gseqs, gcirc, links = asm.unitig_graph(fk, args.k)
         asm.write_gfa(args.gfa, gseqs, links, args.k, circular=gcirc)
         print(f"gfa: {len(gseqs)} segments, {len(links)} links -> {args.gfa}",
               file=sys.stderr)
+        seqs, circ = (asm.dedupe_strand_twins(gseqs, gcirc, args.k)
+                      if canonical else (gseqs, gcirc))
+        seqs, circ = asm._sort_longest_first(seqs, circ)
+    else:
+        seqs, circ = asm.assemble_keys(
+            fk, args.k, counts=fc, both_strands=canonical, prepared=True,
+        )
 
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:

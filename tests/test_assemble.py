@@ -286,3 +286,26 @@ def test_write_gfa(tmp_path):
     assert lines[1] == "S\tutg000001\tACGTA\tLN:i:5"
     assert lines[2] == "S\tutg000002\tGTACG\tLN:i:5"
     assert lines[3] == "L\tutg000001\t+\tutg000002\t+\t3M"
+
+
+def test_least_rotation_matches_naive():
+    # Booth's O(L) least rotation == brute-force min over all rotations
+    rng = np.random.default_rng(2026)
+    for _ in range(200):
+        n = int(rng.integers(1, 40))
+        s = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+        naive = min(s[i:] + s[:i] for i in range(len(s)))
+        assert assemble._least_rotation(s) == naive, s
+    # repetitive/periodic worst cases
+    for s in (b"AAAA", b"ACAC", b"ACACA", b"TGATGATGA", b"CGCGCGC"):
+        naive = min(s[i:] + s[:i] for i in range(len(s)))
+        assert assemble._least_rotation(s) == naive, s
+
+
+def test_write_gfa_circular_tag(tmp_path):
+    p = tmp_path / "g.gfa"
+    assemble.write_gfa(p, [b"ACGTA", b"GTACG"], [(1, 1)], 4,
+                       circular=[False, True])
+    lines = p.read_text().splitlines()
+    assert lines[1] == "S\tutg000001\tACGTA\tLN:i:5"
+    assert lines[2] == "S\tutg000002\tGTACG\tLN:i:5\tCR:i:1"
