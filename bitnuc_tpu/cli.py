@@ -40,15 +40,34 @@ def _read_any(path: str, validate: bool = True):
     return reader(path, validate=validate)
 
 
+def _build_mesh(args):
+    """--devices N -> a 1-D 'data' mesh over the first N visible devices
+    (None for N in {None, 0, 1} — single-device paths)."""
+    n = getattr(args, "devices", None)
+    if not n or n <= 1:
+        return None
+    import jax
+
+    if len(jax.devices()) < n:
+        raise SystemExit(
+            f"--devices {n}: only {len(jax.devices())} device(s) visible "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for "
+            "CPU simulation)"
+        )
+    return jax.make_mesh((n,), ("data",), devices=jax.devices()[:n])
+
+
 def _count_file(path: str, args):
     """Dispatch to the streaming counting pipeline; returns the pipeline's
     native result (int64 histogram for dense k, else {key: count})."""
     from . import pipeline
 
     on_invalid = "skip" if args.skip_invalid else "raise"
+    mesh = _build_mesh(args)
     if _sniff_format(path) == "fasta":
         return pipeline.count_fasta(
-            path, args.k, canonical=args.canonical, on_invalid=on_invalid
+            path, args.k, canonical=args.canonical, on_invalid=on_invalid,
+            mesh=mesh,
         )
     return pipeline.count_fastq(
         path,
@@ -57,6 +76,7 @@ def _count_file(path: str, args):
         canonical=args.canonical,
         checkpoint=args.checkpoint,
         on_invalid=on_invalid,
+        mesh=mesh,
     )
 
 
@@ -179,7 +199,9 @@ def cmd_search(args) -> int:
     w = np.asarray(reads.words, np.uint32)
     if w.shape[1] < db.n_words:
         w = np.pad(w, ((0, 0), (0, db.n_words - w.shape[1])))
-    dists, idxs = db.search_batch(w[:, : db.n_words], args.n)
+    dists, idxs = db.search_batch(
+        w[:, : db.n_words], args.n, mesh=_build_mesh(args)
+    )
     dists, idxs = np.asarray(dists), np.asarray(idxs)
     for qi, label in enumerate(labels):
         for rank in range(args.n):
@@ -684,6 +706,8 @@ def cmd_map(args) -> int:
 
     qnames, reads = _read_any(args.path, validate=False)  # N = mismatches
     if args.long:
+        if getattr(args, "devices", None) and args.devices > 1:
+            raise SystemExit("--devices is not supported with --long yet")
         res = mapper.map_reads_long(
             idx, reads, min_chain=args.min_seeds, extend=args.extend
         )
@@ -736,6 +760,7 @@ def cmd_map(args) -> int:
         min_seeds=args.min_seeds,
         mismatch=args.mismatch_cost,
         gap=args.gap_cost,
+        mesh=_build_mesh(args),
     )
     qlens = np.asarray(reads.lengths)
     out = sys.stdout if args.out is None else open(args.out, "w")
@@ -1127,6 +1152,14 @@ def cmd_info(args) -> int:
     return 0
 
 
+def _add_devices_arg(p):
+    p.add_argument(
+        "--devices", type=int, default=None, metavar="N",
+        help="shard the work over an N-device mesh (auto-built; output "
+        "identical to single-device runs)",
+    )
+
+
 def _add_count_args(p):
     p.add_argument("path", help="FASTA/FASTQ file (.gz ok)")
     p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
@@ -1138,6 +1171,7 @@ def _add_count_args(p):
     p.add_argument("--checkpoint", default=None,
                    help="crash-resume checkpoint path (FASTQ only)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
+    _add_devices_arg(p)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1177,6 +1211,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", type=int, default=1, help="hits per query")
     p.add_argument("--n-bases", type=int, default=None,
                    help="entry length when building a DB from FASTQ")
+    _add_devices_arg(p)
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("pack", help="encode a FASTA/FASTQ into a packed .npz")
@@ -1328,6 +1363,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --long: base-exact coordinates + edit cost "
                    "via the wavefront fit over the chain window")
     p.add_argument("--out", default=None, help="write here instead of stdout")
+    _add_devices_arg(p)
     p.set_defaults(fn=cmd_map)
 
     p = sub.add_parser(

@@ -164,10 +164,40 @@ class PackedDB:
             query, jnp.transpose(self.words_wm), self.n_bases
         )
 
-    def search(self, query: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-        """Exact top-k nearest entries: (distances [k], indices [k])."""
+    def _sharded_wm(self, mesh, axis: str):
+        """words_wm zero-padded to a device multiple on D and sharded
+        column-wise; returns (sharded_wm, true_D)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape[axis]
+        D = self.size
+        pad = (-D) % n
+        wm = self.words_wm
+        if pad:
+            wm = jnp.pad(wm, ((0, 0), (0, pad)))
+        return (
+            jax.device_put(wm, NamedSharding(mesh, P(None, axis))),
+            D,
+        )
+
+    def search(
+        self, query: jax.Array, k: int, mesh=None, axis: str = "data"
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Exact top-k nearest entries: (distances [k], indices [k]).
+
+        mesh: optional jax Mesh — the database shards column-wise over the
+        mesh (each device scans its slab, candidates merge with one
+        collective top-k; parallel.search.hdist_search_db_sharded).
+        Results are identical to the single-device scan."""
         from .ops import hamming
 
+        if mesh is not None:
+            from .parallel import search as psearch
+
+            wm, D = self._sharded_wm(mesh, axis)
+            return psearch.hdist_search_db_sharded(
+                query, wm, self.n_bases, min(k, D), mesh, axis, d_valid=D
+            )
         return hamming.topk_smallest(self.distances(query), k)
 
     def distances_batch(self, queries: jax.Array) -> jax.Array:
@@ -192,11 +222,19 @@ class PackedDB:
         )
 
     def search_batch(
-        self, queries: jax.Array, k: int
+        self, queries: jax.Array, k: int, mesh=None, axis: str = "data"
     ) -> Tuple[jax.Array, jax.Array]:
-        """Per-query exact top-k: (distances [Q, k], indices [Q, k])."""
+        """Per-query exact top-k: (distances [Q, k], indices [Q, k]).
+        mesh: optional — column-sharded distributed scan (see search)."""
         from .ops import hamming
 
+        if mesh is not None:
+            from .parallel import search as psearch
+
+            wm, D = self._sharded_wm(mesh, axis)
+            return psearch.hdist_search_batch_db_sharded(
+                queries, wm, self.n_bases, min(k, D), mesh, axis, d_valid=D
+            )
         return jax.vmap(lambda row: hamming.topk_smallest(row, k))(
             self.distances_batch(queries)
         )

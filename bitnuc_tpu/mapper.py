@@ -514,6 +514,8 @@ def map_reads(
     pad: int = 32,
     mismatch: int = 1,
     gap: int = 1,
+    mesh=None,
+    axis: str = "data",
 ) -> dict:
     """Map a PackedReads batch against a MinimizerIndex.
 
@@ -527,7 +529,20 @@ def map_reads(
 
     Unmapped rows carry support/cost from the attempt but should be
     ignored (ref coordinates are meaningless without seeds).
+    mesh: optional jax Mesh — reads shard over `axis` (index replicated);
+    the batch is zero-padded to a device multiple and results sliced back,
+    so any batch size works and output matches the single-device run.
     """
+    if mesh is not None:
+        from .parallel.mesh import pad_batch
+
+        B = int(reads.words.shape[0])
+        padded = pad_batch(reads, int(mesh.shape[axis]))
+        res = map_reads_sharded(
+            index, padded, mesh, axis, min_seeds=min_seeds,
+            bin_bits=bin_bits, pad=pad, mismatch=mismatch, gap=gap,
+        )
+        return {f: v[:B] for f, v in res.items()}
     support, use_rc, ref_start, ref_end, cost = _map_core(
         reads.words,
         reads.lengths,
@@ -755,6 +770,8 @@ def map_pairs(
     min_insert: int = 0,
     max_insert: int = 1000,
     min_seeds: int = 2,
+    mesh=None,
+    axis: str = "data",
     **kw,
 ) -> dict:
     """Map R1/R2 mates and annotate proper pairs (FR orientation within
@@ -766,6 +783,9 @@ def map_pairs(
     opposite strands, with the leftmost mate on '+', and the outer span
     (insert) inside [min_insert, max_insert]. Returns {"r1", "r2",
     "proper" [B] bool, "insert" [B] int32 — -1 for non-proper pairs}.
+    mesh: optional jax Mesh — the stacked mate batch maps through
+    map_reads_sharded (auto-padded to a device multiple); the pairing
+    logic is host-side metadata either way.
     """
     from .sequence import PackedReads
 
@@ -789,7 +809,9 @@ def map_pairs(
             [jnp.asarray(reads1.lengths), jnp.asarray(reads2.lengths)]
         ),
     )
-    both_res = map_reads(index, stacked, min_seeds=min_seeds, **kw)
+    both_res = map_reads(
+        index, stacked, min_seeds=min_seeds, mesh=mesh, axis=axis, **kw
+    )
     r1 = {f: v[:B] for f, v in both_res.items()}
     r2 = {f: v[B:] for f, v in both_res.items()}
     both = r1["mapped"] & r2["mapped"]

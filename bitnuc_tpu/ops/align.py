@@ -210,6 +210,212 @@ def fit_distance(
     )
 
 
+# ---------------------------------------------------------------------------
+# traceback: alignment operations + CIGAR
+# ---------------------------------------------------------------------------
+
+# op codes in traceback output (0 terminates a row's op list)
+OP_STOP, OP_EQ, OP_X, OP_INS, OP_DEL = 0, 1, 2, 3, 4
+_OP_CHARS = {OP_EQ: "=", OP_X: "X", OP_INS: "I", OP_DEL: "D"}
+
+
+def _wavefront_tb_codes(
+    a: jax.Array,
+    lens_a: jax.Array,
+    b: jax.Array,
+    lens_b: jax.Array,
+    mismatch,
+    gap,
+    ends_free_b: bool,
+    tie_late,
+):
+    """Distance wavefront that additionally RECORDS per-cell directions and
+    tracebacks on device.
+
+    The forward scan is _distance_wavefront with a uint8 direction plane
+    emitted per diagonal (diag-match/diag-mismatch/up/left, ties preferring
+    diag > up > left — mirrored by the test oracle); the traceback is a
+    second lax.scan of M+N steps whose only data-dependent memory access is
+    ONE take_along_axis row gather per step (gathers serialize on TPU, but
+    the traceback touches M+N cells per pair vs the forward pass's
+    (M+N)(N+1) — it is never the dominant cost).
+
+    Returns (cost [B], end_j [B], ops [B, M+N] uint8): ops in FORWARD
+    order (alignment start -> end), OP_STOP-padded at the tail;
+    OP_EQ/OP_X consume one base of each, OP_INS one of a (insertion to
+    the reference), OP_DEL one of b.
+    """
+    mismatch = jnp.asarray(mismatch, jnp.int32)
+    gap = jnp.asarray(gap, jnp.int32)
+    B, M = a.shape
+    N = b.shape[-1]
+    T = M + N
+    pos = jnp.arange(N + 1, dtype=jnp.int32)
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    m, n = lens_a[:, None], lens_b[:, None]
+
+    prev = jnp.where(pos == 0, 0, _BIG) * jnp.ones((B, 1), jnp.int32)
+    prev2 = jnp.full((B, N + 1), _BIG, jnp.int32)
+    ans0 = jnp.where((lens_a + lens_b) == 0, 0, _BIG)
+    fit0 = jnp.where(lens_a == 0, 0, _BIG)
+    endj0 = jnp.zeros((B,), jnp.int32)
+    late = (
+        jnp.zeros((B,), bool) if tie_late is None else jnp.asarray(tie_late, bool)
+    )
+
+    def step(carry, d):
+        prev, prev2, ans, fit, endj = carry
+        a_diag = jax.lax.dynamic_slice_in_dim(arp, N + 1 + M - d, N + 1, -1)
+        is_eq = a_diag == bsh
+        cand_diag = _shift1(prev2, _BIG) + jnp.where(is_eq, 0, mismatch)
+        cand_up = prev + gap  # D[i-1, j]
+        cand_left = _shift1(prev, _BIG) + gap  # D[i, j-1]
+        diag = jnp.minimum(jnp.minimum(cand_diag, cand_up), cand_left)
+        dirv = jnp.where(
+            diag == cand_diag,
+            jnp.where(is_eq, OP_EQ, OP_X),
+            jnp.where(diag == cand_up, OP_INS, OP_DEL),
+        )
+        # boundaries: D[d, 0] = d*gap (all-up); D[0, d] = d*gap or free
+        diag = jnp.where(pos == 0, d * gap, diag)
+        dirv = jnp.where(pos == 0, OP_INS, dirv)
+        row0_val = jnp.int32(0) if ends_free_b else d * gap
+        row0_dir = OP_STOP if ends_free_b else OP_DEL
+        diag = jnp.where(pos == d, row0_val, diag)
+        dirv = jnp.where(pos == d, row0_dir, dirv)
+        if ends_free_b:
+            jm = d - m
+            at = (pos == jm) & (jm >= 0) & (pos <= n)
+            v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+            better = (v < fit) | (late & (v == fit) & (v < _BIG))
+            fit = jnp.minimum(fit, v)
+            endj = jnp.where(better, jnp.squeeze(jm, -1), endj)
+        else:
+            at = (pos == n) & (d == (m + n))
+            v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+            ans = jnp.minimum(ans, v)
+        return (diag, prev, ans, fit, endj), dirv.astype(jnp.uint8)
+
+    (prev, prev2, ans, fit, endj), dirs = jax.lax.scan(
+        step,
+        (prev, prev2, ans0, fit0, endj0),
+        jnp.arange(1, T + 1, dtype=jnp.int32),
+    )
+    cost, end_j = (fit, endj) if ends_free_b else (ans, lens_b)
+
+    # -- traceback --------------------------------------------------------
+    flat = jnp.moveaxis(dirs, 0, 1).reshape(B, T * (N + 1))
+
+    def tb_step(carry, _):
+        i, j = carry
+        active = (i > 0) if ends_free_b else ((i > 0) | (j > 0))
+        d = i + j
+        idx = jnp.clip((d - 1) * (N + 1) + j, 0, T * (N + 1) - 1)
+        op = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        op = jnp.where(active, op, OP_STOP)
+        di = ((op == OP_EQ) | (op == OP_X) | (op == OP_INS)).astype(jnp.int32)
+        dj = ((op == OP_EQ) | (op == OP_X) | (op == OP_DEL)).astype(jnp.int32)
+        return (i - di, j - dj), op.astype(jnp.uint8)
+
+    (_, _), ops_rev = jax.lax.scan(
+        tb_step, (lens_a, end_j), None, length=T
+    )
+    ops_rev = jnp.transpose(ops_rev)  # [B, T], end -> start order
+    nsteps = jnp.sum((ops_rev != OP_STOP).astype(jnp.int32), axis=1)
+    tidx = nsteps[:, None] - 1 - jnp.arange(T, dtype=jnp.int32)[None, :]
+    ops_fwd = jnp.where(
+        tidx >= 0,
+        jnp.take_along_axis(ops_rev, jnp.clip(tidx, 0, T - 1), axis=1),
+        jnp.uint8(OP_STOP),
+    )
+    return cost, end_j, ops_fwd
+
+
+@partial(jax.jit, static_argnames=("ends_free_b",))
+def align_ops(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+    ends_free_b: bool = False,
+    tie_late=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Min-cost alignment WITH per-base operations (the CIGAR source).
+
+    Same cost model and modes as _distance_wavefront (global when
+    ends_free_b=False, fitting otherwise; identical tie rules for end_j).
+    Returns (cost [B], end_j [B], ops [B, M+N] uint8): forward-order op
+    codes (OP_EQ/OP_X/OP_INS/OP_DEL, OP_STOP-padded); within equal-cost
+    alignments ties prefer diagonal over a-gap over b-gap at each cell.
+    Compress with `cigars` / `cigar_string` on host.
+    """
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    a = _codes(words_a, lens_a, _PAD_A)
+    b = _codes(words_b, lens_b, _PAD_B)
+    return _wavefront_tb_codes(
+        a, lens_a, b, lens_b, mismatch, gap, ends_free_b, tie_late
+    )
+
+
+@partial(jax.jit, static_argnames=("ends_free_b",))
+def align_ops_codes(
+    codes_a: jax.Array,
+    lens_a: jax.Array,
+    codes_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+    ends_free_b: bool = False,
+    tie_late=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """align_ops over raw int32 code arrays (mapper windows are gathered
+    as codes, not packed words). Positions past each length are re-padded
+    with the never-equal sentinels, so callers may pass garbage there."""
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    pa = jnp.arange(codes_a.shape[-1], dtype=jnp.int32)
+    pb = jnp.arange(codes_b.shape[-1], dtype=jnp.int32)
+    a = jnp.where(pa < lens_a[:, None], codes_a.astype(jnp.int32), _PAD_A)
+    b = jnp.where(pb < lens_b[:, None], codes_b.astype(jnp.int32), _PAD_B)
+    return _wavefront_tb_codes(
+        a, lens_a, b, lens_b, mismatch, gap, ends_free_b, tie_late
+    )
+
+
+def cigar_string(ops_row, eqx: bool = True) -> str:
+    """Gap-compressed CIGAR of one ops row (host). eqx=True emits =/X
+    (minimap2 --eqx style); False merges them into M."""
+    out = []
+    prev_c, run = None, 0
+    for op in np.asarray(ops_row):
+        if op == OP_STOP:
+            break
+        c = _OP_CHARS[int(op)]
+        if not eqx and c in "=X":
+            c = "M"
+        if c == prev_c:
+            run += 1
+        else:
+            if prev_c is not None:
+                out.append(f"{run}{prev_c}")
+            prev_c, run = c, 1
+    if prev_c is not None:
+        out.append(f"{run}{prev_c}")
+    return "".join(out)
+
+
+def cigars(ops, eqx: bool = True) -> list:
+    """cigar_string over a [B, T] ops batch."""
+    ops = np.asarray(ops)
+    return [cigar_string(ops[i], eqx) for i in range(ops.shape[0])]
+
+
 @jax.jit
 def sw_score(
     words_a: jax.Array,

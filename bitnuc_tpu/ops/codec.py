@@ -38,6 +38,16 @@ def _pad_minor(x: jax.Array, target: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+def _tree_fold(parts, op):
+    """Balanced binary fold — shallow dependency chains on the VPU."""
+    while len(parts) > 1:
+        parts = [
+            op(parts[i], parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
+
+
 @partial(jax.jit, static_argnames=("n_words",))
 def encode_reads_xla(
     ascii_u8: jax.Array,
@@ -56,27 +66,43 @@ def encode_reads_xla(
     Returns:
       words: [..., n_words] uint32, bit-exact reference layout.
       first_bad: [...] int32 index of the first invalid base, or -1.
+
+    Formulation: 16 strided byte-lane slices a[..., j::16], each SWAR-coded
+    and OR-folded into its 2-bit position — measured 6% faster than the
+    reshape [.., W, 16] + shift/sum pack at 512 MiB calls on v5e
+    (benchmarks/probe_encode10: 24.0 vs 22.7 Gbases/s at 80 GB/s
+    calibration; the reshape+reduce lowering, not the byte traffic, was the
+    gap to the measured floor). first_bad via ONE single-value max reduce
+    per lane-tree: argmax/any are variadic reduces that serialize their
+    fused operand chain on TPU; encoding the leftmost invalid position as
+    max(Lp - pos) keeps validation ~free (probe_encode8; optimization_
+    barrier variants all slower — docs/DESIGN.md §5).
     """
     L = ascii_u8.shape[-1]
     W = bitops.n_words_for(L) if n_words is None else int(n_words)
     assert W % 2 == 0, "word count must pair into u64s"
     lengths = lengths.astype(jnp.int32)
+    Lp = W * bitops.BASES_PER_WORD
+    a = _pad_minor(ascii_u8, Lp)
+    lens = lengths[..., None]
 
-    pos = jnp.arange(L, dtype=jnp.int32)
-    in_range = pos < lengths[..., None]
-
-    invalid = jnp.logical_and(~bitops.ascii_is_valid(ascii_u8), in_range)
-    # first_bad via ONE single-value max reduce: argmax/any are variadic
-    # reduces that serialize their fused operand chain on TPU. Encoding the
-    # leftmost invalid position as max(L - pos) makes validation ~free
-    # (probe_encode8: 21.9 vs 22.2 Gbases/s unvalidated vs 20.9 any+argmax;
-    # optimization_barrier variants all slower — see docs/DESIGN.md §5).
-    enc = jnp.max(jnp.where(invalid, L - pos, 0), axis=-1)
-    first_bad = jnp.where(enc > 0, L - enc, -1).astype(jnp.int32)
-
-    codes = jnp.where(in_range, bitops.ascii_to_code(ascii_u8), 0)
-    codes = _pad_minor(codes, W * bitops.BASES_PER_WORD)
-    return bitops.pack_codes(codes), first_bad
+    shifted = []
+    bad_enc = []
+    for j in range(bitops.BASES_PER_WORD):
+        s = a[..., j::16]  # [..., W] byte lane j of every word
+        pos = jnp.arange(W, dtype=jnp.int32) * 16 + j
+        in_range = pos < lens
+        shifted.append(bitops.ascii_to_code(s) << jnp.uint32(2 * j))
+        invalid = ~bitops.ascii_is_valid(s) & in_range
+        bad_enc.append(jnp.where(invalid, Lp - pos, 0))
+    # out-of-range garbage codes cleared by ONE final word mask instead of
+    # 16 per-lane wheres (probe_encode11: 25.0 vs 24.0 Gbases/s same-run)
+    words = _tree_fold(shifted, jnp.bitwise_or) & bitops.word_valid_mask(
+        W, lengths
+    )
+    enc = jnp.max(_tree_fold(bad_enc, jnp.maximum), axis=-1)
+    first_bad = jnp.where(enc > 0, Lp - enc, -1).astype(jnp.int32)
+    return words, first_bad
 
 
 @partial(jax.jit, static_argnames=("max_len",))

@@ -20,7 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import kmer as kmer_ops
 from ..utils import bitops
@@ -37,6 +37,7 @@ def count_kmers_sharded(
     axis: str = "data",
     mode: str = "auto",
     canonical: bool = False,
+    base_valid=None,
 ) -> jax.Array:
     """Dense k-mer histogram over a batch sharded on `axis`.
 
@@ -44,27 +45,36 @@ def count_kmers_sharded(
     Returns a replicated [4^k] int32 histogram == the single-device result.
     mode: 'auto' (MXU histogram for k <= MAX_MXU_K, scatter-dense above),
     'mxu', or 'dense'; k <= MAX_DENSE_K (dense merge via one psum — use
-    count_kmers_sorted_sharded beyond).
+    count_kmers_sorted_sharded beyond). base_valid: optional [B, L] bool
+    (sharded alongside the batch) dropping windows that touch an
+    N/ambiguous base — the distributed on_invalid='skip' path.
     """
     assert k <= kmer_ops.MAX_DENSE_K
     if mode == "auto":
         mode = "mxu" if k <= kmer_ops.MAX_MXU_K else "dense"
 
-    def local(words_loc, lengths_loc):
+    def local(words_loc, lengths_loc, *bv_loc):
         hist = kmer_ops.count_kmers_reads(
-            words_loc, lengths_loc, k, mode=mode, canonical=canonical
+            words_loc, lengths_loc, k, mode=mode, canonical=canonical,
+            base_valid=bv_loc[0] if bv_loc else None,
         )
         return jax.lax.psum(hist, axis)
+
+    in_specs = [P(axis, None), P(axis)]
+    args = [words, lengths]
+    if base_valid is not None:
+        in_specs.append(P(axis, None))
+        args.append(base_valid)
 
     # check_vma=False: the Pallas histogram kernel's out_shape carries no
     # varying-axis metadata, which trips the static replication check
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=P(),
         check_vma=False,
-    )(words, lengths)
+    )(*args)
 
 
 def _allgather_merge_sorted(lo, hi, counts, axis):
@@ -117,6 +127,149 @@ def count_kmers_sorted_sharded(
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )(words, lengths)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "axis", "canonical"))
+def raw_window_keys_sharded(
+    words: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    canonical: bool = False,
+    base_valid=None,
+):
+    """Per-device raw window keys of a sharded batch, kept SHARDED on `axis`.
+
+    The streaming-accumulator feed for distributed large-k counting
+    (pipeline.count_fastq(mesh=...) at k > MAX_DENSE_K): each device
+    extracts its own slab's keys with zero communication; the LSM merge
+    (merge_runs_sharded) and the single end-of-job gather
+    (gather_runs_sharded) do the rest. Returns (lo, hi, weight) flat
+    arrays sharded on `axis`; weight 0 marks invalid/padding slots.
+    base_valid: optional [B, L] bool, sharded alongside — drops windows
+    touching N/ambiguous bases (distributed on_invalid='skip')."""
+
+    def local(words_loc, lengths_loc, *bv_loc):
+        return kmer_ops.raw_window_keys(
+            words_loc, lengths_loc, k, canonical,
+            bv_loc[0] if bv_loc else None,
+        )
+
+    in_specs = [P(axis, None), P(axis)]
+    args = [words, lengths]
+    if base_valid is not None:
+        in_specs.append(P(axis, None))
+        args.append(base_valid)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )(*args)
+
+
+def sparse_state_sharded(cap: int, mesh: Mesh, axis: str = "data"):
+    """Empty per-device run-list accumulator state: 3 arrays of global
+    length n_devices * cap sharded on `axis` (every device owns `cap`
+    sentinel rows). The distributed twin of pipeline._SparseAcc's state."""
+    import jax.numpy as jnp
+
+    n = mesh.shape[axis] * int(cap)
+    shd = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit, out_shardings=(shd, shd, shd))
+    def mk():
+        return (
+            jnp.full(n, 0xFFFFFFFF, jnp.uint32),
+            jnp.full(n, 0xFFFFFFFF, jnp.uint32),
+            jnp.zeros(n, jnp.int32),
+        )
+
+    return mk()
+
+
+@partial(jax.jit, static_argnames=("cap", "mesh", "axis"))
+def merge_runs_sharded(parts, cap: int, mesh: Mesh, axis: str = "data"):
+    """One LSM merge step, independently per device (NO communication):
+    each device concatenates its local slices of every (lo, hi, count)
+    part, merges them with the scan-free weighted-run scheme
+    (ops.kmer.merge_sorted_runs), compacts live runs to its first `cap`
+    rows, and reports its unique-run count. Returns (new_state 3-tuple
+    sharded on `axis`, replicated max per-device n_unique — the capacity-
+    doubling signal). Mirrors pipeline._merge_runs_device per shard."""
+    import jax.numpy as jnp
+
+    def local(*flat):
+        ps = [flat[i : i + 3] for i in range(0, len(flat), 3)]
+        lo = jnp.concatenate([p[0] for p in ps])
+        hi = jnp.concatenate([p[1] for p in ps])
+        ct = jnp.concatenate([p[2].astype(jnp.int32) for p in ps])
+        lo_u, hi_u, tot, n_u = kmer_ops.merge_sorted_runs(lo, hi, ct)
+        sent = jnp.uint32(0xFFFFFFFF)
+        dead = tot == 0
+        # compaction sort with NEGATED totals as the third key: live runs
+        # order ascending by key; a genuine all-ones key (k=32 poly-T)
+        # sorts ahead of dead sentinel rows (see pipeline._merge_runs_device)
+        hi_c, lo_c, neg_c = jax.lax.sort(
+            (jnp.where(dead, sent, hi_u), jnp.where(dead, sent, lo_u), -tot),
+            num_keys=3,
+        )
+        n_max = jax.lax.pmax(n_u, axis)
+        return lo_c[:cap], hi_c[:cap], -neg_c[:cap], n_max
+
+    flat = [a for p in parts for a in p]
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in flat),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )(*flat)
+
+
+@partial(jax.jit, static_argnames=("new_cap", "mesh", "axis"))
+def grow_state_sharded(state, new_cap: int, mesh: Mesh, axis: str = "data"):
+    """Double a sharded accumulator's PER-DEVICE capacity: each device pads
+    its own rows with sentinels (padding the global array would hand all
+    the new space to the last device)."""
+    import jax.numpy as jnp
+
+    def local(lo, hi, ct):
+        pad = new_cap - lo.shape[0]
+        return (
+            jnp.concatenate([lo, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]),
+            jnp.concatenate([hi, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]),
+            jnp.concatenate([ct, jnp.zeros(pad, jnp.int32)]),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 3,
+        out_specs=(P(axis),) * 3,
+        check_vma=False,
+    )(*state)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def gather_runs_sharded(lo, hi, counts, mesh: Mesh, axis: str = "data"):
+    """Final fold of a sharded sparse accumulator: ONE all_gather + sort +
+    weighted run aggregation merges every device's run list into the
+    replicated global (lo, hi, counts, n_unique) run-start list — the
+    only communication the distributed large-k streaming path ever does."""
+
+    def local(lo_l, hi_l, ct_l):
+        return _allgather_merge_sorted(lo_l, hi_l, ct_l, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 3,
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(lo, hi, counts)
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "axis"))

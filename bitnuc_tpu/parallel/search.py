@@ -110,7 +110,7 @@ def hdist_search_batch_sharded(
     return _merge_candidates_batch(cand_d, cand_i, mesh, topk)
 
 
-@partial(jax.jit, static_argnames=("n_bases", "topk", "mesh", "axis"))
+@partial(jax.jit, static_argnames=("n_bases", "topk", "mesh", "axis", "d_valid"))
 def hdist_search_batch_db_sharded(
     queries: jax.Array,
     db_words_wm: jax.Array,
@@ -118,25 +118,32 @@ def hdist_search_batch_db_sharded(
     topk: int,
     mesh: Mesh,
     axis: str = "data",
+    d_valid=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-query top-k over a sharded WORD-MAJOR database [W, D] (PackedDB
     layout) — the scan-optimal twin of hdist_search_batch_sharded. On TPU
     each device runs the batched Pallas kernel on its slab: the db tile is
-    read from HBM once per TILE_Q queries instead of once per query."""
+    read from HBM once per TILE_Q queries instead of once per query.
+    d_valid: with a database zero-padded to a device multiple, the count of
+    REAL columns — padding columns rank at distance n_bases + 1 so they can
+    never displace genuine entries from the top-k."""
     from .. import config
     from ..ops.pallas import hamming as ph
 
     def local(qs, db_loc_wm):
         D_loc = db_loc_wm.shape[1]
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
         if config.use_pallas():
             d = ph.hdist_scan_batch_pallas(
                 qs, db_loc_wm, n_bases, interpret=config.pallas_interpret()
             )
         else:
             d = hamming.hdist_many_to_many(qs, jnp.transpose(db_loc_wm), n_bases)
+        if d_valid is not None:
+            gidx = me * D_loc + jnp.arange(D_loc, dtype=jnp.int32)
+            d = jnp.where(gidx[None, :] < d_valid, d, n_bases + 1)
         k_loc = min(topk, D_loc)
         dd, idx = jax.vmap(lambda row: hamming.topk_smallest(row, k_loc))(d)
-        me = jax.lax.axis_index(axis).astype(jnp.int32)
         return dd, idx + me * D_loc
 
     # check_vma=False: the Pallas kernel's out_shape carries no varying-axis
@@ -173,7 +180,7 @@ def hdist_many_to_many_sharded(
     )(queries, db_words)
 
 
-@partial(jax.jit, static_argnames=("n_bases", "topk", "mesh", "axis"))
+@partial(jax.jit, static_argnames=("n_bases", "topk", "mesh", "axis", "d_valid"))
 def hdist_search_db_sharded(
     query: jax.Array,
     db_words_wm: jax.Array,
@@ -181,24 +188,30 @@ def hdist_search_db_sharded(
     topk: int,
     mesh: Mesh,
     axis: str = "data",
+    d_valid=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sharded top-k search over a WORD-MAJOR database [W, D] (PackedDB
     layout, D divisible by the axis size) — the scan-optimal twin of
     hdist_search_sharded. On TPU each device runs the fused Pallas scan
-    kernel on its slab; the candidate merge is identical."""
+    kernel on its slab; the candidate merge is identical. d_valid: count
+    of real columns when the database was zero-padded to a device multiple
+    (padding ranks at distance n_bases + 1)."""
     from .. import config
     from ..ops.pallas import hamming as ph
 
     def local(q, db_loc_wm):
         D_loc = db_loc_wm.shape[1]
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
         if config.use_pallas():
             d = ph.hdist_scan_pallas(
                 q, db_loc_wm, n_bases, interpret=config.pallas_interpret()
             )
         else:
             d = hamming.hdist_one_to_many(q, jnp.transpose(db_loc_wm), n_bases)
+        if d_valid is not None:
+            gidx = me * D_loc + jnp.arange(D_loc, dtype=jnp.int32)
+            d = jnp.where(gidx < d_valid, d, n_bases + 1)
         dd, idx = hamming.topk_smallest(d, min(topk, D_loc))
-        me = jax.lax.axis_index(axis).astype(jnp.int32)
         return dd, idx + me * D_loc
 
     # check_vma=False: the Pallas scan kernel's out_shape carries no

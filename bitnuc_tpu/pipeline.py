@@ -175,6 +175,109 @@ class _SparseAcc:
         }
 
 
+class _ShardedSparseAcc:
+    """Distributed twin of _SparseAcc: every device owns a `cap`-row run
+    list fed by its own batch shards. Batch ingestion and LSM merges are
+    per-device with ZERO communication (parallel.kmer.merge_runs_sharded);
+    the single all_gather + re-segment merge happens once, at fold
+    (gather_runs_sharded) — the design that keeps the k=21 streaming
+    headline workload off the interconnect until the end of the job."""
+
+    def __init__(self, cap, mesh, axis: str = "data", state=None):
+        from .parallel import kmer as pkmer
+
+        self._pk = pkmer
+        self.cap = int(cap)
+        self.mesh, self.axis = mesh, axis
+        self.n_dev = mesh.shape[axis]
+        self.state = (
+            state
+            if state is not None
+            else pkmer.sparse_state_sharded(self.cap, mesh, axis)
+        )
+        self.pending = []
+        self.pending_rows = 0  # per-device rows
+
+    @classmethod
+    def from_host_runs(cls, lo, hi, counts, mesh, axis: str = "data"):
+        """Rebuild from host run-list arrays (checkpoint resume). Rows are
+        independently meaningful (key, count) pairs, so any even
+        redistribution across devices is valid — pad to a device multiple
+        with dead sentinel rows and split evenly."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape[axis]
+        n = lo.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            counts = np.concatenate([counts, np.zeros(pad, np.int32)])
+        shd = NamedSharding(mesh, P(axis))
+        state = tuple(
+            jax.device_put(jnp.asarray(a), shd) for a in (lo, hi, counts)
+        )
+        return cls((n + pad) // n_dev, mesh, axis, state=state)
+
+    def add(self, lo, hi, ct):
+        self.pending.append((lo, hi, ct))
+        self.pending_rows += int(lo.shape[0]) // self.n_dev
+        if self.pending_rows >= self.cap:
+            self.flush()
+
+    def flush(self):
+        if not self.pending:
+            return
+        while True:
+            lo, hi, ct, n_max = self._pk.merge_runs_sharded(
+                (self.state, *self.pending), self.cap, self.mesh, self.axis
+            )
+            if int(n_max) <= int(0.95 * self.cap):
+                self.state = (lo, hi, ct)
+                self.pending = []
+                self.pending_rows = 0
+                return
+            self.cap *= 2  # rare: re-merge at doubled capacity (recompiles)
+            self.state = self._pk.grow_state_sharded(
+                self.state, self.cap, self.mesh, self.axis
+            )
+
+    def to_dict(self):
+        self.flush()
+        lo, hi, ct, _ = self._pk.gather_runs_sharded(
+            *self.state, self.mesh, self.axis
+        )
+        glo, ghi, gct = kmer_ops.compact_runs(lo, hi, ct)
+        return {
+            (int(ghi[i]) << 32) | int(glo[i]): int(gct[i])
+            for i in range(len(gct))
+        }
+
+
+def _shard_batch_with_valid(reads, base_valid, mesh, axis):
+    """shard_reads plus a consistently padded/sharded base_valid mask."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel import mesh as pmesh
+
+    B = int(reads.words.shape[0])
+    sharded = pmesh.shard_reads(reads, mesh, axis)
+    bvs = None
+    if base_valid is not None:
+        bv = np.asarray(base_valid)
+        Bp = int(sharded.words.shape[0])
+        if Bp > B:
+            bv = np.pad(bv, ((0, Bp - B), (0, 0)))
+        bvs = jax.device_put(
+            jnp.asarray(bv), NamedSharding(mesh, P(axis, None))
+        )
+    return sharded, bvs
+
+
 def count_fasta(
     path,
     k: int,
@@ -182,6 +285,8 @@ def count_fasta(
     on_invalid: str = "raise",
     seg_bases: int = 1 << 24,
     sparse_capacity: int = 1 << 20,
+    mesh=None,
+    axis: str = "data",
 ):
     """Count k-mers over every contig of a FASTA file (path, .gz, or bytes).
 
@@ -196,6 +301,11 @@ def count_fasta(
     k <= MAX_DENSE_K, else {packed_kmer: count}. on_invalid="skip" drops
     windows touching N/ambiguous bases (the realistic genome default —
     assemblies are full of Ns; "raise" keeps reference semantics).
+    mesh: optional jax Mesh — segments are batched in groups of the mesh
+    axis size and counted sharded (dense: one psum per group; large k:
+    per-device run lists, one all_gather merge at the end). Segments are
+    independent by construction (the (k-1)-base overlap), so grouping them
+    onto devices is exact.
     """
     import jax.numpy as jnp
 
@@ -214,11 +324,17 @@ def count_fasta(
     seg = int(seg_bases)
     if seg < 16:
         raise ValueError(f"seg_bases must be >= 16, got {seg}")
+    group = 1 if mesh is None else int(mesh.shape[axis])
 
     _, seqs = bnio._split_records_fasta(bnio._read_bytes(path))
 
     dacc = _DenseAcc(k) if dense else None
-    acc = None if dense else _SparseAcc(sparse_capacity)
+    if dense:
+        acc = None
+    elif mesh is None:
+        acc = _SparseAcc(sparse_capacity)
+    else:
+        acc = _ShardedSparseAcc(sparse_capacity, mesh, axis)
     total_windows = 0
     # fixed chunk width -> ONE compilation per file (distinct shapes would
     # recompile per contig tail; the remote compile service charges minutes
@@ -229,6 +345,70 @@ def count_fasta(
         return dacc.result() if dense else acc.to_dict()
     seg = min(seg, longest)
     width = seg + k - 1
+
+    pend_bufs, pend_lens = [], []
+
+    def dispatch_group():
+        nonlocal total_windows
+        if not pend_bufs:
+            return
+        # pad the group with zero-length rows so shapes stay fixed
+        while len(pend_bufs) < group:
+            pend_bufs.append(np.zeros(width, np.uint8))
+            pend_lens.append(0)
+        block = np.stack(pend_bufs)
+        lengths = np.asarray(pend_lens, np.int32)
+        reads = PackedReads.from_ascii(
+            block, lengths=lengths, validate=not skip
+        )
+        bv = None
+        if skip:
+            # host LUT (io._VALID_BASE): no second ASCII upload and no
+            # extra compiled program for the validity mask
+            bv = bnio._VALID_BASE[block] & (
+                np.arange(width)[None, :] < lengths[:, None]
+            )
+        n_win = int(lengths.sum())
+        total_windows += n_win
+        if dense:
+            if mesh is not None:
+                from .parallel import kmer as pkmer
+
+                sharded, bvs = _shard_batch_with_valid(reads, bv, mesh, axis)
+                h = pkmer.count_kmers_sharded(
+                    sharded.words, sharded.lengths, k, mesh, axis,
+                    canonical=canonical, base_valid=bvs,
+                )
+            else:
+                h = kmer_ops.count_kmers_reads(
+                    reads.words, reads.lengths, k, canonical=canonical,
+                    base_valid=bv,
+                )
+            dacc.add(h, n_win)
+        else:
+            if total_windows > _SPARSE_MAX_WINDOWS:
+                raise OverflowError(
+                    "sparse counts are int32-bounded at "
+                    f"{_SPARSE_MAX_WINDOWS} windows per job"
+                )
+            if mesh is not None:
+                from .parallel import kmer as pkmer
+
+                sharded, bvs = _shard_batch_with_valid(reads, bv, mesh, axis)
+                acc.add(
+                    *pkmer.raw_window_keys_sharded(
+                        sharded.words, sharded.lengths, k, mesh, axis,
+                        canonical, bvs,
+                    )
+                )
+            else:
+                acc.add(
+                    *kmer_ops.raw_window_keys(
+                        reads.words, reads.lengths, k, canonical, bv
+                    )
+                )
+        pend_bufs.clear()
+        pend_lens.clear()
 
     for contig in seqs:
         n = len(contig)
@@ -249,35 +429,11 @@ def count_fasta(
             # preserved — the count_fasta flake)
             buf = np.zeros(width, np.uint8)
             buf[:L] = chunk
-            lengths = np.array([L], np.int32)
-            reads = PackedReads.from_ascii(
-                buf[None, :], lengths=lengths, validate=not skip,
-            )
-            bv = None
-            if skip:
-                # host LUT (io._VALID_BASE): no second ASCII upload and no
-                # extra compiled program for the validity mask
-                bv = (bnio._VALID_BASE[buf] & (np.arange(width) < L))[None, :]
-            total_windows += L
-            if dense:
-                dacc.add(
-                    kmer_ops.count_kmers_reads(
-                        reads.words, reads.lengths, k, canonical=canonical,
-                        base_valid=bv,
-                    ),
-                    L,
-                )
-            else:
-                if total_windows > _SPARSE_MAX_WINDOWS:
-                    raise OverflowError(
-                        "sparse counts are int32-bounded at "
-                        f"{_SPARSE_MAX_WINDOWS} windows per job"
-                    )
-                acc.add(
-                    *kmer_ops.raw_window_keys(
-                        reads.words, reads.lengths, k, canonical, bv
-                    )
-                )
+            pend_bufs.append(buf)
+            pend_lens.append(L)
+            if len(pend_bufs) == group:
+                dispatch_group()
+    dispatch_group()
 
     if dense:
         return dacc.result()
@@ -312,8 +468,11 @@ def count_fastq(
     byte offset — O(1) file work — after verifying the stored fingerprint
     (file identity, k, batch_size, max_len, canonical, on_invalid); any
     mismatch raises instead of silently mixing counts.
-    mesh: optional jax Mesh — dense-mode batches are sharded on `axis` and
-    merged with one psum per batch (k <= MAX_DENSE_K only).
+    mesh: optional jax Mesh — batches are sharded on `axis`; dense k merges
+    with one psum per batch, larger k accumulates per-device run lists
+    (zero per-batch communication) merged with ONE all_gather at the end
+    (_ShardedSparseAcc) — the headline k=21 workload end-to-end
+    distributed. Combines with on_invalid='skip'.
     on_invalid: "raise" (reference InvalidBase semantics) or "skip" — drop
     every window containing an N/ambiguous base.
     on_progress: optional callable receiving a metrics dict every
@@ -331,13 +490,9 @@ def count_fastq(
 
         raise InvalidLength(k)
     dense = k <= kmer_ops.MAX_DENSE_K
-    if mesh is not None and not dense:
-        raise ValueError("mesh counting supports dense k <= MAX_DENSE_K")
     if on_invalid not in ("raise", "skip"):
         raise ValueError(f"on_invalid must be 'raise' or 'skip', got {on_invalid!r}")
     skip = on_invalid == "skip"
-    if skip and mesh is not None:
-        raise ValueError("on_invalid='skip' is not supported with a mesh yet")
 
     params = {
         "k": k,
@@ -377,6 +532,12 @@ def count_fastq(
             resumed_windows = int(z["total_windows"])
             if dense:
                 host_hist = z["hist"].astype(np.int64)
+            elif mesh is not None:
+                # rows are independent (key, count) pairs — a checkpoint
+                # written at any mesh size (or none) resumes at any other
+                acc = _ShardedSparseAcc.from_host_runs(
+                    z["lo"], z["hi"], z["counts"], mesh, axis
+                )
             else:
                 acc = _SparseAcc(
                     int(z["lo"].shape[0]),
@@ -410,7 +571,11 @@ def count_fastq(
 
     dacc = _DenseAcc(k, host_hist) if dense else None
     if not dense and acc is None:
-        acc = _SparseAcc(cap)
+        acc = (
+            _SparseAcc(cap)
+            if mesh is None
+            else _ShardedSparseAcc(cap, mesh, axis)
+        )
 
     # -- stream ---------------------------------------------------------------
     n_batches = start_batches
@@ -433,21 +598,23 @@ def count_fastq(
     ):
         if skip:
             batch, base_valid, offset = item
-            base_valid = jnp.asarray(base_valid)
+            if mesh is None:
+                base_valid = jnp.asarray(base_valid)
         else:
             batch, offset = item
             base_valid = None
         batch_bases = int(np.asarray(batch.lengths).sum())
         batch_windows = batch_bases  # safe upper bound for fold/overflow math
         total_windows += batch_windows
+        if mesh is not None:
+            from .parallel import kmer as pkmer
+
+            sharded, bvs = _shard_batch_with_valid(batch, base_valid, mesh, axis)
         if dense:
             if mesh is not None:
-                from .parallel import kmer as pkmer, mesh as pmesh
-
-                sharded = pmesh.shard_reads(batch, mesh, axis)
                 h = pkmer.count_kmers_sharded(
                     sharded.words, sharded.lengths, k, mesh, axis,
-                    canonical=canonical,
+                    canonical=canonical, base_valid=bvs,
                 )
             else:
                 h = kmer_ops.count_kmers_reads(
@@ -462,11 +629,19 @@ def count_fastq(
                     f"{_SPARSE_MAX_WINDOWS} windows per job; shard the input "
                     "across jobs/hosts and merge the run lists"
                 )
-            acc.add(
-                *kmer_ops.raw_window_keys(
-                    batch.words, batch.lengths, k, canonical, base_valid
+            if mesh is not None:
+                acc.add(
+                    *pkmer.raw_window_keys_sharded(
+                        sharded.words, sharded.lengths, k, mesh, axis,
+                        canonical, bvs,
+                    )
                 )
-            )
+            else:
+                acc.add(
+                    *kmer_ops.raw_window_keys(
+                        batch.words, batch.lengths, k, canonical, base_valid
+                    )
+                )
         n_batches += 1
         n_reads += len(batch)
         n_bases += batch_bases

@@ -522,3 +522,60 @@ def test_cli_assemble(tmp_path, capsys, rng):
     text = capsys.readouterr().out
     body = "".join(l for l in text.splitlines() if not l.startswith(">"))
     assert body.encode() == genome
+
+
+# ---------------------------------------------------------------------------
+# --devices N: mesh-sharded CLI paths must print byte-identical output
+# ---------------------------------------------------------------------------
+
+
+def _cli_out(capsys, argv):
+    assert cli.main(argv) == 0
+    return capsys.readouterr().out
+
+
+@pytest.mark.parametrize("k", [5, 21])
+def test_cli_count_devices_equal(tmp_path, capsys, rng, k):
+    seqs = []
+    for n in rng.integers(40, 90, 18):
+        s = bytearray(random_seq(rng, int(n)).upper())
+        s[rng.integers(len(s))] = ord("N")
+        seqs.append(bytes(s))
+    p = _write_fastq(tmp_path / "dev.fq", seqs)
+    base = ["count", p, "-k", str(k), "--skip-invalid", "--batch-size", "8"]
+    one = _cli_out(capsys, base)
+    eight = _cli_out(capsys, base + ["--devices", "8"])
+    assert one == eight and one.strip()
+
+
+def test_cli_count_fasta_devices_equal(tmp_path, capsys, rng):
+    contigs = [random_seq(rng, n).upper() for n in (500, 90, 33)]
+    p = _write_fasta(tmp_path / "dev.fa", contigs)
+    base = ["count", p, "-k", "21"]
+    one = _cli_out(capsys, base)
+    eight = _cli_out(capsys, base + ["--devices", "8"])
+    assert one == eight and one.strip()
+
+
+def test_cli_search_devices_equal(tmp_path, capsys, rng):
+    # 20 entries: NOT a multiple of 8 — exercises the d_valid padding mask
+    seqs = [random_seq(rng, 24).upper() for _ in range(20)]
+    dbp = _write_fastq(tmp_path / "devdb.fq", seqs)
+    q = seqs[7].decode()
+    base = ["search", dbp, q, "-n", "4", "--n-bases", "24"]
+    one = _cli_out(capsys, base)
+    eight = _cli_out(capsys, base + ["--devices", "8"])
+    assert one == eight
+    assert int(one.splitlines()[0].split("\t")[2]) == 7
+
+
+def test_cli_map_devices_equal(tmp_path, capsys, rng):
+    ref = random_seq(rng, 3000).upper()
+    tp = _write_fasta(tmp_path / "devref.fa", [ref])
+    # 13 reads: NOT a multiple of 8 — exercises the pad/slice-back path
+    reads = [ref[37 * i + 11 : 37 * i + 11 + 100] for i in range(13)]
+    qp = _write_fastq(tmp_path / "devreads.fq", reads)
+    base = ["map", tp, qp, "-k", "13", "-w", "8"]
+    one = _cli_out(capsys, base)
+    eight = _cli_out(capsys, base + ["--devices", "8"])
+    assert one == eight and len(one.strip().splitlines()) == 13

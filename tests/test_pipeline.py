@@ -265,3 +265,112 @@ def test_sparse_acc_deferred_merge_equals_eager(rng):
     assert small.to_dict() == expect
     assert big.to_dict() == expect
     assert big.pending == []
+
+
+def _mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.make_mesh((8,), ("data",))
+
+
+def test_count_fastq_mesh_sparse_k21(fastq):
+    """Distributed large-k streaming: per-device run lists, one all_gather
+    merge at fold — must equal the dict oracle exactly."""
+    p, seqs = fastq
+    mesh = _mesh8()
+    got = pipeline.count_fastq(p, 21, batch_size=16, mesh=mesh,
+                               sparse_capacity=4096)
+    assert got == _expect(seqs, 21)
+
+
+def test_count_fastq_mesh_sparse_capacity_growth(fastq):
+    p, seqs = fastq
+    mesh = _mesh8()
+    got = pipeline.count_fastq(p, 17, batch_size=16, mesh=mesh,
+                               sparse_capacity=64)
+    assert got == _expect(seqs, 17)
+
+
+def _n_fastq(tmp_path, rng, n_reads=24):
+    seqs = []
+    for n in rng.integers(40, 90, n_reads):
+        s = bytearray(random_seq(rng, int(n)).upper())
+        for _ in range(3):
+            s[rng.integers(len(s))] = ord("N")
+        seqs.append(bytes(s))
+    p = tmp_path / "ns_mesh.fq"
+    with open(p, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b"@n%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    return p, seqs
+
+
+def _skip_expect(seqs, k):
+    expect = {}
+    for s in seqs:
+        for q in range(len(s) - k + 1):
+            win = s[q : q + k]
+            if any(c not in b"ACGT" for c in win):
+                continue
+            key = oracle.as_2bit(win)
+            expect[key] = expect.get(key, 0) + 1
+    return expect
+
+
+@pytest.mark.parametrize("k", [6, 21])
+def test_count_fastq_mesh_skip_invalid(tmp_path, rng, k):
+    """on_invalid='skip' under a mesh (VERDICT r2 missing #3): realistic
+    N-containing reads counted distributed must equal the skip oracle."""
+    p, seqs = _n_fastq(tmp_path, rng)
+    mesh = _mesh8()
+    got = pipeline.count_fastq(p, k, batch_size=8, mesh=mesh,
+                               on_invalid="skip", sparse_capacity=4096)
+    expect = _skip_expect(seqs, k)
+    if k <= 12:
+        assert got.sum() == sum(expect.values())
+        for key, c in expect.items():
+            assert got[key] == c
+    else:
+        assert got == expect
+
+
+@pytest.mark.parametrize("k", [6, 21])
+def test_count_fasta_mesh(tmp_path, rng, k):
+    """count_fasta with a mesh: segment groups sharded across devices,
+    small seg_bases so one contig spans many segments; N bases skipped."""
+    contigs = []
+    for n in (700, 260, 31, 120):
+        s = bytearray(random_seq(rng, n).upper())
+        s[rng.integers(len(s))] = ord("N")
+        contigs.append(bytes(s))
+    p = tmp_path / "g_mesh.fa"
+    with open(p, "wb") as f:
+        for i, c in enumerate(contigs):
+            f.write(b">c%d\n%s\n" % (i, c))
+    mesh = _mesh8()
+    got = pipeline.count_fasta(p, k, on_invalid="skip", seg_bases=64,
+                               sparse_capacity=2048, mesh=mesh)
+    expect = _skip_expect(contigs, k)
+    if k <= 12:
+        assert got.sum() == sum(expect.values())
+        for key, c in expect.items():
+            assert got[key] == c
+    else:
+        assert got == expect
+
+
+def test_count_fastq_mesh_crash_resume(fastq, tmp_path, monkeypatch):
+    """Sparse mesh counting resumes from a checkpoint written mid-stream;
+    also crosses accumulator kinds (checkpoint rows redistribute)."""
+    p, seqs = fastq
+    mesh = _mesh8()
+    ckpt = tmp_path / "mesh.ckpt.npz"
+    real_iter = bnio.iter_fastq_batches
+    monkeypatch.setattr(bnio, "iter_fastq_batches", _crashing_iter(real_iter, 3))
+    with pytest.raises(_Boom):
+        pipeline.count_fastq(p, 21, batch_size=8, mesh=mesh, checkpoint=str(ckpt),
+                             checkpoint_every=1, sparse_capacity=4096)
+    monkeypatch.setattr(bnio, "iter_fastq_batches", real_iter)
+    got = pipeline.count_fastq(p, 21, batch_size=8, mesh=mesh,
+                               checkpoint=str(ckpt), sparse_capacity=4096)
+    assert got == _expect(seqs, 21)
