@@ -542,6 +542,8 @@ def assemble_reads(
     base_valid=None,
     clean: bool = False,
     tip_len: Optional[int] = None,
+    mesh=None,
+    axis: str = "data",
 ) -> Tuple[List[bytes], List[bool]]:
     """Assemble a PackedReads batch into unitigs.
 
@@ -553,12 +555,40 @@ def assemble_reads(
     (counting non-canonically) — useful for oriented data and tests.
     clean=True additionally clips tips and pops bubbles (clean_keys) —
     the pass that rescues min_count=1 assemblies of low-coverage data.
+    mesh: optional jax Mesh — the SPECTRUM BUILD (the read-set-sized pass)
+    shards the reads over the mesh and merges with one all_gather
+    (parallel.kmer.count_kmers_sorted_sharded); graph compaction stays on
+    host (genome-sized metadata). Output equals the local path exactly.
     """
     from .ops import kmer as kmer_ops
 
-    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
-        reads.words, reads.lengths, k, canonical=both_strands, base_valid=base_valid
-    )
+    if mesh is not None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import kmer as pkmer, mesh as pmesh
+
+        B = int(reads.words.shape[0])
+        sharded = pmesh.shard_reads(reads, mesh, axis)
+        bvs = None
+        if base_valid is not None:
+            bv = np.asarray(base_valid)
+            Bp = int(sharded.words.shape[0])
+            if Bp > B:
+                bv = np.pad(bv, ((0, Bp - B), (0, 0)))
+            bvs = jax.device_put(
+                jnp.asarray(bv), NamedSharding(mesh, P(axis, None))
+            )
+        lo, hi, cts, _ = pkmer.count_kmers_sorted_sharded(
+            sharded.words, sharded.lengths, k, mesh, axis,
+            canonical=both_strands, base_valid=bvs,
+        )
+    else:
+        lo, hi, cts, _ = kmer_ops.count_kmers_runs(
+            reads.words, reads.lengths, k, canonical=both_strands,
+            base_valid=base_valid,
+        )
     keys, cts = _runs_to_keys(lo, hi, cts, min_count)
     return assemble_keys(
         keys, k, counts=cts, both_strands=both_strands, clean=clean, tip_len=tip_len

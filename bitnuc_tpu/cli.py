@@ -525,9 +525,11 @@ def cmd_assemble(args) -> int:
 
     on_invalid = "skip" if args.skip_invalid else "raise"
     canonical = not args.strand_specific
+    mesh = _build_mesh(args)
     if _sniff_format(args.path) == "fasta":
         table = pipeline.count_fasta(
-            args.path, args.k, canonical=canonical, on_invalid=on_invalid
+            args.path, args.k, canonical=canonical, on_invalid=on_invalid,
+            mesh=mesh,
         )
     else:
         table = pipeline.count_fastq(
@@ -536,6 +538,7 @@ def cmd_assemble(args) -> int:
             batch_size=args.batch_size,
             canonical=canonical,
             on_invalid=on_invalid,
+            mesh=mesh,
         )
     if isinstance(table, dict):
         items = sorted((key, c) for key, c in table.items() if c >= args.min_count)
@@ -762,6 +765,12 @@ def cmd_map(args) -> int:
         gap=args.gap_cost,
         mesh=_build_mesh(args),
     )
+    cigs = None
+    if not args.no_cigar:
+        cigs = mapper.traceback_cigars(
+            idx, reads, res,
+            mismatch=args.mismatch_cost, gap=args.gap_cost,
+        )["cigar"]
     qlens = np.asarray(reads.lengths)
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
@@ -779,11 +788,13 @@ def cmd_map(args) -> int:
                 nmatch = max(ql - int(res["cost"][i]), 0)
                 mapq = min(60, 2 * int(res["support"][i]))
                 strand = res["strand"][i].decode()
+                cg = f"\tcg:Z:{cigs[i]}" if cigs is not None else ""
             else:
                 tn, tl, ts, te, nmatch, mapq, strand = "*", 0, 0, 0, 0, 0, "+"
+                cg = ""
             out.write(
                 f"{qn.decode()}\t{ql}\t0\t{ql}\t{strand}\t{tn}\t{tl}"
-                f"\t{ts}\t{te}\t{nmatch}\t{te - ts}\t{mapq}\n"
+                f"\t{ts}\t{te}\t{nmatch}\t{te - ts}\t{mapq}{cg}\n"
             )
     finally:
         if out is not sys.stdout:
@@ -815,8 +826,17 @@ def cmd_call(args) -> int:
         max_cost=args.max_cost,
         min_depth=args.min_depth,
         min_frac=args.min_frac,
+        cigar=args.cigar,
     )
     base = b"ACGT"
+    refseq = b""
+    if args.cigar:
+        # indexed reference decoded once for indel REF/ALT fields (concat
+        # coordinates, separator bases included — matches call positions)
+        rw = np.asarray(idx.ref_words, np.uint32)
+        shifts = np.arange(16, dtype=np.uint32) * 2
+        rc = ((rw[:, None] >> shifts[None, :]) & 3).reshape(-1)[: idx.ref_len]
+        refseq = np.frombuffer(base, np.uint8)[rc.astype(np.int64)].tobytes()
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
         if args.vcf:
@@ -830,6 +850,9 @@ def cmd_call(args) -> int:
                       'Description="Read depth">\n')
             out.write('##INFO=<ID=AF,Number=1,Type=Float,'
                       'Description="Allele fraction">\n')
+            if args.cigar:
+                out.write('##INFO=<ID=TYPE,Number=1,Type=String,'
+                          'Description="Variant class">\n')
             out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
         for j, p in enumerate(calls["variant_pos"]):
             c = int(np.searchsorted(offsets, p, "right")) - 1
@@ -851,6 +874,51 @@ def cmd_call(args) -> int:
                     f"{name}\t{local + 1}\t{rb}\t{ab}"
                     f"\t{dp}\t{sup}\t{sup / dp:.3f}\n"
                 )
+        if args.cigar:
+            events = []
+            for j in range(calls["del_pos"].size):
+                p0 = int(calls["del_pos"][j])
+                ln = int(calls["del_len"][j])
+                if p0 == 0:
+                    continue  # no anchor base before a contig-start event
+                events.append((
+                    p0 - 1,
+                    refseq[p0 - 1 : p0 + ln].decode(),
+                    refseq[p0 - 1 : p0].decode(),
+                    int(calls["del_depth"][j]),
+                    int(calls["del_support"][j]),
+                    "DEL",
+                ))
+            for j in range(calls["ins_pos"].size):
+                p = int(calls["ins_pos"][j])
+                if p == 0:
+                    continue
+                anchor = refseq[p - 1 : p].decode()
+                events.append((
+                    p - 1,
+                    anchor,
+                    anchor + calls["ins_seq"][j].decode(),
+                    int(calls["ins_depth"][j]),
+                    int(calls["ins_support"][j]),
+                    "INS",
+                ))
+            for p_anchor, ref_f, alt_f, dp, sup, typ in sorted(events):
+                c = int(np.searchsorted(offsets, p_anchor, "right")) - 1
+                local = int(p_anchor - offsets[c])
+                if local + len(ref_f) > clens[c]:
+                    continue  # crosses a contig separator: not a real site
+                name = tnames[c].decode()
+                af = sup / max(dp, 1)
+                if args.vcf:
+                    out.write(
+                        f"{name}\t{local + 1}\t.\t{ref_f}\t{alt_f}\t.\tPASS"
+                        f"\tDP={dp};AF={af:.3f};TYPE={typ}\n"
+                    )
+                else:
+                    out.write(
+                        f"{name}\t{local + 1}\t{ref_f}\t{alt_f}"
+                        f"\t{dp}\t{sup}\t{af:.3f}\n"
+                    )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -1362,13 +1430,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extend", action="store_true",
                    help="with --long: base-exact coordinates + edit cost "
                    "via the wavefront fit over the chain window")
+    p.add_argument("--no-cigar", action="store_true",
+                   help="skip the per-read alignment traceback (PAF rows "
+                   "then carry no cg:Z: tag)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     _add_devices_arg(p)
     p.set_defaults(fn=cmd_map)
 
     p = sub.add_parser(
         "call",
-        help="map reads, pile up gaplessly, and call consensus/SNPs",
+        help="map reads, pile up, and call consensus/SNPs "
+        "(--cigar adds indel-aware projection + indel calls)",
     )
     p.add_argument("ref", help="reference FASTA (multi-contig ok)")
     p.add_argument("path", help="reads FASTA/FASTQ[.gz]")
@@ -1391,6 +1463,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a bedgraph coverage track here")
     p.add_argument("--vcf", action="store_true",
                    help="emit VCFv4.2 instead of the bare TSV")
+    p.add_argument("--cigar", action="store_true",
+                   help="project reads through their per-base alignment "
+                   "(traceback) instead of gaplessly, and call indels too")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     p.set_defaults(fn=cmd_call)
 
@@ -1493,6 +1568,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--out", default=None,
                    help="write FASTA here instead of stdout")
+    _add_devices_arg(p)
     p.set_defaults(fn=cmd_assemble)
 
     p = sub.add_parser(

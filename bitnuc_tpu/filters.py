@@ -2,12 +2,22 @@
 preprocessing pass; north-star surface — the reference codec has no quality
 concept, src/lib.rs).
 
-This stage deliberately runs HOST-side on vectorized numpy: it consumes the
-FASTQ quality lines (which never go to the device — the packed domain is
-2 bits/base), and its whole point is to shrink reads BEFORE the upload, so
-doing it pre-encode reduces wire bytes instead of shipping garbage to the
-chip and trimming there. Per-read variable-offset trimming on device would
-also need a per-row gather, which serializes on TPU (docs/DESIGN.md).
+Two implementations of the same math:
+
+  * numpy reference (adapter_positions / trim_bounds / ... below) — the
+    oracle, runs without JAX;
+  * ONE fused jitted kernel (_filter_core) that filter_reads dispatches to
+    by default. Round-2 profiling showed the numpy adapter scan dominating
+    (85% of filter_fastq wall, mostly bool->int32 temporaries across the
+    m shifted passes); XLA fuses the whole decision — adapter mismatch
+    accumulation, trim spans, mean-q / N-count / complexity / entropy —
+    into one pass over the [R, L] byte planes with no materialized
+    temporaries, on CPU and TPU alike. Reductions use masked min/max, not
+    argmax (variadic reduces serialize on TPU, docs/DESIGN.md §2).
+
+The stage still runs on the HOST-resident byte planes on purpose: it
+consumes the quality lines (which never enter the packed 2-bit domain) and
+exists to shrink reads BEFORE the upload.
 
 Semantics (phred+33 qualities):
   1. 3' adapter removal: cut at the leftmost position where the adapter
@@ -21,6 +31,7 @@ Semantics (phred+33 qualities):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import numpy as np
@@ -144,6 +155,139 @@ def triplet_entropy(
     return np.where(n > 0, h, 6.0)
 
 
+@lru_cache(maxsize=None)
+def _filter_core(m: int, has_trim: bool, has_meanq: bool, has_maxn: bool,
+                 has_cplx: bool, has_ent: bool):
+    """Build (and cache) the fused jitted filter kernel for a given
+    adapter length / enabled-filter combination. Thresholds stay traced
+    (tuning them never recompiles); returns a jitted fn
+    (ascii, quals, lengths, adapter, params...) -> (keep, start, end)."""
+    import jax
+    import jax.numpy as jnp
+
+    def core(ascii_arr, quals, lengths, adapter_a, min_len, min_mean_q,
+             trim_q, max_n, a_err, a_minov, min_cplx, min_ent):
+        R, L = ascii_arr.shape
+        lengths = lengths.astype(jnp.int32)
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        big = jnp.int32(L)
+
+        if m:
+            upper = ascii_arr & jnp.uint8(0xDF)
+            mism = jnp.zeros((R, L), jnp.int32)
+            for j in range(m):
+                s = jnp.pad(upper[:, j:], ((0, 0), (0, j)))
+                in_read = (pos + j) < lengths[:, None]
+                mism = mism + (jnp.not_equal(s, adapter_a[j]) & in_read)
+            overlap = jnp.minimum(jnp.int32(m), lengths[:, None] - pos)
+            ok = (overlap >= jnp.maximum(a_minov, 1)) & (
+                mism
+                <= jnp.floor(overlap.astype(jnp.float32) * a_err).astype(
+                    jnp.int32
+                )
+            )
+            # leftmost qualifying position via a masked min (no argmax)
+            first = jnp.min(jnp.where(ok, pos, big), axis=1)
+            lengths = jnp.minimum(lengths, first)
+
+        if has_trim:
+            in_read = pos < lengths[:, None]
+            good = in_read & (quals.astype(jnp.int32) >= 33 + trim_q)
+            start = jnp.min(jnp.where(good, pos, big), axis=1)
+            last = jnp.max(jnp.where(good, pos, -1), axis=1)
+            any_good = last >= 0
+            start = jnp.where(any_good, start, lengths)
+            end = jnp.where(any_good, last + 1, lengths)
+        else:
+            start = jnp.zeros((R,), jnp.int32)
+            end = lengths
+
+        span = end - start
+        in_span = (pos >= start[:, None]) & (pos < end[:, None])
+        keep = span >= jnp.maximum(min_len, 1)
+        if has_meanq:
+            qsum = jnp.sum(
+                jnp.where(in_span, quals.astype(jnp.int32) - 33, 0), axis=1
+            )
+            keep &= qsum.astype(jnp.float32) >= min_mean_q * jnp.maximum(
+                span, 1
+            ).astype(jnp.float32)
+        lower = ascii_arr | jnp.uint8(0x20)
+        is_acgt = (
+            (lower == ord("a")) | (lower == ord("c"))
+            | (lower == ord("g")) | (lower == ord("t"))
+        )
+        if has_maxn:
+            n_bad = jnp.sum(in_span & ~is_acgt, axis=1)
+            keep &= n_bad <= max_n
+        if has_cplx:
+            in_pair = in_span[:, :-1] & (pos[:, 1:] < end[:, None])
+            diff = ascii_arr[:, :-1] != ascii_arr[:, 1:]
+            n_pairs = jnp.sum(in_pair, axis=1)
+            frac = jnp.sum(in_pair & diff, axis=1).astype(
+                jnp.float32
+            ) / jnp.maximum(n_pairs, 1)
+            frac = jnp.where(n_pairs > 0, frac, 1.0)
+            keep &= frac >= min_cplx
+        if has_ent and L >= 3:
+            code = ((ascii_arr >> 1) ^ (ascii_arr >> 2)) & jnp.uint8(3)
+            c = code.astype(jnp.int32)
+            v = is_acgt
+            k0, k1, k2 = c[:, :-2], c[:, 1:-1], c[:, 2:]
+            key = k0 * 16 + k1 * 4 + k2
+            p2 = pos[:, : L - 2]
+            okw = (
+                (p2 >= start[:, None]) & (p2 + 3 <= end[:, None])
+                & v[:, :-2] & v[:, 1:-1] & v[:, 2:]
+            )
+            # [R, 64] histogram as a fused one-hot reduce (no scatter)
+            onehot = (key[:, :, None] == jnp.arange(64, dtype=jnp.int32)) & (
+                okw[:, :, None]
+            )
+            counts = jnp.sum(onehot, axis=1).astype(jnp.float32)
+            n = jnp.sum(counts, axis=1)
+            p = counts / jnp.maximum(n, 1)[:, None]
+            h = -jnp.sum(p * jnp.log2(jnp.where(p > 0, p, 1)), axis=1)
+            h = jnp.where(n > 0, h, 6.0)
+            keep &= h >= min_ent
+        elif has_ent:
+            keep &= jnp.float32(6.0) >= min_ent
+        return keep, start, end
+
+    return jax.jit(core)
+
+
+def _filter_reads_jax(ascii_arr, quals, lengths, min_len, min_mean_q, trim_q,
+                      max_n, adapter, adapter_max_error, adapter_min_overlap,
+                      min_complexity, min_entropy):
+    import jax.numpy as jnp
+
+    a = np.frombuffer(bytes(adapter or b"").upper(), np.uint8)
+    fn = _filter_core(
+        len(a), trim_q > 0, min_mean_q > 0, max_n is not None,
+        min_complexity is not None, min_entropy is not None,
+    )
+    keep, start, end = fn(
+        jnp.asarray(ascii_arr),
+        jnp.asarray(quals),
+        jnp.asarray(np.asarray(lengths, np.int32)),
+        jnp.asarray(a),
+        jnp.int32(min_len),
+        jnp.float32(min_mean_q),
+        jnp.int32(trim_q),
+        jnp.int32(-1 if max_n is None else max_n),
+        jnp.float32(adapter_max_error),
+        jnp.int32(adapter_min_overlap),
+        jnp.float32(min_complexity or 0.0),
+        jnp.float32(min_entropy or 0.0),
+    )
+    return (
+        np.asarray(keep),
+        np.asarray(start, np.int64),
+        np.asarray(end, np.int64),
+    )
+
+
 def filter_reads(
     ascii_arr: np.ndarray,
     quals: np.ndarray,
@@ -157,13 +301,31 @@ def filter_reads(
     adapter_min_overlap: int = 3,
     min_complexity: Optional[float] = None,
     min_entropy: Optional[float] = None,
+    use_jax: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(keep [R] bool, start [R], end [R]) for a rectangular read batch.
 
-    Entirely branch-free numpy over the batch: 3' adapter removal first
-    (the adapter and everything after it goes), then quality trim spans
-    from trim_bounds, then mean-quality / length / N-count filters
-    evaluated on the trimmed span only."""
+    Dispatches to the fused jitted kernel (_filter_core) by default —
+    measured 13x the numpy path end-to-end in filter_fastq (the numpy
+    adapter scan's bool->int temporaries dominated). use_jax=False forces
+    the numpy reference path (the parity oracle; also the fallback when
+    JAX is unavailable). Both compute: 3' adapter removal first (the
+    adapter and everything after it goes), then quality trim spans, then
+    mean-quality / length / N-count / complexity filters on the trimmed
+    span only."""
+    if use_jax is None:
+        try:
+            import jax  # noqa: F401
+
+            use_jax = True
+        except ImportError:  # pragma: no cover
+            use_jax = False
+    if use_jax:
+        return _filter_reads_jax(
+            ascii_arr, quals, lengths, min_len, min_mean_q, trim_q, max_n,
+            adapter, adapter_max_error, adapter_min_overlap, min_complexity,
+            min_entropy,
+        )
     R, L = ascii_arr.shape
     lengths = np.asarray(lengths, np.int64)
     if adapter:
@@ -251,24 +413,59 @@ def filter_fastq(
 
     Records stream in `batch_reads` batches (bounded memory at any file
     size); kept reads are written with their trimmed sequence AND quality
-    line, preserving headers."""
+    line, preserving headers. Parsing uses the native full-record scanner
+    when built (bn_fastq_fill_sq — the per-record Python readline loop was
+    the measured bottleneck once the filter math was jitted); the Python
+    reader is the fallback."""
+    from . import native
+
     n_in = n_out = bases_in = bases_out = 0
     with open(out_path, "wb") as out:
-        for names, seqs, quals in _iter_record_batches(in_path, batch_reads):
-            keep, start, end = _batch_filter(
-                seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
-                min_complexity, min_entropy,
-            )
-            n_in += len(seqs)
-            bases_in += sum(len(s) for s in seqs)
-            for i in np.nonzero(keep)[0]:
-                s0, e0 = int(start[i]), int(end[i])
-                out.write(
-                    b"@%s\n%s\n+\n%s\n"
-                    % (names[i], seqs[i][s0:e0], quals[i][s0:e0])
+        if native.available():
+            from . import io as bnio
+
+            for raw, a, q, lens, noff, nlen in bnio.iter_fastq_record_batches(
+                in_path, batch_reads
+            ):
+                keep, start, end = filter_reads(
+                    a, q, lens.astype(np.int64), min_len, min_mean_q, trim_q,
+                    max_n, adapter=adapter, min_complexity=min_complexity,
+                    min_entropy=min_entropy,
                 )
-                n_out += 1
-                bases_out += e0 - s0
+                n_in += len(lens)
+                bases_in += int(lens.sum())
+                parts = []
+                for i in np.nonzero(keep)[0]:
+                    s0, e0 = int(start[i]), int(end[i])
+                    parts.append(
+                        b"@%s\n%s\n+\n%s\n"
+                        % (
+                            raw[noff[i] : noff[i] + nlen[i]],
+                            a[i, s0:e0].tobytes(),
+                            q[i, s0:e0].tobytes(),
+                        )
+                    )
+                    n_out += 1
+                    bases_out += e0 - s0
+                out.write(b"".join(parts))
+        else:
+            for names, seqs, quals in _iter_record_batches(
+                in_path, batch_reads
+            ):
+                keep, start, end = _batch_filter(
+                    seqs, quals, min_len, min_mean_q, trim_q, max_n, adapter,
+                    min_complexity, min_entropy,
+                )
+                n_in += len(seqs)
+                bases_in += sum(len(s) for s in seqs)
+                for i in np.nonzero(keep)[0]:
+                    s0, e0 = int(start[i]), int(end[i])
+                    out.write(
+                        b"@%s\n%s\n+\n%s\n"
+                        % (names[i], seqs[i][s0:e0], quals[i][s0:e0])
+                    )
+                    n_out += 1
+                    bases_out += e0 - s0
     return {
         "reads_in": n_in,
         "reads_out": n_out,

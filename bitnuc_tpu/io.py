@@ -407,30 +407,23 @@ def _staged_to_packed(
     return item[0] if len(item) == 1 else item
 
 
-def iter_fastq_ascii_batches(
-    path: PathLike,
-    batch_size: int,
-    max_len: Optional[int] = None,
-    start_offset: int = 0,
-):
-    """HOST-level streaming parse (native two-pass scanner, no device work):
-    yields (ascii uint8[B, L], lengths int32[B], end_byte_offset) per batch.
-
-    The framing core of the staged loader, exposed so host-side consumers
-    (PackedDB.from_fastq) can parse+pack without shipping batches through
-    the device. Chunked numpy newline scan groups non-blank lines into
-    4-line records; the trailing incomplete record of each block carries
-    into the next. Requires the native library.
-    """
-    from . import native
-
+def _iter_fastq_record_blocks(path: PathLike, batch_size: int,
+                              start_offset: int = 0):
+    """Shared framing core: yield (record_bytes, end_byte_offset) chunks of
+    exactly `batch_size` FASTQ records (the trailing partial group comes
+    last). Chunked numpy newline scan groups non-blank lines into 4-line
+    records; the trailing incomplete record of each block carries into the
+    next. Validates headers; no record-level Python."""
     carry = b""
     abs_base = start_offset  # file offset of data[0] (uncompressed stream)
+    read_size = _STREAM_BLOCK
     with _fastq_opener(path)(path, "rb") as f:
         if start_offset:
             f.seek(start_offset)
         while True:
-            block = f.read(_STREAM_BLOCK)
+            # adaptive: when batch_size records exceed one block, grow the
+            # read so the carry+block concat cannot go quadratic
+            block = f.read(max(read_size, 2 * len(carry)) if carry else read_size)
             if not block:
                 break
             data = carry + block
@@ -457,17 +450,53 @@ def iter_fastq_ascii_batches(
             emitted = 0
             for b in range(n_rec // batch_size):
                 end = int(nl[nb[4 * (b + 1) * batch_size - 1]]) + 1
-                ascii_arr, lens = native.fastq_to_batch(
-                    data[emitted:end], max_len or 0
-                )
+                yield data[emitted:end], abs_base + end
                 emitted = end
-                yield ascii_arr, lens, abs_base + end
             carry = data[emitted:]
             abs_base += emitted  # carry[0] now sits at abs_base
     if carry.strip():
-        ascii_arr, lens = native.fastq_to_batch(carry, max_len or 0)
+        yield carry, abs_base + len(carry)
+
+
+def iter_fastq_ascii_batches(
+    path: PathLike,
+    batch_size: int,
+    max_len: Optional[int] = None,
+    start_offset: int = 0,
+):
+    """HOST-level streaming parse (native two-pass scanner, no device work):
+    yields (ascii uint8[B, L], lengths int32[B], end_byte_offset) per batch.
+
+    The framing core of the staged loader, exposed so host-side consumers
+    (PackedDB.from_fastq) can parse+pack without shipping batches through
+    the device. Requires the native library.
+    """
+    from . import native
+
+    for data, end in _iter_fastq_record_blocks(path, batch_size, start_offset):
+        ascii_arr, lens = native.fastq_to_batch(data, max_len or 0)
         if len(lens):
-            yield ascii_arr, lens, abs_base + len(carry)
+            yield ascii_arr, lens, end
+
+
+def iter_fastq_record_batches(
+    path: PathLike,
+    batch_size: int,
+    max_len: Optional[int] = None,
+):
+    """Full-record native streaming parse for the preprocessing tier:
+    yields (raw bytes, ascii uint8[B, L], quals uint8[B, L], lens int32[B],
+    name_off int64[B], name_len int64[B]) per batch — header spans index
+    into `raw` (past the '@'). Requires the native library; filters/qc
+    fall back to the per-record Python reader when it is absent."""
+    from . import native
+
+    for data, _ in _iter_fastq_record_blocks(path, batch_size):
+        ascii_arr, quals, lens, name_off, name_len = native.fastq_to_batch_sq(
+            data, max_len or 0
+        )
+        if len(lens):
+            yield data, ascii_arr, quals, lens, name_off, name_len
 
 
 def _iter_fastq_batches_staged(

@@ -627,6 +627,120 @@ def map_reads_sharded(
 
 
 # --------------------------------------------------------------------------
+# per-base alignment traceback (CIGAR) for mapped reads
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("win_width",))
+def _traceback_core(
+    words,
+    lengths,
+    ref_words,
+    ref_start,
+    ref_end,
+    use_rc,
+    win_width: int,
+    mismatch,
+    gap,
+):
+    """Global alignment ops of each read (in its mapped orientation)
+    against its exact reference window [ref_start, ref_end).
+
+    The window codes are ONE bounded gather from the unpacked reference
+    (B * win_width elements — an output-path cost, not the mapping hot
+    loop); the wavefront+traceback runs batched (ops.align.align_ops_codes).
+    Returns (cost [B], ops [B, T] uint8 forward order).
+    """
+    from .ops import align as align_mod
+
+    lengths = jnp.asarray(lengths, jnp.int32)
+    rc_words = revcomp_ops.reverse_complement_reads(words, lengths)
+    w = jnp.where(jnp.asarray(use_rc, bool)[:, None], rc_words, words)
+    codes_a = bitops.unpack_words(w).astype(jnp.int32)
+
+    ref_codes = bitops.unpack_words(ref_words.reshape(1, -1)).reshape(-1)
+    Rn = ref_codes.shape[0]
+    start = jnp.asarray(ref_start, jnp.int32)
+    wlen = jnp.clip(
+        jnp.asarray(ref_end, jnp.int32) - start, 0, win_width
+    )
+    gidx = jnp.clip(
+        start[:, None] + jnp.arange(win_width, dtype=jnp.int32)[None, :],
+        0,
+        Rn - 1,
+    )
+    codes_b = jnp.take(ref_codes, gidx).astype(jnp.int32)
+    cost, _, ops = align_mod.align_ops_codes(
+        codes_a, lengths, codes_b, wlen, mismatch, gap, ends_free_b=False
+    )
+    return cost, ops
+
+
+def traceback_cigars(
+    index: MinimizerIndex,
+    reads,
+    map_result: dict,
+    mismatch: int = 1,
+    gap: int = 1,
+    pad: int = 32,
+    chunk: int = 1024,
+    eqx: bool = True,
+) -> dict:
+    """Per-read CIGAR strings for a map_reads result (the minimap2 -c /
+    --eqx analog the reference tier lacked through round 2).
+
+    Re-derives the full per-base alignment of each mapped read against its
+    exact window [ref_start, ref_end) — the same cost model the mapper's
+    double-fit used, so tb_cost == map_result['cost'] for mapped reads
+    (asserted by tests). Runs in `chunk`-read slabs: the traceback's
+    direction planes are O(L * window) bytes per read and this is the
+    metadata output path, not the mapping hot loop.
+
+    Returns {"cigar": [B] list (None for unmapped rows), "tb_cost" [B]
+    int32, "ops" [B, T] uint8 forward-order op codes (ops.align.OP_*)} —
+    feed "ops" to ops.pileup.pileup_counts_ops for indel-aware pileups.
+    """
+    from .ops import align as align_mod
+
+    B = int(reads.words.shape[0])
+    L = int(reads.words.shape[1]) * 16
+    win_width = L + 2 * int(pad)
+    T = L + win_width
+    costs = np.zeros(B, np.int32)
+    ops_all = np.zeros((B, T), np.uint8)
+    use_rc = np.asarray(map_result["strand"] == b"-")
+    rs = np.asarray(map_result["ref_start"], np.int32)
+    re_ = np.asarray(map_result["ref_end"], np.int32)
+    mapped = np.asarray(map_result["mapped"], bool)
+    # unmapped rows: empty window, zero-length handled by masks; clamp the
+    # coordinates so the gather indices stay sane
+    rs = np.where(mapped, rs, 0)
+    re_ = np.where(mapped, re_, 0)
+    rw = jnp.asarray(index.ref_words)
+    for s in range(0, B, chunk):
+        e = min(B, s + chunk)
+        cost, ops = _traceback_core(
+            jnp.asarray(reads.words[s:e]),
+            jnp.asarray(reads.lengths[s:e]),
+            rw,
+            jnp.asarray(rs[s:e]),
+            jnp.asarray(re_[s:e]),
+            jnp.asarray(use_rc[s:e]),
+            win_width,
+            np.int32(mismatch),
+            np.int32(gap),
+        )
+        costs[s:e] = np.asarray(cost)
+        ops_np = np.asarray(ops)
+        ops_all[s:e, : ops_np.shape[1]] = ops_np
+    cig = [
+        align_mod.cigar_string(ops_all[i], eqx) if mapped[i] else None
+        for i in range(B)
+    ]
+    return {"cigar": cig, "tb_cost": costs, "ops": ops_all}
+
+
+# --------------------------------------------------------------------------
 # long-read mode: chain instead of vote (minimap2 --no-align analog)
 # --------------------------------------------------------------------------
 

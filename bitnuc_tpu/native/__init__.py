@@ -73,6 +73,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bn_fastq_fill.argtypes = [u8p, ctypes.c_size_t, u8p,
                                   ctypes.POINTER(ctypes.c_int32),
                                   ctypes.c_size_t, ctypes.c_size_t]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.bn_fastq_fill_sq.restype = ctypes.c_int
+    lib.bn_fastq_fill_sq.argtypes = [u8p, ctypes.c_size_t, u8p, u8p,
+                                     ctypes.POINTER(ctypes.c_int32),
+                                     i64p, i64p,
+                                     ctypes.c_size_t, ctypes.c_size_t]
     _lib = lib
     return _lib
 
@@ -286,3 +292,37 @@ def fastq_to_batch(data: bytes, max_len: int = 0):
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, L,
         )
     return ascii_arr, lens
+
+
+def fastq_to_batch_sq(data: bytes, max_len: int = 0):
+    """Full-record FASTQ parse: (ascii uint8[B, L], quals uint8[B, L],
+    lengths int32[B], name_off int64[B], name_len int64[B]) — seq AND
+    quality rectangles plus header byte spans into `data` (past the '@').
+    The quality-aware twin of fastq_to_batch for the preprocessing tier
+    (filters/qc), replacing the per-record Python readline loop."""
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n_reads = ctypes.c_size_t(0)
+    longest = ctypes.c_size_t(0)
+    lib.bn_fastq_scan(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(n_reads), ctypes.byref(longest),
+    )
+    B = n_reads.value
+    L = int(max_len) if max_len else max(int(longest.value), 1)
+    ascii_arr = np.zeros((B, L), dtype=np.uint8)
+    quals = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    name_off = np.zeros(B, dtype=np.int64)
+    name_len = np.zeros(B, dtype=np.int64)
+    if B:
+        lib.bn_fastq_fill_sq(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            ascii_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            B, L,
+        )
+    return ascii_arr, quals, lens, name_off, name_len

@@ -312,4 +312,39 @@ int bn_fastq_fill(const uint8_t* buf, size_t n, uint8_t* ascii, int32_t* lens,
   return BN_OK;
 }
 
+// Pass 2, full-record variant: fill seq AND qual rectangles (zero-padded)
+// plus per-record name byte spans into the input buffer (offset past the
+// '@', length to end of header line) — the quality-aware loader for the
+// preprocessing tier (filters/qc), where the per-record Python readline
+// loop was the measured bottleneck.
+int bn_fastq_fill_sq(const uint8_t* buf, size_t n, uint8_t* ascii,
+                     uint8_t* quals, int32_t* lens, int64_t* name_off,
+                     int64_t* name_len, size_t B, size_t L) {
+  size_t r = 0, i = 0;
+  int line_in_record = 0;
+  while (i < n && r < B) {
+    const uint8_t* nl =
+        (const uint8_t*)std::memchr(buf + i, '\n', n - i);
+    size_t end = nl ? (size_t)(nl - buf) : n;
+    size_t len = end - i;
+    if (len && buf[end - 1] == '\r') --len;
+    if (line_in_record == 0 && len == 0) { i = end + 1; continue; }
+    if (line_in_record == 0) {
+      name_off[r] = (int64_t)(i + 1);  // past '@'
+      name_len[r] = (int64_t)(len ? len - 1 : 0);
+    } else if (line_in_record == 1) {
+      size_t c = len < L ? len : L;
+      std::memcpy(ascii + r * L, buf + i, c);
+      lens[r] = (int32_t)c;
+    } else if (line_in_record == 3) {
+      size_t c = len < L ? len : L;
+      std::memcpy(quals + r * L, buf + i, c);
+      ++r;
+    }
+    line_in_record = (line_in_record + 1) & 3;
+    i = end + 1;
+  }
+  return BN_OK;
+}
+
 }  // extern "C"

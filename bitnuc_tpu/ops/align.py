@@ -232,13 +232,17 @@ def _wavefront_tb_codes(
     """Distance wavefront that additionally RECORDS per-cell directions and
     tracebacks on device.
 
-    The forward scan is _distance_wavefront with a uint8 direction plane
-    emitted per diagonal (diag-match/diag-mismatch/up/left, ties preferring
-    diag > up > left — mirrored by the test oracle); the traceback is a
-    second lax.scan of M+N steps whose only data-dependent memory access is
-    ONE take_along_axis row gather per step (gathers serialize on TPU, but
-    the traceback touches M+N cells per pair vs the forward pass's
-    (M+N)(N+1) — it is never the dominant cost).
+    The forward scan is _distance_wavefront with a uint8 CANDIDATE-MASK
+    plane emitted per diagonal (bit0 diag ties, bit1 up ties, bit2 left
+    ties, bit3 diag-is-match); the traceback is a second lax.scan of M+N
+    steps whose only data-dependent memory access is ONE take_along_axis
+    row gather per step (gathers serialize on TPU, but the traceback
+    touches M+N cells per pair vs the forward pass's (M+N)(N+1) — it is
+    never the dominant cost). Tie policy: CONTINUE the current op when it
+    ties (gap runs coalesce — unit gap costs otherwise legally split a
+    planted indel around coincidental matches, which downstream indel
+    calling would report as two events), else diag > up > left. Mirrored
+    exactly by the full-DP oracle in tests/test_align.py.
 
     Returns (cost [B], end_j [B], ops [B, M+N] uint8): ops in FORWARD
     order (alignment start -> end), OP_STOP-padded at the tail;
@@ -272,16 +276,19 @@ def _wavefront_tb_codes(
         cand_up = prev + gap  # D[i-1, j]
         cand_left = _shift1(prev, _BIG) + gap  # D[i, j-1]
         diag = jnp.minimum(jnp.minimum(cand_diag, cand_up), cand_left)
-        dirv = jnp.where(
-            diag == cand_diag,
-            jnp.where(is_eq, OP_EQ, OP_X),
-            jnp.where(diag == cand_up, OP_INS, OP_DEL),
+        # candidate mask: EVERY tying predecessor, so the traceback can
+        # apply its op-continuation tie policy
+        dirv = (
+            (diag == cand_diag) * 1
+            + (diag == cand_up) * 2
+            + (diag == cand_left) * 4
+            + is_eq * 8
         )
         # boundaries: D[d, 0] = d*gap (all-up); D[0, d] = d*gap or free
         diag = jnp.where(pos == 0, d * gap, diag)
-        dirv = jnp.where(pos == 0, OP_INS, dirv)
+        dirv = jnp.where(pos == 0, 2, dirv)
         row0_val = jnp.int32(0) if ends_free_b else d * gap
-        row0_dir = OP_STOP if ends_free_b else OP_DEL
+        row0_dir = 0 if ends_free_b else 4
         diag = jnp.where(pos == d, row0_val, diag)
         dirv = jnp.where(pos == d, row0_dir, dirv)
         if ends_free_b:
@@ -308,20 +315,35 @@ def _wavefront_tb_codes(
     flat = jnp.moveaxis(dirs, 0, 1).reshape(B, T * (N + 1))
 
     def tb_step(carry, _):
-        i, j = carry
+        i, j, prev_op = carry
         active = (i > 0) if ends_free_b else ((i > 0) | (j > 0))
         d = i + j
         idx = jnp.clip((d - 1) * (N + 1) + j, 0, T * (N + 1) - 1)
-        op = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(
+        mask = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(
             jnp.int32
+        )
+        diag_op = jnp.where((mask & 8) != 0, OP_EQ, OP_X)
+        # op-continuation first (coalesces gap runs), else diag > up > left
+        op = jnp.where(
+            (prev_op == OP_INS) & ((mask & 2) != 0),
+            OP_INS,
+            jnp.where(
+                (prev_op == OP_DEL) & ((mask & 4) != 0),
+                OP_DEL,
+                jnp.where(
+                    (mask & 1) != 0,
+                    diag_op,
+                    jnp.where((mask & 2) != 0, OP_INS, OP_DEL),
+                ),
+            ),
         )
         op = jnp.where(active, op, OP_STOP)
         di = ((op == OP_EQ) | (op == OP_X) | (op == OP_INS)).astype(jnp.int32)
         dj = ((op == OP_EQ) | (op == OP_X) | (op == OP_DEL)).astype(jnp.int32)
-        return (i - di, j - dj), op.astype(jnp.uint8)
+        return (i - di, j - dj, op), op.astype(jnp.uint8)
 
-    (_, _), ops_rev = jax.lax.scan(
-        tb_step, (lens_a, end_j), None, length=T
+    (_, _, _), ops_rev = jax.lax.scan(
+        tb_step, (lens_a, end_j, jnp.zeros_like(lens_a)), None, length=T
     )
     ops_rev = jnp.transpose(ops_rev)  # [B, T], end -> start order
     nsteps = jnp.sum((ops_rev != OP_STOP).astype(jnp.int32), axis=1)

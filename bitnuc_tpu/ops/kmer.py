@@ -150,6 +150,11 @@ def count_kmers_dense(
 
 
 MAX_MXU_K = 8  # matmul histogram: FLOPs scale as 4^k * N, wins up to ~k=8
+# the Pallas VMEM histogram extends one k further (1 MB f32 accumulator at
+# k=9; measured 257 vs 131 Mkmers/s scatter same-run — benchmarks/
+# probe_k910.py). k=10 measured NEGATIVE (82 vs 130: 4^10 MXU FLOPs/key
+# outgrow the scatter), so the scatter keeps k >= 10.
+MAX_PALLAS_HIST_K = 9
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
@@ -215,11 +220,12 @@ def count_kmers_dense_pallas(
 ) -> jax.Array:
     """Dense histogram via the Pallas MXU kernel (one-hots never leave VMEM;
     HBM traffic is 4 bytes/window vs ~512 for the XLA matmul lowering).
-    See ops/pallas/histogram.py."""
-    assert k <= MAX_MXU_K
+    See ops/pallas/histogram.py. k <= MAX_PALLAS_HIST_K (= 9; the fused
+    from-words path additionally needs k <= MAX_MXU_K)."""
+    assert k <= MAX_PALLAS_HIST_K
     from .pallas import histogram
 
-    if not canonical and base_valid is None and not interpret:
+    if k <= MAX_MXU_K and not canonical and base_valid is None and not interpret:
         # fully fused: window keys generated in VMEM from the packed words
         # (no XLA key materialization; +6% end-to-end and ~8 B/base less
         # HBM traffic, docs/DESIGN.md). Compiled mode only: the 16x8
@@ -529,9 +535,14 @@ def count_kmers_reads(
     containing an invalid/ambiguous base (N handling) instead of erroring.
     """
     if mode == "auto":
+        from .. import config
+
         if k > MAX_DENSE_K:
             mode = "runs"
-        elif k <= MAX_MXU_K and jax.default_backend() == "tpu":
+        elif jax.default_backend() == "tpu" and (
+            k <= MAX_MXU_K
+            or (k <= MAX_PALLAS_HIST_K and config.use_pallas())
+        ):
             mode = "mxu"  # scatter serializes on TPU; CPU scatter is fine
         else:
             mode = "dense"
@@ -547,6 +558,8 @@ def count_kmers_reads(
                 interpret=config.pallas_interpret(),
                 base_valid=base_valid,
             )
+        if k > MAX_MXU_K:  # k=9 is Pallas-only; XLA falls back to scatter
+            return count_kmers_dense(words, lengths, k, canonical, base_valid)
         return count_kmers_dense_mxu(words, lengths, k, canonical, base_valid)
     if mode == "dense":
         return count_kmers_dense(words, lengths, k, canonical, base_valid)

@@ -27,27 +27,36 @@ ROWS = 8
 COLS = 512  # keys per sub-row; ROWS*COLS keys per grid step
 
 
-def _hist_kernel(keys_ref, out_ref, *, k: int, n_hi: int, n_lo: int):
+def _cols_for(k: int) -> int:
+    """Keys per sub-row per grid step. Past k=8 the [n_hi, n_lo] f32
+    accumulator grows (1 MB at k=9, 4 MB at k=10) and the per-iteration
+    one-hot tiles [COLS, n_hi/n_lo] must narrow to stay inside the 16 MB
+    scoped-vmem budget alongside it."""
+    return 512 if k <= 8 else (256 if k == 9 else 128)
+
+
+def _hist_kernel(keys_ref, out_ref, *, k: int, n_hi: int, n_lo: int,
+                 cols: int):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    keys = keys_ref[:]  # [ROWS, COLS] int32
+    keys = keys_ref[:]  # [ROWS, cols] int32
     # digit split uses the LOGICAL k-bit low digit; n_hi/n_lo are only the
     # (possibly lane-padded) one-hot widths
     hi = keys >> k
     lo = keys & ((1 << k) - 1)
 
     acc = jnp.zeros((n_hi, n_lo), jnp.float32)
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (COLS, n_hi), 1)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (COLS, n_lo), 1)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (cols, n_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (cols, n_lo), 1)
     for r in range(ROWS):
-        h = hi[r, :][:, None]  # [COLS, 1]
+        h = hi[r, :][:, None]  # [cols, 1]
         l = lo[r, :][:, None]
-        a = (h == iota_hi).astype(jnp.bfloat16)  # [COLS, n_hi]
-        b = (l == iota_lo).astype(jnp.bfloat16)  # [COLS, n_lo]
+        a = (h == iota_hi).astype(jnp.bfloat16)  # [cols, n_hi]
+        b = (l == iota_lo).astype(jnp.bfloat16)  # [cols, n_lo]
         acc = acc + jax.lax.dot_general(
             a,
             b,
@@ -232,9 +241,10 @@ def histogram_from_keys(
     f32 accumulation is exact only below 2^24 per bin, so keys are processed
     in <=2^22-key slabs (a bin can gain at most the slab size per kernel
     call) with int32 accumulation across slabs — a poly-A batch cannot
-    silently undercount.
+    silently undercount. k <= 10: the f32 accumulator is 4 MB of VMEM at
+    k=10 (with narrowed key tiles, _cols_for); k=11 would need 16 MB.
     """
-    assert 1 <= k <= 8
+    assert 1 <= k <= 10
     SLAB = 1 << 22
     if keys.shape[0] > SLAB:
         total = None
@@ -252,17 +262,18 @@ def histogram_from_keys(
     N = keys.shape[0]
     if N == 0:  # a 0-step grid would return an uninitialized buffer
         return jnp.zeros(4**k, jnp.int32)
-    per = ROWS * COLS
+    cols = _cols_for(k)
+    per = ROWS * cols
     Np = -(-N // per) * per
     keys = jnp.pad(keys, (0, Np - N), constant_values=4**k)
-    keys2d = keys.reshape(Np // COLS, COLS)
+    keys2d = keys.reshape(Np // cols, cols)
 
     grid = (Np // per,)
     hist2d = pl.pallas_call(
-        partial(_hist_kernel, k=k, n_hi=n_hi_p, n_lo=n_lo_p),
+        partial(_hist_kernel, k=k, n_hi=n_hi_p, n_lo=n_lo_p, cols=cols),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROWS, COLS), lambda j: (j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((ROWS, cols), lambda j: (j, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
             (n_hi_p, n_lo_p), lambda j: (0, 0), memory_space=pltpu.VMEM

@@ -99,6 +99,7 @@ def count_kmers_sorted_sharded(
     mesh: Mesh,
     axis: str = "data",
     canonical: bool = False,
+    base_valid=None,
 ):
     """Sparse (sorted) k-mer counting over a sharded batch, any k <= 32.
 
@@ -108,25 +109,33 @@ def count_kmers_sorted_sharded(
     keys — the dense psum path is cheaper whenever 4^k fits in memory.
     Returns replicated (lo, hi, counts, n_unique) in RUN-START layout
     (ops.kmer.count_kmers_runs contract; ops.kmer.compact_runs densifies).
+    base_valid: optional [B, L] bool sharded alongside (N-skip windows).
     """
 
-    def local(words_loc, lengths_loc):
+    def local(words_loc, lengths_loc, *bv_loc):
         # scatter-free runs engine locally; run-start layout merges fine
         # because zero-count (non-start / sentinel) rows fold into the tail
         lo, hi, counts, _ = kmer_ops.count_kmers_runs(
-            words_loc, lengths_loc, k, canonical
+            words_loc, lengths_loc, k, canonical,
+            base_valid=bv_loc[0] if bv_loc else None,
         )
         return _allgather_merge_sorted(lo, hi, counts, axis)
+
+    in_specs = [P(axis, None), P(axis)]
+    args = [words, lengths]
+    if base_valid is not None:
+        in_specs.append(P(axis, None))
+        args.append(base_valid)
 
     # every device computes the identical merge from the all_gathered lists;
     # that replication isn't statically inferable, hence check_vma=False
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
-    )(words, lengths)
+    )(*args)
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "axis", "canonical"))

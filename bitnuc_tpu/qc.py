@@ -37,6 +37,65 @@ for _i, _b in enumerate(b"ACGT"):
     _SYM[_b | 0x20] = _i  # lower case
 
 
+def _fold_jit_build():
+    """One fused jitted batch fold (scatter-free): per-cycle base counts as
+    5 masked reduces, per-cycle quality histogram as _QMAX masked reduces,
+    mean-q / GC histograms as one-hot reduces over the read axis. Replaces
+    the numpy LUT-gather + flat-bincount fold, which profiled at ~7
+    Mbases/s (the gathers and int temporaries, not the bincounts)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fold(ascii_arr, quals, lens):
+        R, L = ascii_arr.shape
+        lens = lens.astype(jnp.int32)
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        in_read = pos < lens[:, None]
+        lower = ascii_arr | jnp.uint8(0x20)
+        sym = jnp.where(
+            lower == ord("a"), 0,
+            jnp.where(lower == ord("c"), 1,
+                      jnp.where(lower == ord("g"), 2,
+                                jnp.where(lower == ord("t"), 3, 4))),
+        ).astype(jnp.int32)
+        base_by_cycle = jnp.stack(
+            [
+                jnp.sum(in_read & (sym == s), axis=0, dtype=jnp.int32)
+                for s in range(5)
+            ],
+            axis=-1,
+        )  # [L, 5]
+        phred = jnp.clip(quals, 33, 33 + _QMAX - 1).astype(jnp.int32) - 33
+        oh_q = (phred[:, :, None] == jnp.arange(_QMAX, dtype=jnp.int32)) & (
+            in_read[:, :, None]
+        )
+        qual_by_cycle = jnp.sum(oh_q, axis=0, dtype=jnp.int32)  # [L, QMAX]
+        span = jnp.maximum(lens, 1)
+        qsum = jnp.sum(jnp.where(in_read, phred, 0), axis=1)
+        mean_q = jnp.clip(
+            jnp.round(qsum / span).astype(jnp.int32), 0, _QMAX - 1
+        )
+        mean_q_hist = jnp.sum(
+            mean_q[:, None] == jnp.arange(_QMAX, dtype=jnp.int32),
+            axis=0, dtype=jnp.int32,
+        )
+        gc = jnp.sum(in_read & ((sym == 1) | (sym == 2)), axis=1)
+        gc_pct = jnp.clip(
+            jnp.round(100.0 * gc / span).astype(jnp.int32), 0, 100
+        )
+        gc_hist = jnp.sum(
+            gc_pct[:, None] == jnp.arange(101, dtype=jnp.int32),
+            axis=0, dtype=jnp.int32,
+        )
+        return base_by_cycle, qual_by_cycle, mean_q_hist, gc_hist
+
+    return fold
+
+
+_FOLD_JIT = None
+
+
 class _Acc:
     """Growable-width per-cycle accumulators."""
 
@@ -61,29 +120,66 @@ class _Acc:
         self.base_by_cycle, self.qual_by_cycle = b, q
         self.width = width
 
-    def fold(self, ascii_arr: np.ndarray, quals: np.ndarray, lens: np.ndarray):
+    def fold(self, ascii_arr: np.ndarray, quals: np.ndarray, lens: np.ndarray,
+             use_jax=None):
         R, L = ascii_arr.shape
         if R == 0:
             return
         self._grow(L)
         lens = np.asarray(lens, np.int64)
-        pos = np.arange(L, dtype=np.int64)[None, :]
-        in_read = pos < lens[:, None]
+        if use_jax is None:
+            # measured on this host (round 3): the int32-key numpy fold
+            # runs 21 Mbases/s vs 10.6 for the jitted one-hot fold on
+            # XLA:CPU (the 64-wide one-hot reduce loses to bincount), and
+            # quality bytes are host-resident by design — numpy is the
+            # default; the jitted fold stays for TPU-resident pipelines
+            # and as a second implementation for parity tests.
+            use_jax = False
+        if use_jax:
+            import jax.numpy as jnp
 
-        sym = _SYM[ascii_arr]
-        key = (pos * 5 + sym)[in_read]
-        self.base_by_cycle[:L] += np.bincount(key, minlength=L * 5).reshape(
-            L, 5
+            global _FOLD_JIT
+            if _FOLD_JIT is None:
+                _FOLD_JIT = _fold_jit_build()
+            b, q, mh, gh = _FOLD_JIT(
+                jnp.asarray(ascii_arr), jnp.asarray(quals),
+                jnp.asarray(lens.astype(np.int32)),
+            )
+            self.base_by_cycle[:L] += np.asarray(b, np.int64)
+            self.qual_by_cycle[:L] += np.asarray(q, np.int64)
+            self.mean_q_hist += np.asarray(mh, np.int64)
+            self.gc_hist += np.asarray(gh, np.int64)
+            self.reads += R
+            self.bases += int(lens.sum())
+            lo = int(lens.min())
+            self.min_len = lo if self.min_len is None else min(self.min_len, lo)
+            self.max_len = max(self.max_len, int(lens.max()))
+            return
+        pos32 = np.arange(L, dtype=np.int32)[None, :]
+        in_read = pos32 < lens[:, None]
+
+        # int32 keys + sink slot instead of boolean compress: the [in_read]
+        # fancy-index materialized two element-wise compressions per batch
+        # and dominated qc_profile wall (round-3 profile: 7 Mbases/s -> the
+        # where+bincount form runs the whole fold at ~60)
+        sym = _SYM[ascii_arr].astype(np.int32)
+        sink_b = np.int32(L * 5)
+        key = np.where(in_read, pos32 * 5 + sym, sink_b)
+        self.base_by_cycle[:L] += np.bincount(
+            key.ravel(), minlength=L * 5 + 1
+        )[: L * 5].reshape(L, 5)
+
+        phred = (
+            np.clip(quals, 33, 33 + _QMAX - 1).astype(np.int32) - 33
         )
-
-        phred = np.clip(quals.astype(np.int64) - 33, 0, _QMAX - 1)
-        qkey = (pos * _QMAX + phred)[in_read]
+        sink_q = np.int32(L * _QMAX)
+        qkey = np.where(in_read, pos32 * _QMAX + phred, sink_q)
         self.qual_by_cycle[:L] += np.bincount(
-            qkey, minlength=L * _QMAX
-        ).reshape(L, _QMAX)
+            qkey.ravel(), minlength=L * _QMAX + 1
+        )[: L * _QMAX].reshape(L, _QMAX)
 
         span = np.maximum(lens, 1)
-        qsum = np.where(in_read, phred, 0).sum(axis=1)
+        qsum = np.where(in_read, phred, 0).sum(axis=1, dtype=np.int64)
         mean_q = np.clip(
             np.rint(qsum / span).astype(np.int64), 0, _QMAX - 1
         )
@@ -164,18 +260,27 @@ def qc_profile(path, batch_reads: int = 65536) -> dict:
     """Stream a FASTQ file into a FastQC-style QC report dict (see module
     docstring for the schema). Bounded memory at any file size: records
     fold in `batch_reads` batches."""
+    from . import native
     from .filters import _iter_record_batches
 
     acc = _Acc()
-    for _, seqs, quals in _iter_record_batches(path, batch_reads):
-        lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
-        L = max(int(lens.max()), 1) if len(seqs) else 1
-        a = np.zeros((len(seqs), L), np.uint8)
-        q = np.zeros((len(seqs), L), np.uint8)
-        for i, (s, qq) in enumerate(zip(seqs, quals)):
-            a[i, : len(s)] = np.frombuffer(s, np.uint8)
-            q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
-        acc.fold(a, q, lens)
+    if native.available():
+        from . import io as bnio
+
+        for _, a, q, lens, _, _ in bnio.iter_fastq_record_batches(
+            path, batch_reads
+        ):
+            acc.fold(a, q, lens.astype(np.int64))
+    else:
+        for _, seqs, quals in _iter_record_batches(path, batch_reads):
+            lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+            L = max(int(lens.max()), 1) if len(seqs) else 1
+            a = np.zeros((len(seqs), L), np.uint8)
+            q = np.zeros((len(seqs), L), np.uint8)
+            for i, (s, qq) in enumerate(zip(seqs, quals)):
+                a[i, : len(s)] = np.frombuffer(s, np.uint8)
+                q[i, : len(qq)] = np.frombuffer(qq, np.uint8)
+            acc.fold(a, q, lens)
 
     per_cycle = _per_cycle_rows(acc)
     qh = acc.mean_q_hist

@@ -126,7 +126,8 @@ def test_traced_params_do_not_recompile():
 
 def _ops_oracle(a: bytes, b: bytes, mismatch: int, gap: int, fit: bool):
     """Full-matrix DP + traceback with the device's exact tie preference
-    (diag > up > left at each cell; fit end_j ties to the smallest j).
+    (CONTINUE the current op when it ties — gap runs coalesce — else
+    diag > up > left; fit end_j ties to the smallest j).
     Returns (cost, end_j, ops list of OP_* codes in forward order)."""
     m, n = len(a), len(b)
     D = np.zeros((m + 1, n + 1), np.int64)
@@ -144,6 +145,7 @@ def _ops_oracle(a: bytes, b: bytes, mismatch: int, gap: int, fit: bool):
     else:
         end_j, cost = n, int(D[m, n])
     i, j, ops = m, end_j, []
+    prev = None
     while True:
         if fit and i == 0:
             break
@@ -155,13 +157,21 @@ def _ops_oracle(a: bytes, b: bytes, mismatch: int, gap: int, fit: bool):
             op = align.OP_DEL
         else:
             sub = 0 if a[i - 1] == b[j - 1] else mismatch
-            if D[i, j] == D[i - 1, j - 1] + sub:
+            diag_ok = D[i, j] == D[i - 1, j - 1] + sub
+            up_ok = D[i, j] == D[i - 1, j] + gap
+            left_ok = D[i, j] == D[i, j - 1] + gap
+            if prev == align.OP_INS and up_ok:
+                op = align.OP_INS
+            elif prev == align.OP_DEL and left_ok:
+                op = align.OP_DEL
+            elif diag_ok:
                 op = align.OP_EQ if a[i - 1] == b[j - 1] else align.OP_X
-            elif D[i, j] == D[i - 1, j] + gap:
+            elif up_ok:
                 op = align.OP_INS
             else:
                 op = align.OP_DEL
         ops.append(op)
+        prev = op
         if op in (align.OP_EQ, align.OP_X, align.OP_INS):
             i -= 1
         if op in (align.OP_EQ, align.OP_X, align.OP_DEL):

@@ -309,3 +309,48 @@ def test_write_gfa_circular_tag(tmp_path):
     lines = p.read_text().splitlines()
     assert lines[1] == "S\tutg000001\tACGTA\tLN:i:5"
     assert lines[2] == "S\tutg000002\tGTACG\tLN:i:5\tCR:i:1"
+
+
+def test_assemble_reads_sharded_spectrum_equals_local():
+    """Mesh-built spectrum (count_kmers_sorted_sharded) feeding the host
+    compaction must reproduce the local assemble_reads output exactly."""
+    import jax
+    import pytest
+
+    from bitnuc_tpu.sequence import PackedReads
+    from bitnuc_tpu.ops.codec import validity_mask
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.make_mesh((8, ), ("data", ))
+    rng = np.random.default_rng(31)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 5000)
+    reads_arr = []
+    for rep in range(3):
+        for s in range(0, 4900, 10):
+            reads_arr.append(genome[s : s + 100].tobytes())
+    # 1471 reads: NOT a device multiple (exercises shard padding)
+    pr = PackedReads.from_ascii(reads_arr)
+    local = assemble.assemble_reads(pr, 21, min_count=2)
+    sharded = assemble.assemble_reads(pr, 21, min_count=2, mesh=mesh)
+    assert sharded == local
+    assert len(local[0]) >= 1
+    top = local[0][0]
+    g = genome.tobytes()
+    assert top in g or assemble.rc_ascii(top) in g
+
+    # with Ns + base_valid through the sharded path
+    noisy = [bytearray(r) for r in reads_arr[:400]]
+    for i, r in enumerate(noisy):
+        if i % 7 == 0:
+            r[i % len(r)] = ord("N")
+    noisy = [bytes(r) for r in noisy]
+    pn = PackedReads.from_ascii(noisy, validate=False)
+    ascii_arr = np.vstack(
+        [np.frombuffer(r.ljust(112, b"\0"), np.uint8) for r in noisy]
+    )
+    bv = np.asarray(validity_mask(ascii_arr, pn.lengths))
+    local_n = assemble.assemble_reads(pn, 21, min_count=2, base_valid=bv)
+    shard_n = assemble.assemble_reads(pn, 21, min_count=2, base_valid=bv,
+                                      mesh=mesh)
+    assert shard_n == local_n

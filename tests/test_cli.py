@@ -579,3 +579,57 @@ def test_cli_map_devices_equal(tmp_path, capsys, rng):
     one = _cli_out(capsys, base)
     eight = _cli_out(capsys, base + ["--devices", "8"])
     assert one == eight and len(one.strip().splitlines()) == 13
+
+
+def test_cli_map_cigar_tag(tmp_path, capsys, rng):
+    ref = random_seq(rng, 2500).upper()
+    tp = _write_fasta(tmp_path / "cg_ref.fa", [ref])
+    reads = [ref[100:200], ref[300:340] + ref[343:403]]  # exact + 3bp del
+    qp = _write_fastq(tmp_path / "cg_reads.fq", reads)
+    assert cli.main(["map", tp, qp, "-k", "13", "-w", "8"]) == 0
+    rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2
+    tags = {f.split(":", 2)[0]: f.split(":", 2)[2] for r in rows
+            for f in r[12:]}
+    assert rows[0][12] == "cg:Z:100="
+    cg1 = rows[1][12]
+    assert cg1.startswith("cg:Z:") and cg1.count("D") >= 1
+    # --no-cigar drops the tag
+    assert cli.main(["map", tp, qp, "-k", "13", "-w", "8", "--no-cigar"]) == 0
+    rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(len(r) == 12 for r in rows)
+
+
+def test_cli_call_cigar_vcf_indels(tmp_path, capsys, rng):
+    """End-to-end: call --cigar --vcf recovers a planted 3bp deletion as a
+    VCFv4.2 deletion record at the exact 1-based coordinate."""
+    ref = random_seq(rng, 2400).upper()
+    DEL_AT, DEL_LEN = 1101, 3
+    reads = []
+    for i in range(100):
+        s = 23 * i + 5
+        r = ref[s : s + 120]
+        if s < DEL_AT - 10 and s + 120 > DEL_AT + DEL_LEN + 10:
+            r = ref[s : DEL_AT] + ref[DEL_AT + DEL_LEN : s + 120 + DEL_LEN]
+        elif s + 120 > DEL_AT - 10 and s < DEL_AT + DEL_LEN + 10:
+            continue  # homozygous: every covering read carries the deletion
+        reads.append(r[:120])
+    tp = _write_fasta(tmp_path / "ind_ref.fa", [ref])
+    qp = _write_fastq(tmp_path / "ind_reads.fq", reads)
+    assert cli.main(["call", tp, qp, "-k", "13", "-w", "8", "--cigar",
+                     "--vcf"]) == 0
+    out = capsys.readouterr().out
+    recs = [l.split("\t") for l in out.splitlines() if not l.startswith("#")]
+    dels = [r for r in recs if "TYPE=DEL" in r[7]]
+    assert len(dels) == 1, recs
+    r = dels[0]
+    # equal-cost placements may shift within repeat context; the record
+    # must be SEMANTICALLY the planted deletion: applying it to the
+    # reference reproduces the read haplotype
+    pos1 = int(r[1])
+    assert abs(pos1 - DEL_AT) <= DEL_LEN + 1, r
+    applied = ref[: pos1 - 1] + r[4].encode() + ref[pos1 - 1 + len(r[3]):]
+    planted = ref[:DEL_AT] + ref[DEL_AT + DEL_LEN:]
+    assert applied == planted, r
+    # no substitution artifacts
+    assert not [x for x in recs if "TYPE" not in x[7]], recs

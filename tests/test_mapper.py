@@ -427,3 +427,68 @@ def test_map_pairs_vs_naive_rule_fuzz(rng):
             assert out["insert"][i] == re_ - fs
         else:
             assert out["insert"][i] == -1
+
+
+# ---------------------------------------------------------------------------
+# traceback_cigars: per-read CIGARs reproduce the mapper's costs exactly
+# ---------------------------------------------------------------------------
+
+
+def test_traceback_cigars_planted(rng):
+    from bitnuc_tpu.ops import align
+    from bitnuc_tpu import assemble
+
+    ref = random_seq(rng, 4000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    reads, kinds = [], []
+    for i in range(24):
+        s = 57 * i + 20
+        r = ref[s : s + 100]
+        kind = i % 4
+        if kind == 1:  # 3bp deletion vs reference
+            r = ref[s : s + 40] + ref[s + 43 : s + 103]
+        elif kind == 2:  # 2bp insertion
+            r = ref[s : s + 50] + b"CA" + ref[s + 50 : s + 98]
+        elif kind == 3:  # reverse strand exact
+            r = assemble.rc_ascii(r)
+        reads.append(r)
+        kinds.append(kind)
+    pr = PackedReads.from_ascii(reads)
+    res = mapper.map_reads(idx, pr)
+    assert res["mapped"].all()
+    tb = mapper.traceback_cigars(idx, pr, res, chunk=16)
+    for i, kind in enumerate(kinds):
+        # the traceback's global alignment over the exact mapped window
+        # must reproduce the mapper's fit cost
+        assert tb["tb_cost"][i] == res["cost"][i], (i, kind)
+        cig = tb["cigar"][i]
+        row = tb["ops"][i]
+        n_del = sum(1 for o in row if o == align.OP_DEL)
+        n_ins = sum(1 for o in row if o == align.OP_INS)
+        n_x = sum(1 for o in row if o == align.OP_X)
+        if kind == 0 or kind == 3:
+            assert cig == "100=", (i, cig)
+        elif kind == 1:  # equal-cost placements may split the event run,
+            # but the op totals of the optimum are fixed
+            assert (n_del, n_ins, n_x) == (3, 0, 0) and res["cost"][i] == 3, (
+                i, cig)
+        else:
+            assert (n_del, n_ins, n_x) == (0, 2, 0) and res["cost"][i] == 2, (
+                i, cig)
+        # ops replay: query-consuming ops count == read length
+        q = sum(1 for o in row if o in (align.OP_EQ, align.OP_X, align.OP_INS))
+        b = sum(1 for o in row if o in (align.OP_EQ, align.OP_X, align.OP_DEL))
+        assert q == len(reads[i])
+        assert b == res["ref_end"][i] - res["ref_start"][i]
+
+
+def test_traceback_cigars_unmapped_row(rng):
+    ref = random_seq(rng, 2000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    junk = random_seq(rng, 80).upper()
+    pr = PackedReads.from_ascii([ref[100:200], junk])
+    res = mapper.map_reads(idx, pr, min_seeds=3)
+    tb = mapper.traceback_cigars(idx, pr, res)
+    assert tb["cigar"][0] == "100="
+    if not res["mapped"][1]:
+        assert tb["cigar"][1] is None

@@ -223,3 +223,20 @@ def test_fused_words_histogram_column_slabbing(rng, monkeypatch):
             ph.histogram_from_words(r.words, r.lengths, k, interpret=True)
         )
         np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("k", [9])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_histogram_k9_parity(rng, k, canonical):
+    """The extended (k=9) Pallas VMEM histogram == the scatter path,
+    including canonical keys and N-skip masks (interpret mode on CPU)."""
+    from bitnuc_tpu.ops import kmer
+
+    words = jnp.asarray(rng.integers(0, 2**32, (24, 12), np.uint32))
+    lens = jnp.asarray(rng.integers(0, 192, 24).astype(np.int32))
+    bv = rng.random((24, 192)) < 0.97
+    got = kmer.count_kmers_dense_pallas(
+        words, lens, k, canonical, interpret=True, base_valid=bv
+    )
+    want = kmer.count_kmers_dense(words, lens, k, canonical, base_valid=bv)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

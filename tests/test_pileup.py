@@ -155,3 +155,75 @@ def test_pileup_counts_sharded_matches_local(rng):
         pileup.pileup_counts_sharded(*args, ref_len, mesh)
     )
     np.testing.assert_array_equal(sharded, local)
+
+
+# ---------------------------------------------------------------------------
+# indel-aware pileup + caller (cigar=True)
+# ---------------------------------------------------------------------------
+
+
+def test_pileup_ops_matches_gapless_for_clean_reads(rng):
+    ref = random_seq(rng, 2000).upper()
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    reads = PackedReads.from_ascii(
+        [ref[40 * i + 7 : 40 * i + 107] for i in range(30)]
+    )
+    res = mapper.map_reads(idx, reads)
+    assert res["mapped"].all()
+    tb = mapper.traceback_cigars(idx, reads, res)
+    keep = jnp.asarray(res["mapped"])
+    use_rc = jnp.asarray(res["strand"] == b"-")
+    rs = jnp.asarray(res["ref_start"], jnp.int32)
+    gapless = pileup.pileup_counts(
+        reads.words, reads.lengths, rs, use_rc, keep, idx.ref_len
+    )
+    counts, dels, ins = pileup.pileup_counts_ops(
+        reads.words, reads.lengths, rs, use_rc, keep,
+        jnp.asarray(tb["ops"]), idx.ref_len,
+    )
+    assert np.array_equal(np.asarray(counts), np.asarray(gapless))
+    assert int(np.asarray(dels).sum()) == 0
+    assert int(np.asarray(ins).sum()) == 0
+
+
+def test_caller_recovers_planted_indels(rng):
+    """The VERDICT r3 contract: a 3bp deletion (and a 2bp insertion)
+    planted in every read over its region must come out of the caller as
+    indel events at the exact reference coordinates."""
+    ref = random_seq(rng, 3000).upper()
+    DEL_AT, DEL_LEN = 1003, 3  # reads lack ref[1003:1006]
+    INS_AT = 2001              # reads carry an insertion before ref[2001]
+    # an inserted homopolymer of a base absent from the local context has
+    # a UNIQUE optimal placement (no equal-cost split/shift is possible)
+    free = set(b"ACGT") - set(ref[INS_AT - 1 : INS_AT + 2])
+    INS_SEQ = bytes([sorted(free)[0]]) * 2
+    reads = []
+    for i in range(120):
+        s = 23 * i + 10
+        r = ref[s : s + 120]
+        if s < DEL_AT - 10 and s + 120 > DEL_AT + DEL_LEN + 10:
+            r = ref[s : DEL_AT] + ref[DEL_AT + DEL_LEN : s + 120 + DEL_LEN]
+        elif s < INS_AT - 10 and s + 120 > INS_AT + 10:
+            r = ref[s : INS_AT] + INS_SEQ + ref[INS_AT : s + 120 - len(INS_SEQ)]
+        elif (s + 120 > DEL_AT - 10 and s < DEL_AT + DEL_LEN + 10) or (
+            s + 120 > INS_AT - 10 and s < INS_AT + 10
+        ):
+            continue  # homozygous events: drop reads overlapping but not
+            # spanning, so every covering read carries the variant
+        reads.append(r[:120])
+    pr = PackedReads.from_ascii(reads)
+    idx = mapper.MinimizerIndex.build(ref, k=13, w=8)
+    res = mapper.map_reads(idx, pr)
+    assert res["mapped"].all()
+    calls = pileup.call_variants(idx, pr, res, max_cost=8, min_depth=2,
+                                 min_frac=0.5, cigar=True)
+    # no substitution artifacts from indel misprojection
+    assert calls["variant_pos"].size == 0, calls["variant_pos"]
+    assert DEL_AT in calls["del_pos"].tolist()
+    j = calls["del_pos"].tolist().index(DEL_AT)
+    assert calls["del_len"][j] == DEL_LEN
+    assert calls["del_support"][j] >= 2
+    assert INS_AT in calls["ins_pos"].tolist()
+    jj = calls["ins_pos"].tolist().index(INS_AT)
+    assert calls["ins_seq"][jj] == INS_SEQ
+    assert calls["ins_support"][jj] >= 2
