@@ -706,7 +706,7 @@ def main():
             ("pairs_merged_per_sec_chip", bench_merge(), "pairs/s"),
             ("orf_bases_scanned_per_sec_chip", bench_orf(), "bases/s"),
             ("assembly_read_bases_per_sec", bench_assemble(), "bases/s"),
-            ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True, batch=65536), "bases/s"),
+            ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),
             ("fastq_pipeline_python_bases_per_sec", bench_pipeline(staged=False), "bases/s"),
             # same-run calibrations for the pipeline rows: the loader-only
             # drain is the transfer-state ceiling, the parse-only pass the

@@ -108,7 +108,8 @@ t_fit = amortized_seconds_per_call(fit_stage, make_fit)
 emit("stage_fit_extend", t_fit * 1e3, "ms/call")
 emit("stage_sum_reads_rate", batch / (t_seed + t_vote + t_fit) / 1e3,
      "Kreads/s")
-# context: elements touched per stage
-emit("seed_rows_sorted", float(idx.keys.shape[0] + 2 * batch * W * 16), "rows")
-emit("vote_elems_sorted", float(2 * batch * W * 16 * idx.pos.shape[1]), "elems")
+# context: elements touched per stage (post-compaction S slots/read)
+S = mapper._seed_cap(W * 16, idx.w)
+emit("seed_rows_sorted", float(idx.keys.shape[0] + 2 * batch * S), "rows")
+emit("vote_elems_sorted", float(2 * batch * S * idx.pos.shape[1]), "elems")
 emit("xor_copy_64_end", bench.bench_memcpy(64), "GB/s")

@@ -294,16 +294,41 @@ class MinimizerIndex:
 # --------------------------------------------------------------------------
 
 
+def _seed_cap(L: int, w: int) -> int:
+    """Compacted seed slots per read: ~2x the expected minimizer count
+    2L/(w+1) (a +7-sigma cap for random sequence — the practical analog
+    of minimap2's seed caps), 32-aligned, never above L."""
+    want = 4 * L // (w + 1) + 8
+    return max(32, min(L, -(-want // 32) * 32))
+
+
 def _seed_anchors(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
-    """Seed anchors for every read: (rpos [B, L, max_occ] int32 with -1
-    where there is no hit, qpos [B, L] int32, hit [B, L, max_occ] bool).
-    Pair keys throughout (hi == 0 for k <= 15)."""
+    """Seed anchors for every read: (rpos [B, S, max_occ] int32 with -1
+    where there is no hit, qpos [B, S] int32, hit [B, S, max_occ] bool),
+    S = _seed_cap(L, w). Pair keys throughout (hi == 0 for k <= 15).
+
+    Selected minimizer slots COMPACT to the front of each row first (one
+    [B, L] row sort keyed on slot index — selected positions are strictly
+    increasing, so query-position order survives for the chaining DP):
+    ~91%% of slots are non-minimizer sentinels at (k=15, w=10), and the
+    compaction shrinks everything downstream — the join sort, the cummax
+    fills, the unsort, the occurrence gather, and the vote — by L/S
+    (probe_map2 measured those as the dominant mapping costs)."""
     B = words.shape[0]
     vlo, vhi, pos, valid = _seed_keys(words, lengths, k, w)
     sel = kmer_ops.minimizer_sketch_mask(pos, valid)
     qlo = jnp.where(sel, vlo, _SENT)  # [B, L]
     qhi = jnp.where(sel, vhi, _SENT)
     qp = jnp.where(sel, pos, 0).astype(jnp.int32)
+    L = qlo.shape[-1]
+    S = _seed_cap(L, w)
+    if S < L:
+        okey = jnp.where(sel, jnp.arange(L, dtype=jnp.int32), jnp.int32(L))
+        _, qlo, qhi, qp = jax.lax.sort(
+            (okey, qlo, qhi, qp), num_keys=1
+        )
+        qlo, qhi, qp = qlo[:, :S], qhi[:, :S], qp[:, :S]
+        sel = qlo != _SENT
     L = qlo.shape[-1]
     Q = B * L
     Nk = t_lo.shape[0]
@@ -319,9 +344,24 @@ def _seed_anchors(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
     orig = jnp.concatenate(
         [jnp.full(Nk, Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
     )
-    hi_s, lo_s, _, ptr_s, orig_s = jax.lax.sort(
-        (hi_all, lo_all, tag, ptr, orig), num_keys=3
-    )
+    if k <= 15:
+        # narrow keys (< 4^15 = 2^30) leave a spare bit: fold the
+        # table/query tag into it so the dominant join sort shrinks from
+        # 5 arrays / 3 keys to 3 arrays / 1 key (the sort IS the seed
+        # stage's cost, benchmarks/probe_map.py). The sentinel (no-
+        # minimizer slot) keeps its all-ones value and still sorts last.
+        key_all = jnp.where(
+            lo_all == _SENT, _SENT, (lo_all << jnp.uint32(1)) | tag
+        )
+        key_s, ptr_s, orig_s = jax.lax.sort(
+            (key_all, ptr, orig), num_keys=1
+        )
+        lo_s = jnp.where(key_s == _SENT, _SENT, key_s >> jnp.uint32(1))
+        hi_s = jnp.zeros_like(lo_s)
+    else:
+        hi_s, lo_s, _, ptr_s, orig_s = jax.lax.sort(
+            (hi_all, lo_all, tag, ptr, orig), num_keys=3
+        )
 
     # table rows are distinct and ascending by (hi, lo), so "my key's
     # table row" is a monotone pointer forward-fill; it is a real hit iff
@@ -477,33 +517,23 @@ def _fit_extend(q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap):
     """Base-exact (cost, ref_start, ref_end) of each read fitted into the
     word-aligned reference window starting at word ws (Wwin words wide).
 
-    One [2B] batched fit: the forward pass and the reversed-operand pass
-    stack, so the wavefront scan's sequential steps are paid once (the
-    scan, not the FLOPs, is the extension bottleneck at batch scale). The
-    reversed half uses the LATE tie policy: forward ties pick the
-    leftmost placement's END, reversed-late ties pick the largest
-    reversed end = the leftmost placement's START — without it, tandem
-    repeats yield incoherent (even empty) intervals from the two passes.
+    ONE span-carrying fit pass (ops.align.fit_distance_span): start and
+    end come from the same optimal path by construction. This replaced
+    the round-2 stacked forward+reversed double fit — the wavefront scan
+    (the extension cost, probe_map.py: ~30 ms of the 59 ms call) ran over
+    2B rows there; the origin-carry costs ~30% extra per step on B rows,
+    a net ~35% cut, and tandem-repeat interval coherence no longer needs
+    the tie_late coupling (spans are single-path by construction).
     """
-    B = q_words.shape[0]
     ref_pad = jnp.concatenate([ref_words, jnp.zeros((Wwin,), jnp.uint32)])
     win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(ref_pad, (s,), (Wwin,))
     )(ws)
     wlen = jnp.clip(ref_len - ws * 16, 0, Wwin * 16).astype(jnp.int32)
-    cost2, endj2 = align_ops.fit_distance(
-        jnp.concatenate([q_words, _reverse_reads(q_words, lengths)]),
-        jnp.concatenate([lengths, lengths]),
-        jnp.concatenate([win, _reverse_reads(win, wlen)]),
-        jnp.concatenate([wlen, wlen]),
-        mismatch,
-        gap,
-        tie_late=jnp.concatenate(
-            [jnp.zeros((B,), bool), jnp.ones((B,), bool)]
-        ),
+    cost, startj, endj = align_ops.fit_distance_span(
+        q_words, lengths, win, wlen, mismatch, gap
     )
-    cost, endj, endj_rev = cost2[:B], endj2[:B], endj2[B:]
-    return cost, ws * 16 + (wlen - endj_rev), ws * 16 + endj
+    return cost, ws * 16 + startj, ws * 16 + endj
 
 
 def map_reads(

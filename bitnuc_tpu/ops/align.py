@@ -210,6 +210,91 @@ def fit_distance(
     )
 
 
+@jax.jit
+def fit_distance_span(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fitting alignment returning BOTH span ends in one pass:
+    (cost [B], start_j [B], end_j [B]).
+
+    Carries the path's row-0 entry column through the DP (the same
+    carry-the-origin trick as ops/chain.py), so start and end come from
+    ONE optimal path by construction — the stacked forward+reversed
+    double fit this replaces paid the wavefront scan twice and could
+    pick its end and start from different co-optimal paths without the
+    tie_late coupling. Ties: end_j = smallest optimal end (earliest
+    diagonal wins strictly); start_j = smallest start among optimal
+    paths to that end (min-propagation is exact DP). Mirrored by the
+    oracle in tests/test_align.py.
+    """
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    mismatch = jnp.asarray(mismatch, jnp.int32)
+    gap = jnp.asarray(gap, jnp.int32)
+    a = _codes(words_a, lens_a, _PAD_A)
+    b = _codes(words_b, lens_b, _PAD_B)
+    B, M = a.shape
+    N = b.shape[-1]
+    pos = jnp.arange(N + 1, dtype=jnp.int32)
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    m, n = lens_a[:, None], lens_b[:, None]
+
+    prev = jnp.where(pos == 0, 0, _BIG) * jnp.ones((B, 1), jnp.int32)
+    prev2 = jnp.full((B, N + 1), _BIG, jnp.int32)
+    s_prev = jnp.broadcast_to(pos, (B, N + 1))  # S[0, j] = j
+    s_prev2 = jnp.zeros((B, N + 1), jnp.int32)
+    fit0 = jnp.where(lens_a == 0, 0, _BIG)
+    endj0 = jnp.zeros((B,), jnp.int32)
+    startj0 = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, d):
+        prev, prev2, s_prev, s_prev2, fit, endj, startj = carry
+        a_diag = jax.lax.dynamic_slice_in_dim(arp, N + 1 + M - d, N + 1, -1)
+        sub = jnp.where(a_diag == bsh, 0, mismatch)
+        c_diag = _shift1(prev2, _BIG) + sub
+        c_up = prev + gap
+        c_left = _shift1(prev, _BIG) + gap
+        diag = jnp.minimum(jnp.minimum(c_diag, c_up), c_left)
+        s_diag = _shift1(s_prev2, _BIG)
+        s_up = s_prev
+        s_left = _shift1(s_prev, _BIG)
+        # min start over ALL candidates achieving the optimum
+        S = jnp.minimum(
+            jnp.minimum(
+                jnp.where(c_diag == diag, s_diag, _BIG),
+                jnp.where(c_up == diag, s_up, _BIG),
+            ),
+            jnp.where(c_left == diag, s_left, _BIG),
+        )
+        diag = jnp.where(pos == 0, d * gap, diag)
+        S = jnp.where(pos == 0, 0, S)
+        diag = jnp.where(pos == d, 0, diag)  # free b-prefix: D[0, j] = 0
+        S = jnp.where(pos == d, pos, S)  # a path entering at (0, j): S = j
+        jm = d - m
+        at = (pos == jm) & (jm >= 0) & (pos <= n)
+        v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+        st = jnp.min(jnp.where(at, S, _BIG), axis=-1)
+        better = v < fit  # strict: earliest (smallest) end wins ties
+        fit = jnp.minimum(fit, v)
+        endj = jnp.where(better, jnp.squeeze(jm, -1), endj)
+        startj = jnp.where(better, st, startj)
+        return (diag, prev, S, s_prev, fit, endj, startj), None
+
+    (prev, prev2, s_prev, s_prev2, fit, endj, startj), _ = jax.lax.scan(
+        step,
+        (prev, prev2, s_prev, s_prev2, fit0, endj0, startj0),
+        jnp.arange(1, M + N + 1, dtype=jnp.int32),
+    )
+    startj = jnp.where(fit < _BIG, jnp.minimum(startj, endj), 0)
+    return fit, startj, endj
+
+
 # ---------------------------------------------------------------------------
 # traceback: alignment operations + CIGAR
 # ---------------------------------------------------------------------------

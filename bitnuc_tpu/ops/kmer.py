@@ -221,11 +221,20 @@ def count_kmers_dense_pallas(
     """Dense histogram via the Pallas MXU kernel (one-hots never leave VMEM;
     HBM traffic is 4 bytes/window vs ~512 for the XLA matmul lowering).
     See ops/pallas/histogram.py. k <= MAX_PALLAS_HIST_K (= 9; the fused
-    from-words path additionally needs k <= MAX_MXU_K)."""
+    from-words path additionally needs k <= MAX_MXU_K).
+
+    The fused from-words kernel pads the word axis to its cw-column tiles;
+    on SHORT reads that padding is pure wasted MXU work (probe_pipeline2:
+    22.8 Mkmers/s fused vs 343 keys-path at [16384, 20] — 300bp FASTQ
+    shapes — while at W=1024 the fused path wins), so it only dispatches
+    when the padding overhead stays below 25%."""
     assert k <= MAX_PALLAS_HIST_K
     from .pallas import histogram
 
-    if k <= MAX_MXU_K and not canonical and base_valid is None and not interpret:
+    W = words.shape[-1]
+    cw = histogram._fused_cw(k) if k <= MAX_MXU_K else 0
+    fused_ok = k <= MAX_MXU_K and (-(-W // cw) * cw) * 4 <= 5 * W
+    if fused_ok and not canonical and base_valid is None and not interpret:
         # fully fused: window keys generated in VMEM from the packed words
         # (no XLA key materialization; +6% end-to-end and ~8 B/base less
         # HBM traffic, docs/DESIGN.md). Compiled mode only: the 16x8

@@ -276,3 +276,56 @@ def test_align_ops_codes_matches_words(rng):
     got = align.align_ops_codes(ca, la, cb, lb, 1, 1, ends_free_b=True)
     for w, g in zip(want, got):
         assert np.array_equal(np.asarray(w), np.asarray(g))
+
+
+def _fit_span_oracle(a: bytes, b: bytes, mismatch: int, gap: int):
+    """Full-DP oracle for fit_distance_span: D as usual (free b ends);
+    S[i][j] = min start column over optimal paths to (i, j)."""
+    m, n = len(a), len(b)
+    BIG = 1 << 30
+    D = np.zeros((m + 1, n + 1), np.int64)
+    D[1:, 0] = gap * np.arange(1, m + 1)
+    S = np.zeros((m + 1, n + 1), np.int64)
+    S[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(0, n + 1):
+            if j == 0:
+                S[i, 0] = 0
+                continue
+            sub = 0 if a[i - 1] == b[j - 1] else mismatch
+            cands = [
+                (D[i - 1, j - 1] + sub, S[i - 1, j - 1]),
+                (D[i - 1, j] + gap, S[i - 1, j]),
+                (D[i, j - 1] + gap, S[i, j - 1]),
+            ]
+            best = min(c for c, _ in cands)
+            D[i, j] = best
+            S[i, j] = min(s for c, s in cands if c == best)
+    end = int(np.argmin(D[m]))
+    return int(D[m, end]), int(S[m, end]), end
+
+
+@pytest.mark.parametrize("mismatch,gap", [(1, 1), (3, 2)])
+def test_fit_distance_span_oracle_fuzz(rng, mismatch, gap):
+    seqs_a, seqs_b = [], []
+    for _ in range(20):
+        seqs_a.append(random_seq(rng, int(rng.integers(0, 24))).upper())
+        seqs_b.append(random_seq(rng, int(rng.integers(0, 40))).upper())
+    # planted fits (incl. with indels) so real spans are covered
+    base = random_seq(rng, 60).upper()
+    seqs_a.append(base[17:44])
+    seqs_b.append(base)
+    seqs_a.append(base[10:25] + base[28:45])  # 3bp deletion
+    seqs_b.append(base)
+    cost, start, end = map(
+        np.asarray,
+        align.fit_distance_span(*_pairs(seqs_a, seqs_b), mismatch, gap),
+    )
+    for r, (a, b) in enumerate(zip(seqs_a, seqs_b)):
+        wc, ws, we = _fit_span_oracle(a, b, mismatch, gap)
+        assert (cost[r], start[r], end[r]) == (wc, ws, we), (r, a, b)
+    # span-fit cost must equal the classic fit cost everywhere
+    c2, e2 = map(np.asarray, align.fit_distance(*_pairs(seqs_a, seqs_b),
+                                                mismatch, gap))
+    assert np.array_equal(cost, c2)
+    assert np.array_equal(end, e2)
