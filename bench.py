@@ -480,6 +480,7 @@ def bench_map(batch=4096, read_len=150, genome_mb=4):
 
     reads = PackedReads.from_ascii(arr, lengths=np.full(batch, read_len, np.int32))
     t_keys = jnp.asarray(idx.keys)
+    t_hi = jnp.asarray(idx.keys_hi)
     t_pos = jnp.asarray(idx.pos)
     ref_words = jnp.asarray(idx.ref_words)
 
@@ -488,7 +489,7 @@ def bench_map(batch=4096, read_len=150, genome_mb=4):
         # operands are one of the compiler cheats the timing harness
         # exists to defeat (utils/timing.py docstring)
         perm = jax.random.permutation(key, batch)
-        return (reads.words[perm], reads.lengths[perm], t_keys, t_pos,
+        return (reads.words[perm], reads.lengths[perm], t_keys, t_hi, t_pos,
                 ref_words, jnp.full((), idx.ref_len, jnp.int32))
 
     fn = partial(
@@ -696,6 +697,7 @@ def main():
                 "base-cmp/s",
             ),
             ("kmers_counted_per_sec_chip_k8_mxu", bench_kmer(k=8, mode="mxu"), "kmers/s"),
+            ("kmers_counted_per_sec_chip_k9_mxu", bench_kmer(k=9, mode="mxu"), "kmers/s"),
             (
                 "kmers_counted_per_sec_chip_k21_sorted",
                 bench_kmer(k=21, mode="runs"),  # scatter-free sorted engine

@@ -692,10 +692,174 @@ def _ref_index(args, contigs):
     return idx, offsets
 
 
+def _load_raw_records(path):
+    """(seqs, quals_or_None) raw bytes for SAM SEQ/QUAL fields (PackedReads
+    cannot reproduce N/ambiguous bases)."""
+    from . import io as bnio
+
+    data = bnio._read_bytes(path)
+    if _sniff_format(path) == "fasta":
+        _, seqs = bnio._split_records_fasta(data)
+        return seqs, None
+    _, seqs, quals = bnio.split_records_fastq_full(data)
+    return seqs, quals
+
+
+def _sam_header(out, tnames, clens):
+    out.write("@HD\tVN:1.6\tSO:unknown\n")
+    for c, name in enumerate(tnames):
+        out.write(f"@SQ\tSN:{name.decode()}\tLN:{int(clens[c])}\n")
+    out.write("@PG\tID:bitnuc-tpu\tPN:bitnuc-tpu\tCL:map\n")
+
+
+def _emit_sam_paired(args, idx, tnames, clens, offsets, qnames1, reads1) -> int:
+    """Paired-end SAM: both mates map through ONE stacked dispatch
+    (mapper.map_pairs), records carry the full pair FLAG set (0x1 paired,
+    0x2 proper FR pair inside the insert window, 0x40/0x80 mate ordinal,
+    0x10/0x20 self/mate strand), RNEXT/PNEXT point at the mate, and TLEN
+    is the signed insert for proper pairs."""
+    import numpy as np
+
+    from . import mapper
+    from .assemble import rc_ascii
+    from .ops import align as align_mod
+
+    qnames2, reads2 = _read_any(args.paired, validate=False)
+    if len(qnames2) != len(qnames1):
+        raise SystemExit("--paired inputs differ in record count")
+    pres = mapper.map_pairs(
+        idx, reads1, reads2,
+        min_insert=args.min_insert, max_insert=args.max_insert,
+        min_seeds=args.min_seeds, mismatch=args.mismatch_cost,
+        gap=args.gap_cost, mesh=_build_mesh(args),
+    )
+    r1, r2 = pres["r1"], pres["r2"]
+    proper = pres["proper"]
+    mates = []
+    for path, qn, reads, res, first in (
+        (args.path, qnames1, reads1, r1, True),
+        (args.paired, qnames2, reads2, r2, False),
+    ):
+        seqs, quals = _load_raw_records(path)
+        tb = mapper.traceback_cigars(
+            idx, reads, res, mismatch=args.mismatch_cost, gap=args.gap_cost
+        )
+        cig_m = align_mod.cigars(tb["ops"], eqx=False)
+        mates.append((qn, seqs, quals, res, cig_m, first))
+
+    def locate(res, i):
+        s = int(res["ref_start"][i])
+        c = int(np.searchsorted(offsets, s, "right")) - 1
+        return c, s - int(offsets[c]) + 1
+
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        _sam_header(out, tnames, clens)
+        n = len(qnames1)
+        for i in range(n):
+            for (qn, seqs, quals, res, cig_m, first) in mates:
+                mate_res = r2 if first else r1
+                qname = qn[i].split()[0].decode()
+                seq = seqs[i]
+                qual = quals[i] if quals is not None else None
+                flag = 0x1 | (0x40 if first else 0x80)
+                if bool(proper[i]):
+                    flag |= 0x2
+                mapped = bool(res["mapped"][i])
+                mate_mapped = bool(mate_res["mapped"][i])
+                if not mapped:
+                    flag |= 0x4
+                if not mate_mapped:
+                    flag |= 0x8
+                rc = mapped and res["strand"][i] == b"-"
+                if rc:
+                    flag |= 0x10
+                    seq = rc_ascii(seq)
+                    qual = qual[::-1] if qual is not None else None
+                if mate_mapped and mate_res["strand"][i] == b"-":
+                    flag |= 0x20
+                if mapped:
+                    c, pos = locate(res, i)
+                    rname, mapq, cig = (
+                        tnames[c].decode(),
+                        min(60, 2 * int(res["support"][i])),
+                        cig_m[i],
+                    )
+                else:
+                    c, pos, rname, mapq, cig = -1, 0, "*", 0, "*"
+                if mate_mapped:
+                    mc, mpos = locate(mate_res, i)
+                    rnext = "=" if (mapped and mc == c) else tnames[mc].decode()
+                else:
+                    rnext, mpos = "*", 0
+                tlen = 0
+                if bool(proper[i]):
+                    ins = int(pres["insert"][i])
+                    tlen = ins if not rc else -ins
+                nm = f"\tNM:i:{int(res['cost'][i])}" if mapped else ""
+                out.write(
+                    f"{qname}\t{flag}\t{rname}\t{pos}\t{mapq}\t{cig}"
+                    f"\t{rnext}\t{mpos}\t{tlen}\t{seq.decode()}"
+                    f"\t{qual.decode() if qual is not None else '*'}{nm}\n"
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def _emit_sam(args, qnames, reads, res, tb, tnames, clens, offsets) -> int:
+    """SAM 1.6 emission for short-read mapping (the minimap2 -a analog):
+    mapped reads carry M/I/D CIGARs from the alignment traceback with
+    NM:i = unit-cost edit distance; '-'-strand reads store the reverse-
+    complemented SEQ and reversed QUAL (spec orientation); unmapped reads
+    emit FLAG 4 records. SEQ/QUAL come from the raw file bytes so N and
+    other ambiguous bases survive verbatim."""
+    import numpy as np
+
+    from .assemble import rc_ascii
+    from .ops import align as align_mod
+
+    seqs, quals = _load_raw_records(args.path)
+    cig_m = align_mod.cigars(tb["ops"], eqx=False)
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        _sam_header(out, tnames, clens)
+        for i, qn in enumerate(qnames):
+            qname = qn.split()[0].decode()
+            seq = seqs[i]
+            qual = quals[i] if quals is not None else None
+            if res["mapped"][i]:
+                rc = res["strand"][i] == b"-"
+                if rc:
+                    seq = rc_ascii(seq)
+                    qual = qual[::-1] if qual is not None else None
+                s = int(res["ref_start"][i])
+                c = int(np.searchsorted(offsets, s, "right")) - 1
+                pos = s - int(offsets[c]) + 1
+                mapq = min(60, 2 * int(res["support"][i]))
+                out.write(
+                    f"{qname}\t{16 if rc else 0}\t{tnames[c].decode()}"
+                    f"\t{pos}\t{mapq}\t{cig_m[i]}\t*\t0\t0\t{seq.decode()}"
+                    f"\t{qual.decode() if qual is not None else '*'}"
+                    f"\tNM:i:{int(res['cost'][i])}\n"
+                )
+            else:
+                out.write(
+                    f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq.decode()}"
+                    f"\t{qual.decode() if qual is not None else '*'}\n"
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_map(args) -> int:
     """Minimizer-index read mapping; PAF output (mapped reads only unless
-    --all). Multi-contig FASTA targets are indexed as one concatenation;
-    coordinates are converted back per contig on output."""
+    --all; --sam switches to SAM 1.6). Multi-contig FASTA targets are
+    indexed as one concatenation; coordinates are converted back per
+    contig on output."""
     import numpy as np
 
     from . import io as bnio
@@ -708,9 +872,20 @@ def cmd_map(args) -> int:
     idx, offsets = _ref_index(args, contigs)
 
     qnames, reads = _read_any(args.path, validate=False)  # N = mismatches
+    if getattr(args, "paired", None):
+        if not args.sam:
+            raise SystemExit("--paired needs --sam (pair FLAGs/TLEN are SAM "
+                             "semantics; run the mates separately for PAF)")
+        if args.long:
+            raise SystemExit("--paired is short-read mode only")
+        return _emit_sam_paired(args, idx, tnames, clens, offsets,
+                                qnames, reads)
     if args.long:
         if getattr(args, "devices", None) and args.devices > 1:
             raise SystemExit("--devices is not supported with --long yet")
+        if getattr(args, "sam", False):
+            raise SystemExit("--sam requires per-base CIGARs; use short-read "
+                             "mode (drop --long)")
         res = mapper.map_reads_long(
             idx, reads, min_chain=args.min_seeds, extend=args.extend
         )
@@ -766,12 +941,16 @@ def cmd_map(args) -> int:
         mesh=_build_mesh(args),
     )
     cigs = None
-    if not args.no_cigar:
-        cigs = mapper.traceback_cigars(
+    tb = None
+    if not args.no_cigar or args.sam:
+        tb = mapper.traceback_cigars(
             idx, reads, res,
             mismatch=args.mismatch_cost, gap=args.gap_cost,
-        )["cigar"]
+        )
+        cigs = tb["cigar"]
     qlens = np.asarray(reads.lengths)
+    if args.sam:
+        return _emit_sam(args, qnames, reads, res, tb, tnames, clens, offsets)
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
         for i, qn in enumerate(qnames):
@@ -1433,6 +1612,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-cigar", action="store_true",
                    help="skip the per-read alignment traceback (PAF rows "
                    "then carry no cg:Z: tag)")
+    p.add_argument("--sam", action="store_true",
+                   help="emit SAM 1.6 instead of PAF (short-read mode; "
+                   "M/I/D CIGARs, NM:i edit distance, FLAG-4 unmapped rows)")
+    p.add_argument("-2", "--paired", default=None, metavar="R2",
+                   help="mate FASTQ: paired-end SAM with proper-pair FLAGs, "
+                   "RNEXT/PNEXT and signed TLEN (requires --sam)")
+    p.add_argument("--min-insert", type=int, default=0)
+    p.add_argument("--max-insert", type=int, default=1000,
+                   help="proper-pair insert window (FR orientation)")
     p.add_argument("--out", default=None, help="write here instead of stdout")
     _add_devices_arg(p)
     p.set_defaults(fn=cmd_map)

@@ -633,3 +633,94 @@ def test_cli_call_cigar_vcf_indels(tmp_path, capsys, rng):
     assert applied == planted, r
     # no substitution artifacts
     assert not [x for x in recs if "TYPE" not in x[7]], recs
+
+
+def test_cli_map_sam(tmp_path, capsys, rng):
+    """SAM 1.6 output: header, coordinates, strand orientation of SEQ/QUAL,
+    M/I/D CIGARs with NM, FLAG-4 unmapped rows, Ns preserved verbatim."""
+    from bitnuc_tpu import assemble
+
+    ref = random_seq(rng, 2500).upper()
+    tp = _write_fasta(tmp_path / "sam_ref.fa", [ref])
+    exact = ref[100:200]
+    rc = assemble.rc_ascii(ref[300:400])
+    # N packs as code 0 ('A') via the arithmetic map: overwrite a non-A
+    # base so it registers as a mismatch in NM
+    n_at = next(j for j in range(10, 90) if ref[500 + j : 501 + j] != b"A")
+    with_n = bytearray(ref[500:600]); with_n[n_at] = ord("N")
+    deleted = ref[700:740] + ref[743:803]
+    junk = random_seq(rng, 80).upper()
+    reads = [exact, rc, bytes(with_n), deleted, junk]
+    p = tmp_path / "sam_reads.fq"
+    with open(p, "wb") as f:
+        for i, s in enumerate(reads):
+            f.write(b"@s%d extra stuff\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    assert cli.main(["map", tp, str(p), "-k", "13", "-w", "8", "--sam",
+                     "--min-seeds", "3"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    hdr = [l for l in out if l.startswith("@")]
+    assert hdr[0].startswith("@HD\tVN:1.6")
+    assert any(l.startswith("@SQ\tSN:c0\tLN:2500") for l in hdr)
+    recs = {l.split("\t")[0]: l.split("\t") for l in out if not l.startswith("@")}
+    assert set(recs) == {"s0", "s1", "s2", "s3", "s4"}  # whitespace-truncated
+    r = recs["s0"]
+    assert (int(r[1]), r[2], int(r[3]), r[5], r[9]) == (
+        0, "c0", 101, "100M", exact.decode())
+    assert "NM:i:0" in r
+    r = recs["s1"]  # reverse strand: SEQ back in reference orientation
+    assert int(r[1]) == 16 and int(r[3]) == 301
+    assert r[9] == ref[300:400].decode() and r[10] == "I" * 100
+    r = recs["s2"]  # N preserved in SEQ; counted as mismatch in NM
+    assert "N" in r[9] and "NM:i:1" in r
+    r = recs["s3"]
+    assert int(r[3]) == 701 and "D" in r[5]
+    nm = [f for f in r if f.startswith("NM:i:")]
+    assert nm == ["NM:i:3"]
+    r = recs["s4"]  # unmapped
+    assert (int(r[1]), r[2], int(r[3]), r[5]) == (4, "*", 0, "*")
+    assert r[9] == junk.decode()
+
+
+def test_cli_map_paired_sam(tmp_path, capsys, rng):
+    """Paired-end SAM: FR pairs get 0x2, signed TLEN, RNEXT '='; a
+    discordant pair (same-strand mate) stays unflagged-proper."""
+    from bitnuc_tpu import assemble
+
+    ref = random_seq(rng, 3000).upper()
+    tp = _write_fasta(tmp_path / "pe_ref.fa", [ref])
+    r1s, r2s = [], []
+    for i in range(6):
+        s = 400 * i + 50
+        r1s.append(ref[s : s + 100])
+        if i == 4:  # discordant: R2 on the same strand as R1
+            r2s.append(ref[s + 150 : s + 250])
+        else:
+            r2s.append(assemble.rc_ascii(ref[s + 150 : s + 250]))
+    p1 = _write_fastq(tmp_path / "pe_1.fq", r1s)
+    p2 = _write_fastq(tmp_path / "pe_2.fq", r2s)
+    assert cli.main(["map", tp, p1, "-k", "13", "-w", "8", "--sam",
+                     "--paired", p2, "--max-insert", "400"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    recs = [l.split("\t") for l in out if not l.startswith("@")]
+    assert len(recs) == 12
+    by_name = {}
+    for r in recs:
+        by_name.setdefault(r[0], []).append(r)
+    for i in range(6):
+        a, b = by_name[f"r{i}"]
+        fa, fb = int(a[1]), int(b[1])
+        assert fa & 0x1 and fa & 0x40 and fb & 0x80
+        s = 400 * i + 50
+        if i == 4:
+            assert not (fa & 0x2) and not (fb & 0x2)
+            continue
+        assert fa & 0x2 and fb & 0x2
+        assert not (fa & 0x10) and (fa & 0x20)      # R1 fwd, mate rc
+        assert (fb & 0x10) and not (fb & 0x20)
+        assert int(a[3]) == s + 1 and int(b[3]) == s + 151
+        assert a[6] == "=" and b[6] == "="
+        assert int(a[7]) == s + 151 and int(b[7]) == s + 1
+        assert int(a[8]) == 250 and int(b[8]) == -250
+        assert a[9] == r1s[i].decode()
+        # R2 stored reference-forward (revcomp of the mate as sequenced)
+        assert b[9] == ref[s + 150 : s + 250].decode()
