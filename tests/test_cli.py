@@ -724,3 +724,22 @@ def test_cli_map_paired_sam(tmp_path, capsys, rng):
         assert a[9] == r1s[i].decode()
         # R2 stored reference-forward (revcomp of the mate as sequenced)
         assert b[9] == ref[s + 150 : s + 250].decode()
+
+
+def test_cli_map_paired_sam_unmapped_mate(tmp_path, capsys, rng):
+    """A junk R2: its record carries FLAG 0x4, the mapped mate carries
+    0x8 (mate-unmapped), neither is proper, TLEN 0."""
+    ref = random_seq(rng, 2000).upper()
+    tp = _write_fasta(tmp_path / "pu_ref.fa", [ref])
+    p1 = _write_fastq(tmp_path / "pu_1.fq", [ref[100:200]])
+    p2 = _write_fastq(tmp_path / "pu_2.fq", [random_seq(rng, 90).upper()])
+    assert cli.main(["map", tp, p1, "-k", "13", "-w", "8", "--sam",
+                     "--paired", p2, "--min-seeds", "3"]) == 0
+    recs = [l.split("\t") for l in capsys.readouterr().out.splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 2
+    f1, f2 = int(recs[0][1]), int(recs[1][1])
+    assert f1 & 0x1 and f1 & 0x40 and f1 & 0x8 and not (f1 & 0x2)
+    assert f2 & 0x80 and f2 & 0x4 and not (f2 & 0x2)
+    assert recs[1][2] == "*" and int(recs[1][3]) == 0 and recs[1][5] == "*"
+    assert int(recs[0][8]) == 0 and int(recs[1][8]) == 0
