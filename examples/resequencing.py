@@ -71,6 +71,30 @@ def main():
     )
     assert hit == covered, (snps, sorted(found))
     assert not (found - set(snps)), sorted(found - set(snps))
+
+    # -- indel calling through the alignment traceback (cigar=True) --------
+    # a homozygous 3bp deletion: every read overlapping the site carries it
+    DEL_AT, DEL_LEN = genome_bases // 2, 3
+    del_reads = []
+    for s in range(DEL_AT - read_len + 20, DEL_AT - 20, 7):
+        del_reads.append(
+            donor[s:DEL_AT] + donor[DEL_AT + DEL_LEN : s + read_len + DEL_LEN]
+        )
+    dp = bn.PackedReads.from_ascii(del_reads)
+    dres = bn.map_reads(idx, dp)
+    dcalls = pileup.call_variants(
+        idx, dp, dres, max_cost=8, min_depth=3, min_frac=0.8, cigar=True
+    )
+    # equal-cost placements may left-shift inside repeats; applying the
+    # called event to the reference must reproduce the donor haplotype
+    assert dcalls["del_pos"].size >= 1, "deletion not called"
+    p0, ln = int(dcalls["del_pos"][0]), int(dcalls["del_len"][0])
+    applied = ref[:p0] + ref[p0 + ln :]
+    assert applied == ref[:DEL_AT] + ref[DEL_AT + DEL_LEN :]
+    print(
+        f"planted {DEL_LEN}bp deletion recovered at {p0} "
+        f"(support {int(dcalls['del_support'][0])})"
+    )
     print("resequencing example OK")
 
 
