@@ -460,7 +460,7 @@ def bench_align(batch=1024, qlen=256, tlen=256):
 def bench_map(batch=4096, read_len=150, genome_mb=4):
     """Minimizer read mapping (seed -> vote -> fit extension): reads
     mapped/sec against a random genome (planted reads, so the hot path —
-    vote + double fit — is fully exercised)."""
+    vote + fit extension — is fully exercised)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

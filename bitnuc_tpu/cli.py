@@ -136,11 +136,15 @@ def cmd_spectrum(args) -> int:
 
 
 def cmd_sketch(args) -> int:
+    """Two files: similarity JSON (round-2 contract). Three or more:
+    mash-dist-style all-pairs TSV (A, B, jaccard, containment_a_in_b) —
+    each file sketched ONCE, pairs compared from the cached sketches."""
     from .ops import kmer as kmer_ops
 
+    paths = [args.a, args.b] + list(args.more)
     wide = args.k > 15  # 64-bit keys: Mash-scale k (16..31)
     sketches = []
-    for path in (args.a, args.b):
+    for path in paths:
         _, reads = _read_any(path)
         if wide:
             lo, hi, _ = kmer_ops.minimizer_sketch64(
@@ -154,23 +158,40 @@ def cmd_sketch(args) -> int:
                 canonical=args.canonical,
             )
             sketches.append(vals)
-    a, b = sketches
-    if wide:
-        jac = kmer_ops.sketch_jaccard64(a[0], a[1], b[0], b[1])
-        con = kmer_ops.sketch_containment64(a[0], a[1], b[0], b[1])
-    else:
-        jac = kmer_ops.sketch_jaccard(a, b)
-        con = kmer_ops.sketch_containment(a, b)
-    print(
-        json.dumps(
-            {
-                "jaccard": round(float(jac), 6),
-                "containment_a_in_b": round(float(con), 6),
-                "k": args.k,
-                "w": args.w,
-            }
+
+    def compare(a, b):
+        if wide:
+            return (
+                kmer_ops.sketch_jaccard64(a[0], a[1], b[0], b[1]),
+                kmer_ops.sketch_containment64(a[0], a[1], b[0], b[1]),
+            )
+        return kmer_ops.sketch_jaccard(a, b), kmer_ops.sketch_containment(a, b)
+
+    if len(paths) == 2:
+        jac, con = compare(sketches[0], sketches[1])
+        print(
+            json.dumps(
+                {
+                    "jaccard": round(float(jac), 6),
+                    "containment_a_in_b": round(float(con), 6),
+                    "k": args.k,
+                    "w": args.w,
+                }
+            )
         )
-    )
+        return 0
+    out = sys.stdout if args.out is None else open(args.out, "w")
+    try:
+        for i in range(len(paths)):
+            for j in range(i + 1, len(paths)):
+                jac, con = compare(sketches[i], sketches[j])
+                out.write(
+                    f"{paths[i]}\t{paths[j]}\t{float(jac):.6f}"
+                    f"\t{float(con):.6f}\n"
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
     return 0
 
 
@@ -998,11 +1019,17 @@ def cmd_call(args) -> int:
     idx, offsets = _ref_index(args, contigs)
     _, reads = _read_any(args.path, validate=False)
     res = mapper.map_reads(idx, reads, min_seeds=args.min_seeds)
+    max_cost = args.max_cost
+    if max_cost is None:
+        # gapless pileup must exclude indel reads (they misproject);
+        # cigar projection handles them, and an indel read's cost is at
+        # least its indel length — so the cigar default admits more
+        max_cost = 20 if args.cigar else 8
     calls = pileup.call_variants(
         idx,
         reads,
         res,
-        max_cost=args.max_cost,
+        max_cost=max_cost,
         min_depth=args.min_depth,
         min_frac=args.min_frac,
         cigar=args.cigar,
@@ -1441,9 +1468,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="last bin pools multiplicities >= this")
     p.set_defaults(fn=cmd_spectrum)
 
-    p = sub.add_parser("sketch", help="minimizer-sketch similarity of two files")
+    p = sub.add_parser(
+        "sketch",
+        help="minimizer-sketch similarity: 2 files -> JSON, 3+ -> "
+        "all-pairs TSV (mash dist-style)",
+    )
     p.add_argument("a")
     p.add_argument("b")
+    p.add_argument("more", nargs="*", help="additional files (matrix mode)")
+    p.add_argument("--out", default=None, help="write here instead of stdout")
     p.add_argument("-k", type=int, default=15, help="sketch k (1..31; >15 uses 64-bit keys)")
     p.add_argument("-w", type=int, default=10, help="minimizer window")
     p.add_argument("--canonical", action="store_true")
@@ -1636,9 +1669,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", type=int, default=10, help="minimizer window")
     p.add_argument("--max-occ", type=int, default=8)
     p.add_argument("--min-seeds", type=int, default=2)
-    p.add_argument("--max-cost", type=int, default=8,
+    p.add_argument("--max-cost", type=int, default=None,
                    help="exclude reads whose fit cost exceeds this "
-                   "(gapless pileup: keeps indel-rich reads out)")
+                   "(default 8 gapless — keeps indel-rich reads out of the "
+                   "misprojecting pileup; 20 with --cigar, where indels "
+                   "project correctly and cost their own length)")
     p.add_argument("--min-depth", type=int, default=2)
     p.add_argument("--min-frac", type=float, default=0.5,
                    help="winning base fraction needed to call")

@@ -158,6 +158,71 @@ def hdist_search_batch_db_sharded(
     return _merge_candidates_batch(cand_d, cand_i, mesh, topk)
 
 
+@partial(jax.jit, static_argnames=("n_bases", "topk", "mesh", "qaxis", "daxis"))
+def hdist_search_grid(
+    queries: jax.Array,
+    db_words_wm: jax.Array,
+    n_bases: int,
+    topk: int,
+    mesh: Mesh,
+    qaxis: str = "data",
+    daxis: str = "model",
+    d_valid=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """2-D sharded search: queries sharded over `qaxis`, WORD-MAJOR
+    database columns sharded over `daxis` — the 2D tensor-parallel grid
+    regime. Every device scans (its query slab x its database slab); the
+    candidate merge is one all_gather ALONG THE DATABASE AXIS only
+    (O(n_daxis * topk) per query), queries never move, and the result
+    stays sharded over `qaxis` (replicated over `daxis`).
+
+    queries: [Q, W] with Q divisible by the qaxis size; db_words_wm:
+    [W, D] with D divisible by the daxis size. Returns
+    (distances [Q, topk], global_indices [Q, topk]) — each row identical
+    to the single-device hamming.hdist_topk_batch. d_valid: real column
+    count when the database was zero-padded (padding ranks last)."""
+    from .. import config
+    from ..ops.pallas import hamming as ph
+
+    n_d = mesh.shape[daxis]
+
+    def local(qs_loc, db_loc_wm):
+        D_loc = db_loc_wm.shape[1]
+        me = jax.lax.axis_index(daxis).astype(jnp.int32)
+        if config.use_pallas():
+            d = ph.hdist_scan_batch_pallas(
+                qs_loc, db_loc_wm, n_bases, interpret=config.pallas_interpret()
+            )
+        else:
+            d = hamming.hdist_many_to_many(
+                qs_loc, jnp.transpose(db_loc_wm), n_bases
+            )
+        if d_valid is not None:
+            gidx = me * D_loc + jnp.arange(D_loc, dtype=jnp.int32)
+            d = jnp.where(gidx[None, :] < d_valid, d, n_bases + 1)
+        k_loc = min(topk, D_loc)
+        dd, idx = jax.vmap(lambda row: hamming.topk_smallest(row, k_loc))(d)
+        idx = idx + me * D_loc
+        # merge along the database axis only: [n_d, Qloc, k] -> per-query
+        # final top-k; tiled=False keeps the axis explicit
+        dd_g = jax.lax.all_gather(dd, daxis)
+        ii_g = jax.lax.all_gather(idx, daxis)
+        Qloc = dd.shape[0]
+        dd_f = jnp.moveaxis(dd_g, 0, 1).reshape(Qloc, n_d * k_loc)
+        ii_f = jnp.moveaxis(ii_g, 0, 1).reshape(Qloc, n_d * k_loc)
+        k = min(topk, dd_f.shape[1])
+        out_d, sel = jax.vmap(lambda row: hamming.topk_smallest(row, k))(dd_f)
+        return out_d, jnp.take_along_axis(ii_f, sel, axis=1)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(qaxis, None), P(None, daxis)),
+        out_specs=(P(qaxis, None), P(qaxis, None)),
+        check_vma=False,
+    )(queries, db_words_wm)
+
+
 @partial(jax.jit, static_argnames=("mesh", "axis"))
 def hdist_many_to_many_sharded(
     queries: jax.Array,

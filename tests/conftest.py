@@ -23,6 +23,15 @@ from bitnuc_tpu.config import host_cpu_tag  # noqa: E402
 # machine with only a warning and then computes WRONG results (observed as
 # flaky scatter double-counting after a container host migration). See
 # config.host_cpu_tag.
+#
+# Round-3 postscript: intermittent SEGFAULTS were observed deep in XLA:CPU
+# native code during LONG single-process suite runs — in cache reads, cache
+# writes, AND raw backend_compile (i.e. independent of this cache), at
+# varying tests, while every crashing file passes in isolation; dmesg shows
+# multi-ms hrtimer stalls consistent with VM live-migration mid-run. If a
+# full run dies with a faulthandler stack inside jax/_src/compiler.py or
+# compilation_cache.py, rerun it (and `rm -rf /tmp/jax_pytest_cache_*` if
+# the crash was in a cache path) — it is the environment, not the code.
 jax.config.update(
     "jax_compilation_cache_dir", f"/tmp/jax_pytest_cache_{host_cpu_tag()}"
 )

@@ -743,3 +743,36 @@ def test_cli_map_paired_sam_unmapped_mate(tmp_path, capsys, rng):
     assert f2 & 0x80 and f2 & 0x4 and not (f2 & 0x2)
     assert recs[1][2] == "*" and int(recs[1][3]) == 0 and recs[1][5] == "*"
     assert int(recs[0][8]) == 0 and int(recs[1][8]) == 0
+
+
+def test_cli_sketch_matrix(tmp_path, capsys, rng):
+    """3+ files: all-pairs TSV; pairwise values equal the 2-file JSON."""
+    g = random_seq(rng, 400).upper()
+    a = _write_fasta(tmp_path / "ma.fa", [g])
+    b = _write_fasta(tmp_path / "mb.fa", [g[:250] + random_seq(rng, 150).upper()])
+    c = _write_fasta(tmp_path / "mc.fa", [random_seq(rng, 400).upper()])
+    assert cli.main(["sketch", a, b, c, "-k", "9", "-w", "5"]) == 0
+    rows = [l.split("\t") for l in capsys.readouterr().out.strip().splitlines()]
+    assert [(r[0], r[1]) for r in rows] == [(a, b), (a, c), (b, c)]
+    assert cli.main(["sketch", a, b, "-k", "9", "-w", "5"]) == 0
+    two = json.loads(capsys.readouterr().out)
+    assert abs(float(rows[0][2]) - two["jaccard"]) < 1e-6
+    assert abs(float(rows[0][3]) - two["containment_a_in_b"]) < 1e-6
+    assert float(rows[0][2]) > float(rows[1][2])  # related > unrelated
+
+
+def test_cli_map_sam_multicontig(tmp_path, capsys, rng):
+    """SAM over a multi-contig reference: RNAME/POS are contig-local."""
+    c0 = random_seq(rng, 900).upper()
+    c1 = random_seq(rng, 1200).upper()
+    tp = _write_fasta(tmp_path / "mc_ref.fa", [c0, c1])
+    reads = [c0[100:200], c1[300:400]]
+    qp = _write_fastq(tmp_path / "mc_reads.fq", reads)
+    assert cli.main(["map", tp, qp, "-k", "13", "-w", "8", "--sam"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("@SQ\tSN:c0\tLN:900") for l in out)
+    assert any(l.startswith("@SQ\tSN:c1\tLN:1200") for l in out)
+    recs = [l.split("\t") for l in out if not l.startswith("@")]
+    assert (recs[0][2], int(recs[0][3])) == ("c0", 101)
+    assert (recs[1][2], int(recs[1][3])) == ("c1", 301)
+    assert recs[0][5] == recs[1][5] == "100M"

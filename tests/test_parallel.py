@@ -289,3 +289,41 @@ def test_analysis_on_sharded_reads(rng, mesh):
     np.testing.assert_array_equal(
         bc_sh, np.asarray(analysis.base_counts_reads(reads.words, reads.lengths))
     )
+
+
+@pytest.mark.parametrize("shape,axes", [((4, 2), ("data", "model")),
+                                        ((2, 4), ("q", "d"))])
+def test_hdist_search_grid_2d(rng, shape, axes):
+    """2-D grid search (queries x database sharded on separate axes) ==
+    the single-device per-query top-k, bit-exact."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import numpy as np
+
+    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.parallel import search as psearch
+
+    mesh = jax.make_mesh(shape, axes, devices=jax.devices()[:8])
+    Q, D, read_len = 16, 64, 96
+    W = 12
+    qs = jnp.asarray(rng.integers(0, 2**32, (Q, W), np.uint32))
+    db = jnp.asarray(rng.integers(0, 2**32, (D, W), np.uint32))
+    db_wm = jnp.transpose(db)
+    dd, ii = psearch.hdist_search_grid(
+        qs, db_wm, read_len, 5, mesh, axes[0], axes[1]
+    )
+    want_d, want_i = hamming.hdist_topk_batch(qs, db, read_len, 5)
+    assert np.array_equal(np.asarray(dd), np.asarray(want_d))
+    assert np.array_equal(np.asarray(ii), np.asarray(want_i))
+
+    # padded-database masking: D not a multiple of the axis -> d_valid
+    D2 = 50
+    db2 = jnp.transpose(db)[:, :D2]
+    pad = (-D2) % shape[1]
+    db2p = jnp.pad(db2, ((0, 0), (0, pad)))
+    dd2, ii2 = psearch.hdist_search_grid(
+        qs, db2p, read_len, 5, mesh, axes[0], axes[1], d_valid=D2
+    )
+    want_d2, want_i2 = hamming.hdist_topk_batch(qs, db[:D2], read_len, 5)
+    assert np.array_equal(np.asarray(dd2), np.asarray(want_d2))
+    assert np.array_equal(np.asarray(ii2), np.asarray(want_i2))
