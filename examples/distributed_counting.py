@@ -64,6 +64,25 @@ def main():
     print(f"seq-sharded:   {int(jnp.sum(hist_seq))} windows counted "
           f"(expect {len(long_seq) - k + 1})")
 
+    # --- distributed STREAMING large-k counting (file -> counts) ---
+    # per batch: zero communication (each device owns its read shard's
+    # run-list accumulator); ONE all_gather merge at the end.
+    import tempfile
+
+    from bitnuc_tpu import pipeline
+
+    k_big = 21
+    with tempfile.NamedTemporaryFile(suffix=".fq", delete=False) as f:
+        for i in range(48):
+            s = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200))
+            f.write(b"@s%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+        path = f.name
+    counts = pipeline.count_fastq(path, k_big, batch_size=16, mesh=mesh)
+    os.unlink(path)
+    print(f"mesh streaming k={k_big}: {len(counts)} distinct k-mers, "
+          f"{sum(counts.values())} windows (expect {48 * (200 - k_big + 1)})")
+    assert sum(counts.values()) == 48 * (200 - k_big + 1)
+
 
 if __name__ == "__main__":
     main()
