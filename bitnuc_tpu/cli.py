@@ -858,7 +858,8 @@ def _emit_sam(args, qnames, reads, res, tb, tnames, clens, offsets) -> int:
                 s = int(res["ref_start"][i])
                 c = int(np.searchsorted(offsets, s, "right")) - 1
                 pos = s - int(offsets[c]) + 1
-                mapq = min(60, 2 * int(res["support"][i]))
+                sup = res["support"] if "support" in res else res["chain_score"]
+                mapq = min(60, 2 * int(sup[i]))
                 out.write(
                     f"{qname}\t{16 if rc else 0}\t{tnames[c].decode()}"
                     f"\t{pos}\t{mapq}\t{cig_m[i]}\t*\t0\t0\t{seq.decode()}"
@@ -905,8 +906,28 @@ def cmd_map(args) -> int:
         if getattr(args, "devices", None) and args.devices > 1:
             raise SystemExit("--devices is not supported with --long yet")
         if getattr(args, "sam", False):
-            raise SystemExit("--sam requires per-base CIGARs; use short-read "
-                             "mode (drop --long)")
+            if not args.extend:
+                raise SystemExit("--long --sam needs --extend (base-exact "
+                                 "coordinates feed the traceback)")
+            res = mapper.map_reads_long(
+                idx, reads, min_chain=args.min_seeds, extend=True
+            )
+            L = int(reads.words.shape[1]) * 16
+            tb_pad = max(64, L // 8)  # absorb long-read indel drift
+            win = L + 2 * tb_pad
+            plane = (L + win) * (win + 1)  # traceback bytes per read
+            if plane > (512 << 20):
+                raise SystemExit(
+                    f"--long --sam: reads of {L} padded bases need "
+                    f"{plane >> 20} MiB of traceback planes per read — "
+                    "beyond this device budget; use PAF output"
+                )
+            chunk = max(1, (512 << 20) // plane)
+            tb = mapper.traceback_cigars(
+                idx, reads, res, pad=tb_pad, chunk=chunk
+            )
+            return _emit_sam(args, qnames, reads, res, tb, tnames, clens,
+                             offsets)
         res = mapper.map_reads_long(
             idx, reads, min_chain=args.min_seeds, extend=args.extend
         )

@@ -776,3 +776,40 @@ def test_cli_map_sam_multicontig(tmp_path, capsys, rng):
     assert (recs[0][2], int(recs[0][3])) == ("c0", 101)
     assert (recs[1][2], int(recs[1][3])) == ("c1", 301)
     assert recs[0][5] == recs[1][5] == "100M"
+
+
+def test_cli_map_long_sam(tmp_path, capsys, rng):
+    """Long-read SAM (--long --extend --sam): indel-riddled 1.5kb reads
+    come back with I/D CIGARs whose NM equals the alignment cost and
+    whose spans reproduce the mapped coordinates."""
+    ref = random_seq(rng, 12000).upper()
+    tp = _write_fasta(tmp_path / "lr_ref.fa", [ref])
+    reads = []
+    for i in range(4):
+        s = 2500 * i + 100
+        r = bytearray(ref[s : s + 1500])
+        # plant spaced indels: two 2bp deletions + one 3bp insertion
+        del r[400:402]
+        del r[898:900]
+        r[1200:1200] = b"AAA" if ref[s + 1200 : s + 1201] != b"A" else b"CCC"
+        reads.append(bytes(r))
+    qp = _write_fastq(tmp_path / "lr_reads.fq", reads)
+    assert cli.main(["map", tp, qp, "-k", "15", "-w", "10", "--long",
+                     "--extend", "--sam"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    recs = [l.split("\t") for l in out if not l.startswith("@")]
+    assert len(recs) == 4
+    for r in recs:
+        assert int(r[1]) in (0, 16)
+        cig = r[5]
+        assert "D" in cig and "I" in cig, cig
+        nm = int([f for f in r if f.startswith("NM:i:")][0][5:])
+        # 2+2 deleted + 3 inserted = cost 7 under unit gap costs
+        assert nm == 7, (nm, cig)
+        # CIGAR consumes exactly the read (M+I) and the ref span (M+D)
+        import re
+        ops = re.findall(r"(\d+)([MID])", cig)
+        qlen = sum(int(n) for n, o in ops if o in "MI")
+        rlen = sum(int(n) for n, o in ops if o in "MD")
+        assert qlen == len(reads[0])  # 1500 - 4 del + 3 ins = 1499
+        assert rlen == 1500  # reference span restores the deleted bases
