@@ -150,10 +150,14 @@ def _distance_wavefront(
             ans = jnp.minimum(ans, v)
         return (diag, prev, ans, fit, endj), None
 
+    # unroll=8: each diagonal step touches only [B, N+1] lanes, so the
+    # scan is loop-overhead-bound; unrolling measured -18% on the fit
+    # wall (benchmarks/probe_fit_unroll.py; flat beyond 8)
     (prev, prev2, ans, fit, endj), _ = jax.lax.scan(
         step,
         (prev, prev2, ans0, fit0, endj0),
         jnp.arange(1, M + N + 1, dtype=jnp.int32),
+        unroll=8,
     )
     if ends_free_b:
         return fit, endj
@@ -290,6 +294,7 @@ def fit_distance_span(
         step,
         (prev, prev2, s_prev, s_prev2, fit0, endj0, startj0),
         jnp.arange(1, M + N + 1, dtype=jnp.int32),
+        unroll=8,  # loop-overhead-bound (probe_fit_unroll: -18%)
     )
     startj = jnp.where(fit < _BIG, jnp.minimum(startj, endj), 0)
     return fit, startj, endj
@@ -604,5 +609,6 @@ def sw_score(
         step,
         (h_prev, h_prev2, e_prev, f_prev, best, end_i, end_j),
         jnp.arange(1, M + N + 1, dtype=jnp.int32),
+        unroll=8,  # loop-overhead-bound (probe_fit_unroll: -18%)
     )
     return best, end_i, end_j

@@ -298,3 +298,27 @@ def test_filter_reads_min_entropy(rng):
     assert keep.tolist() == [True, True]
     keep, _, _ = filter_reads(a, q, lens, min_entropy=2.0)
     assert keep.tolist() == [True, False]
+
+
+def test_filter_fastq_gz_native_path(tmp_path, rng):
+    """filter_fastq over a .gz input through the native full-record
+    scanner: output identical to the plain-file run."""
+    import gzip
+
+    recs = []
+    for i in range(40):
+        n = int(rng.integers(30, 90))
+        s = random_seq(rng, n).upper()
+        q = bytes(33 + rng.integers(0, 40, n).astype(np.uint8))
+        recs.append(b"@g%d\n%s\n+\n%s\n" % (i, s, q))
+    raw = b"".join(recs)
+    p_plain = tmp_path / "f.fq"
+    p_gz = tmp_path / "f.fq.gz"
+    p_plain.write_bytes(raw)
+    p_gz.write_bytes(gzip.compress(raw))
+    o1, o2 = tmp_path / "o1.fq", tmp_path / "o2.fq"
+    kw = dict(min_len=35, trim_q=8, min_mean_q=12, adapter=b"AGATCGGA")
+    s1 = filters.filter_fastq(str(p_plain), str(o1), **kw)
+    s2 = filters.filter_fastq(str(p_gz), str(o2), **kw)
+    assert s1 == s2
+    assert o1.read_bytes() == o2.read_bytes()
