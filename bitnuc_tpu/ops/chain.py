@@ -142,9 +142,12 @@ def chain_anchors(
         )
         return (ring_f, ring_r, ring_q, ring_sr, ring_sq, best), None
 
+    # unroll: each anchor step touches [B, lookback] — loop-overhead-
+    # bound like the alignment wavefront (probe_fit_unroll)
     (_, _, _, _, _, best), _ = jax.lax.scan(
         step,
         (ring_f, ring_r, ring_q, ring_sr, ring_sq, best),
         jnp.arange(A, dtype=jnp.int32),
+        unroll=8,
     )
     return best

@@ -102,8 +102,10 @@ def merge_pairs(
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
+    # unroll: each offset step touches a few [B] vectors — the scan is
+    # loop-overhead-bound like the alignment wavefront (probe_fit_unroll)
     (best_mm, best_o, best_ov), _ = jax.lax.scan(
-        step, init, jnp.arange(n_off, dtype=jnp.int32)
+        step, init, jnp.arange(n_off, dtype=jnp.int32), unroll=8
     )
 
     merged = best_mm < _BIG
