@@ -23,6 +23,7 @@ from .. import oracle
 from ..errors import IndexOutOfBounds, InvalidBase, InvalidLength, SequenceTooLong
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libbitnuc_host.so")
+_TAG_PATH = _LIB_PATH + ".cputag"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
@@ -34,12 +35,51 @@ _ERR_INVALID_LENGTH = 3
 _ERR_OOB = 4
 
 
+def _isa_compatible() -> bool:
+    """False when the .so was built on a host with a DIFFERENT CPU-feature
+    set than the one we are running on now.
+
+    The library is compiled -march=native and this container migrates
+    across physical hosts (config.host_cpu_tag's docstring records the
+    observed XLA:CPU analog of the same hazard): on a lesser host a stale
+    binary SIGILLs mid-call instead of erroring. The build writes the
+    build host's tag to libbitnuc_host.so.cputag (Makefile / build());
+    a mismatch here flips available() to False so every caller takes the
+    numpy-oracle fallback — the same runtime feature re-check the
+    reference does per call (src/utils/packing/mod.rs:81-110). A missing
+    tag file (foreign build system) is accepted for compatibility.
+    """
+    try:
+        with open(_TAG_PATH) as f:
+            built = f.read().strip()
+    except OSError:
+        return True
+    if not built:
+        return True
+    from ..config import host_cpu_tag
+
+    if built == host_cpu_tag():
+        return True
+    import warnings
+
+    warnings.warn(
+        "bitnuc_tpu native library was built on a host with different CPU "
+        f"features (built {built}, running {host_cpu_tag()}); falling back "
+        "to the numpy oracle. Rebuild with `make -C bitnuc_tpu/native`.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
     if not os.path.exists(_LIB_PATH):
+        return None
+    if not _isa_compatible():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -100,6 +140,15 @@ def build(quiet: bool = True) -> bool:
         )
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
+    # stamp the build host's CPU tag even if make's own python hook was
+    # unavailable (see _isa_compatible)
+    try:
+        from ..config import host_cpu_tag
+
+        with open(_TAG_PATH, "w") as f:
+            f.write(host_cpu_tag())
+    except OSError:
+        pass
     _tried = False
     return available()
 

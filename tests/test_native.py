@@ -61,6 +61,52 @@ def test_split_matches_oracle(rng):
             np.testing.assert_array_equal(rn, ro)
 
 
+def test_isa_guard_falls_back_on_foreign_host(tmp_path, monkeypatch):
+    """A .so built on a host with different CPU features must NOT load
+    (-march=native binaries SIGILL on lesser hosts when the container
+    migrates); available() flips to False with one warning and callers
+    take the oracle path. Mirrors the reference's per-call feature
+    re-check (src/utils/packing/mod.rs:81-110)."""
+    import os
+
+    assert native.available()  # precondition: real lib loads on this host
+
+    # simulate a migration: the recorded build tag no longer matches
+    monkeypatch.setattr(native, "_TAG_PATH", str(tmp_path / "fake.cputag"))
+    (tmp_path / "fake.cputag").write_text("deadbeef0000")
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    with pytest.warns(RuntimeWarning, match="different CPU features"):
+        assert not native.available()
+    # count_kmers degrades to the oracle instead of calling into the .so
+    assert native.count_kmers(b"ACGTACGT", 2) == oracle.count_kmers(b"ACGTACGT", 2)
+
+    # matching tag (the normal case) loads fine
+    from bitnuc_tpu.config import host_cpu_tag
+
+    (tmp_path / "fake.cputag").write_text(host_cpu_tag())
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.available()
+
+    # missing / empty tag file (foreign build system): accepted
+    os.remove(tmp_path / "fake.cputag")
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    assert native.available()
+
+
+def test_build_stamps_cpu_tag():
+    """make (or native.build) records the build host's tag next to the .so."""
+    import os
+
+    from bitnuc_tpu.config import host_cpu_tag
+
+    if not os.path.exists(native._TAG_PATH):
+        assert native.build()
+    with open(native._TAG_PATH) as f:
+        assert f.read().strip() == host_cpu_tag()
+
+
 def test_encode_batch_staging(rng):
     B, L = 8, 100
     seqs = [random_seq(rng, L).upper() for _ in range(B)]
