@@ -57,6 +57,40 @@ out = jax.jit(
 vals = [int(np.asarray(s.data)[0]) for s in out.addressable_shards]
 assert all(v == 3 for v in vals), vals  # 1 + 2 summed across processes
 print("PSUM_OK", jax.process_index(), flush=True)
+
+# -- a real framework workload across the process boundary ------------------
+# Distributed k-mer counting: each process holds HALF the batch, the dense
+# histograms merge with one psum over the 2-process gloo mesh, and the
+# replicated result must equal the single-process full-batch count AND the
+# host dict oracle. This is the multi-HOST claim backed by a framework op,
+# not a bare psum.
+from bitnuc_tpu import oracle
+from bitnuc_tpu.ops import kmer as kmer_ops
+from bitnuc_tpu.parallel import count_kmers_sharded
+from bitnuc_tpu.sequence import PackedReads
+
+rng = np.random.default_rng(7)
+B, k = 8, 5
+seqs = [bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 50)) for _ in range(B)]
+full = PackedReads.from_ascii(seqs)
+words_np = np.asarray(full.words)
+lens_np = np.asarray(full.lengths, np.int32)
+half = B // 2
+lo = jax.process_index() * half
+sh_w = NamedSharding(mesh, P("x", None))
+sh_l = NamedSharding(mesh, P("x"))
+gw = jax.make_array_from_process_local_data(sh_w, words_np[lo:lo + half], words_np.shape)
+gl = jax.make_array_from_process_local_data(sh_l, lens_np[lo:lo + half], lens_np.shape)
+hist = count_kmers_sharded(gw, gl, k, mesh, axis="x")
+got = np.asarray(hist.addressable_shards[0].data)  # replicated output
+want = np.asarray(kmer_ops.count_kmers_dense(full.words, full.lengths, k))
+assert np.array_equal(got, want), (got.sum(), want.sum())
+expect = np.zeros(4 ** k, np.int64)
+for s in seqs:
+    for key, c in oracle.count_kmers(s, k).items():
+        expect[key] += c
+assert np.array_equal(got, expect)
+print("KMERS_OK", jax.process_index(), flush=True)
 """
 
 
@@ -95,6 +129,7 @@ def test_two_process_psum(tmp_path, spec):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"PSUM_OK {i}" in out, out
+        assert f"KMERS_OK {i}" in out, out
 
 
 def test_single_process_noop():
