@@ -434,20 +434,27 @@ def filter_fastq(
                 )
                 n_in += len(lens)
                 bases_in += int(lens.sum())
-                parts = []
-                for i in np.nonzero(keep)[0]:
-                    s0, e0 = int(start[i]), int(end[i])
-                    parts.append(
-                        b"@%s\n%s\n+\n%s\n"
-                        % (
-                            raw[noff[i] : noff[i] + nlen[i]],
-                            a[i, s0:e0].tobytes(),
-                            q[i, s0:e0].tobytes(),
+                n_out += int(keep.sum())
+                bases_out += int(np.where(keep, end - start, 0).sum())
+                # native record assembly: one memcpy pass over the batch
+                # (the per-read Python formatting loop was the measured
+                # bottleneck once parse + filter math were fast)
+                buf = native.filter_emit(raw, a, q, noff, nlen, keep, start, end)
+                if buf is not None:
+                    out.write(buf)
+                else:  # stale .so without bn_filter_emit
+                    parts = []
+                    for i in np.nonzero(keep)[0]:
+                        s0, e0 = int(start[i]), int(end[i])
+                        parts.append(
+                            b"@%s\n%s\n+\n%s\n"
+                            % (
+                                raw[noff[i] : noff[i] + nlen[i]],
+                                a[i, s0:e0].tobytes(),
+                                q[i, s0:e0].tobytes(),
+                            )
                         )
-                    )
-                    n_out += 1
-                    bases_out += e0 - s0
-                out.write(b"".join(parts))
+                    out.write(b"".join(parts))
         else:
             for names, seqs, quals in _iter_record_batches(
                 in_path, batch_reads

@@ -461,7 +461,7 @@ def _reverse_reads(words: jax.Array, lengths: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "w", "bin_bits", "pad", "mismatch", "gap"),
+    static_argnames=("k", "w", "bin_bits", "pad", "mismatch", "gap", "band"),
 )
 def _map_core(
     words,
@@ -477,6 +477,7 @@ def _map_core(
     pad: int,
     mismatch: int,
     gap: int,
+    band: bool = True,
 ):
     B, W = words.shape
     lengths = jnp.asarray(lengths, jnp.int32)
@@ -508,12 +509,24 @@ def _map_core(
     Wwin = (Lb + 2 * pad) // bitops.BASES_PER_WORD + 1
     ws = jnp.clip(d0 - pad, 0, jnp.maximum(ref_len - 1, 0)) // 16
     cost, ref_start, ref_end = _fit_extend(
-        q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap
+        q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap,
+        start_slack=(pad + 16 + (1 << bin_bits)) if band else None,
+        band_gap=_BAND_GAP if band else None,
     )
     return support, use_rc, ref_start, ref_end, cost
 
 
-def _fit_extend(q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap):
+# gap-drift budget of the banded fit: paths whose diagonal wanders more
+# than this many net indels from the seeded start diagonal fall outside the
+# band (their cost becomes an achievable upper bound — such reads are
+# either unmapped or wildly indel-rich, the long-read tier's regime)
+_BAND_GAP = 32
+
+
+def _fit_extend(
+    q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap,
+    start_slack=None, band_gap=None,
+):
     """Base-exact (cost, ref_start, ref_end) of each read fitted into the
     word-aligned reference window starting at word ws (Wwin words wide).
 
@@ -524,15 +537,28 @@ def _fit_extend(q_words, lengths, ws, ref_words, ref_len, Wwin, mismatch, gap):
     2B rows there; the origin-carry costs ~30% extra per step on B rows,
     a net ~35% cut, and tandem-repeat interval coherence no longer needs
     the tie_late coupling (spans are single-path by construction).
+
+    start_slack + band_gap (both static) select the BANDED wavefront
+    (ops.align.fit_distance_span_banded): the window construction puts
+    each read's start diagonal within [0, start_slack] of the window
+    origin (seed diagonal accuracy + word alignment), so the live band is
+    j - i in [-band_gap, start_slack + band_gap] — exact for every
+    alignment within band_gap net gap drift, an upper bound beyond.
     """
     ref_pad = jnp.concatenate([ref_words, jnp.zeros((Wwin,), jnp.uint32)])
     win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(ref_pad, (s,), (Wwin,))
     )(ws)
     wlen = jnp.clip(ref_len - ws * 16, 0, Wwin * 16).astype(jnp.int32)
-    cost, startj, endj = align_ops.fit_distance_span(
-        q_words, lengths, win, wlen, mismatch, gap
-    )
+    if start_slack is not None and band_gap is not None:
+        cost, startj, endj = align_ops.fit_distance_span_banded(
+            q_words, lengths, win, wlen, mismatch, gap,
+            off_lo=-int(band_gap), off_hi=int(start_slack) + int(band_gap),
+        )
+    else:
+        cost, startj, endj = align_ops.fit_distance_span(
+            q_words, lengths, win, wlen, mismatch, gap
+        )
     return cost, ws * 16 + startj, ws * 16 + endj
 
 

@@ -119,6 +119,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.POINTER(ctypes.c_int32),
                                      i64p, i64p,
                                      ctypes.c_size_t, ctypes.c_size_t]
+    if hasattr(lib, "bn_filter_emit"):
+        lib.bn_filter_emit.restype = ctypes.c_int64
+        lib.bn_filter_emit.argtypes = [u8p, u8p, u8p,
+                                       ctypes.c_size_t, ctypes.c_size_t,
+                                       i64p, i64p, u8p, i64p, i64p, u8p]
     _lib = lib
     return _lib
 
@@ -316,6 +321,38 @@ def count_kmers(seq, k: int) -> dict:
     )
     nz = np.nonzero(counts)[0]
     return {int(i): int(counts[i]) for i in nz}
+
+
+def filter_emit(raw, ascii_arr, quals, name_off, name_len, keep, start, end):
+    """Assemble the kept/trimmed FASTQ records into ONE bytes buffer
+    (native memcpy per record — the write-side twin of fastq_to_batch_sq).
+    Returns None when the .so lacks the entry point (stale build)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_filter_emit"):
+        return None
+    raw_b = np.frombuffer(raw, dtype=np.uint8)
+    a = np.ascontiguousarray(ascii_arr, dtype=np.uint8)
+    q = np.ascontiguousarray(quals, dtype=np.uint8)
+    B, L = a.shape
+    keep = np.ascontiguousarray(keep, dtype=np.uint8)
+    start = np.ascontiguousarray(start, dtype=np.int64)
+    end = np.ascontiguousarray(np.minimum(end, L), dtype=np.int64)
+    noff = np.ascontiguousarray(name_off, dtype=np.int64)
+    nlen = np.ascontiguousarray(name_len, dtype=np.int64)
+    spans = np.where(keep.astype(bool), np.maximum(end - np.maximum(start, 0), 0), 0)
+    names = np.where(keep.astype(bool), nlen, 0)
+    total = int(spans.sum() * 2 + names.sum()) + 6 * int(keep.sum())
+    out = np.empty(total, dtype=np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    n = lib.bn_filter_emit(
+        raw_b.ctypes.data_as(u8), a.ctypes.data_as(u8), q.ctypes.data_as(u8),
+        B, L, noff.ctypes.data_as(i64), nlen.ctypes.data_as(i64),
+        keep.ctypes.data_as(u8), start.ctypes.data_as(i64),
+        end.ctypes.data_as(i64), out.ctypes.data_as(u8),
+    )
+    assert n == total, (n, total)
+    return out.tobytes()
 
 
 def fastq_to_batch(data: bytes, max_len: int = 0):

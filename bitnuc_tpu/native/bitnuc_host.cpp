@@ -347,4 +347,39 @@ int bn_fastq_fill_sq(const uint8_t* buf, size_t n, uint8_t* ascii,
   return BN_OK;
 }
 
+// FASTQ record emitter: assemble "@name\nseq[s:e]\n+\nqual[s:e]\n" for every
+// kept read into one output buffer. The per-read Python formatting loop was
+// the measured bottleneck of filter_fastq once parsing (bn_fastq_fill_sq)
+// and the filter math (jitted kernel) were fast — this is the write-side
+// twin of the native parse, completing the zero-Python record path.
+// `out` must hold bn_filter_emit_size() bytes; returns bytes written.
+int64_t bn_filter_emit(const uint8_t* raw, const uint8_t* ascii,
+                       const uint8_t* quals, size_t B, size_t L,
+                       const int64_t* name_off, const int64_t* name_len,
+                       const uint8_t* keep, const int64_t* start,
+                       const int64_t* end, uint8_t* out) {
+  uint8_t* p = out;
+  for (size_t r = 0; r < B; ++r) {
+    if (!keep[r]) continue;
+    int64_t s = start[r], e = end[r];
+    if (s < 0) s = 0;
+    if (e > (int64_t)L) e = (int64_t)L;
+    if (e < s) e = s;
+    size_t span = (size_t)(e - s);
+    *p++ = '@';
+    std::memcpy(p, raw + name_off[r], (size_t)name_len[r]);
+    p += name_len[r];
+    *p++ = '\n';
+    std::memcpy(p, ascii + r * L + s, span);
+    p += span;
+    *p++ = '\n';
+    *p++ = '+';
+    *p++ = '\n';
+    std::memcpy(p, quals + r * L + s, span);
+    p += span;
+    *p++ = '\n';
+  }
+  return (int64_t)(p - out);
+}
+
 }  // extern "C"

@@ -301,6 +301,142 @@ def fit_distance_span(
 
 
 # ---------------------------------------------------------------------------
+# banded wavefront
+# ---------------------------------------------------------------------------
+#
+# The full wavefront updates every lane j in [0, N] each diagonal step, but
+# an alignment path only visits cells whose diagonal offset o = j - i drifts
+# by one per gap. When the caller can bound o to [off_lo, off_hi] (the mapper
+# window construction puts the read's start at o ~ pad..pad+vote-slack, and
+# drift beyond that costs gap each), the live cells on anti-diagonal d are
+# j in [ceil((d+off_lo)/2), floor((d+off_hi)/2)] — a BAND of
+# K = (off_hi-off_lo)/2 + 2 lanes whose start base(d) slides half a lane per
+# step. Carrying [B, K] lanes instead of [B, N+1] cuts per-step VPU work by
+# N/K; the band alignment between steps is one dynamic_slice of the
+# (BIG-padded) carried diagonals at delta = base(d) - base(d-1) in {0, 1}
+# (base(d-2): {0, 1, 2}) — the same traced-offset lane slice the full
+# wavefront already pays for its a-diagonal.
+#
+# Contract: EXACT equality with the unbanded result whenever some optimal
+# path keeps j - i within [off_lo, off_hi] (ends with end_j - m outside the
+# band are never candidates); otherwise the banded cost is an achievable
+# upper bound. tests/test_align.py asserts exactness for in-band cases and
+# the >= property in general.
+
+
+def _band_geometry(off_lo: int, off_hi: int, N: int):
+    """(K, base_fn) for a band covering j - i in [off_lo, off_hi]."""
+    assert off_lo <= 0 <= off_hi, (off_lo, off_hi)
+    K = (off_hi - off_lo + 1) // 2 + 2
+    top = max(0, N + 1 - K)
+
+    def base(d):
+        return jnp.clip((d + off_lo + 1) // 2, 0, top)
+
+    return K, base
+
+
+def _band_shift(x: jax.Array, delta, lag: int, K: int, fill) -> jax.Array:
+    """Band-local lane alignment: out[t] = x[t + delta - lag] (fill outside).
+
+    delta is the traced base() step between diagonals; lag=0 reads the same
+    j (up-move), lag=1 reads j-1 (left/diag moves)."""
+    B = x.shape[0]
+    lead = jnp.full((B, lag), fill, x.dtype)
+    tail = jnp.full((B, 3 - lag), fill, x.dtype)
+    padded = jnp.concatenate([lead, x, tail], axis=-1)
+    return jax.lax.dynamic_slice_in_dim(padded, delta, K, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("off_lo", "off_hi"))
+def fit_distance_span_banded(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+    off_lo: int = -16,
+    off_hi: int = 96,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """fit_distance_span restricted to the diagonal band
+    j - i in [off_lo, off_hi] (see the band contract above). Same return
+    contract: (cost [B], start_j [B], end_j [B]), single-path spans,
+    earliest-end / smallest-start ties."""
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    mismatch = jnp.asarray(mismatch, jnp.int32)
+    gap = jnp.asarray(gap, jnp.int32)
+    a = _codes(words_a, lens_a, _PAD_A)
+    b = _codes(words_b, lens_b, _PAD_B)
+    B, M = a.shape
+    N = b.shape[-1]
+    K, base = _band_geometry(off_lo, off_hi, N)
+    if K >= N + 1:  # band wider than the window: the full scan is cheaper
+        return fit_distance_span(words_a, lens_a, words_b, lens_b, mismatch, gap)
+    t = jnp.arange(K, dtype=jnp.int32)
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    m, n = lens_a[:, None], lens_b[:, None]
+
+    # d = 0: band starts at j = 0; D[0, 0] = 0, S[0, j] = j
+    prev = jnp.where(t == 0, 0, _BIG) * jnp.ones((B, 1), jnp.int32)
+    prev2 = jnp.full((B, K), _BIG, jnp.int32)
+    s_prev = jnp.broadcast_to(t, (B, K))
+    s_prev2 = jnp.zeros((B, K), jnp.int32)
+    fit0 = jnp.where(lens_a == 0, 0, _BIG)
+    endj0 = jnp.zeros((B,), jnp.int32)
+    startj0 = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, d):
+        prev, prev2, s_prev, s_prev2, fit, endj, startj = carry
+        bd = base(d)
+        d1 = bd - base(d - 1)
+        d2 = bd - base(d - 2)
+        jj = bd + t
+        a_diag = jax.lax.dynamic_slice_in_dim(arp, N + 1 + M - d + bd, K, -1)
+        b_diag = jax.lax.dynamic_slice_in_dim(bsh, bd, K, -1)
+        sub = jnp.where(a_diag == b_diag, 0, mismatch)
+        c_diag = _band_shift(prev2, d2, 1, K, _BIG) + sub
+        c_up = _band_shift(prev, d1, 0, K, _BIG) + gap
+        c_left = _band_shift(prev, d1, 1, K, _BIG) + gap
+        diag = jnp.minimum(jnp.minimum(c_diag, c_up), c_left)
+        s_diag = _band_shift(s_prev2, d2, 1, K, _BIG)
+        s_up = _band_shift(s_prev, d1, 0, K, _BIG)
+        s_left = _band_shift(s_prev, d1, 1, K, _BIG)
+        S = jnp.minimum(
+            jnp.minimum(
+                jnp.where(c_diag == diag, s_diag, _BIG),
+                jnp.where(c_up == diag, s_up, _BIG),
+            ),
+            jnp.where(c_left == diag, s_left, _BIG),
+        )
+        diag = jnp.where(jj == 0, d * gap, diag)
+        S = jnp.where(jj == 0, 0, S)
+        diag = jnp.where(jj == d, 0, diag)  # free b-prefix: D[0, j] = 0
+        S = jnp.where(jj == d, jj, S)
+        diag = jnp.where(jj > d, _BIG, diag)  # i < 0: no such cell
+        jm = d - m
+        at = (jj == jm) & (jm >= 0) & (jj <= n)
+        v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+        st = jnp.min(jnp.where(at, S, _BIG), axis=-1)
+        better = v < fit
+        fit = jnp.minimum(fit, v)
+        endj = jnp.where(better, jnp.squeeze(jm, -1), endj)
+        startj = jnp.where(better, st, startj)
+        return (diag, prev, S, s_prev, fit, endj, startj), None
+
+    (prev, prev2, s_prev, s_prev2, fit, endj, startj), _ = jax.lax.scan(
+        step,
+        (prev, prev2, s_prev, s_prev2, fit0, endj0, startj0),
+        jnp.arange(1, M + N + 1, dtype=jnp.int32),
+        unroll=8,  # loop-overhead-bound, like the full wavefront
+    )
+    startj = jnp.where(fit < _BIG, jnp.minimum(startj, endj), 0)
+    return fit, startj, endj
+
+
+# ---------------------------------------------------------------------------
 # traceback: alignment operations + CIGAR
 # ---------------------------------------------------------------------------
 
@@ -444,6 +580,167 @@ def _wavefront_tb_codes(
         jnp.uint8(OP_STOP),
     )
     return cost, end_j, ops_fwd
+
+
+def _wavefront_tb_codes_banded(
+    a: jax.Array,
+    lens_a: jax.Array,
+    b: jax.Array,
+    lens_b: jax.Array,
+    mismatch,
+    gap,
+    ends_free_b: bool,
+    off_lo: int,
+    off_hi: int,
+):
+    """_wavefront_tb_codes restricted to the diagonal band
+    j - i in [off_lo, off_hi] (band contract above fit_distance_span_banded).
+
+    The recorded direction plane shrinks from (M+N)·(N+1) to (M+N)·K
+    bytes per pair — the long-read SAM path's traceback memory goes from
+    quadratic in read length to O(L·band). Same candidate-mask encoding
+    and op-continuation tie policy as the full-plane version; the
+    traceback's row gather addresses band-local lanes (j - base(d))."""
+    mismatch = jnp.asarray(mismatch, jnp.int32)
+    gap = jnp.asarray(gap, jnp.int32)
+    B, M = a.shape
+    N = b.shape[-1]
+    T = M + N
+    K, base = _band_geometry(off_lo, off_hi, N)
+    if K >= N + 1:
+        return _wavefront_tb_codes(
+            a, lens_a, b, lens_b, mismatch, gap, ends_free_b, None
+        )
+    t = jnp.arange(K, dtype=jnp.int32)
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    m, n = lens_a[:, None], lens_b[:, None]
+
+    prev = jnp.where(t == 0, 0, _BIG) * jnp.ones((B, 1), jnp.int32)
+    prev2 = jnp.full((B, K), _BIG, jnp.int32)
+    ans0 = jnp.where((lens_a + lens_b) == 0, 0, _BIG)
+    fit0 = jnp.where(lens_a == 0, 0, _BIG)
+    endj0 = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, d):
+        prev, prev2, ans, fit, endj = carry
+        bd = base(d)
+        d1 = bd - base(d - 1)
+        d2 = bd - base(d - 2)
+        jj = bd + t
+        a_diag = jax.lax.dynamic_slice_in_dim(arp, N + 1 + M - d + bd, K, -1)
+        b_diag = jax.lax.dynamic_slice_in_dim(bsh, bd, K, -1)
+        is_eq = a_diag == b_diag
+        cand_diag = _band_shift(prev2, d2, 1, K, _BIG) + jnp.where(
+            is_eq, 0, mismatch
+        )
+        cand_up = _band_shift(prev, d1, 0, K, _BIG) + gap
+        cand_left = _band_shift(prev, d1, 1, K, _BIG) + gap
+        diag = jnp.minimum(jnp.minimum(cand_diag, cand_up), cand_left)
+        dirv = (
+            (diag == cand_diag) * 1
+            + (diag == cand_up) * 2
+            + (diag == cand_left) * 4
+            + is_eq * 8
+        )
+        diag = jnp.where(jj == 0, d * gap, diag)
+        dirv = jnp.where(jj == 0, 2, dirv)
+        row0_val = jnp.int32(0) if ends_free_b else d * gap
+        row0_dir = 0 if ends_free_b else 4
+        diag = jnp.where(jj == d, row0_val, diag)
+        dirv = jnp.where(jj == d, row0_dir, dirv)
+        diag = jnp.where(jj > d, _BIG, diag)  # i < 0: no such cell
+        if ends_free_b:
+            jm = d - m
+            at = (jj == jm) & (jm >= 0) & (jj <= n)
+            v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+            better = v < fit
+            fit = jnp.minimum(fit, v)
+            endj = jnp.where(better, jnp.squeeze(jm, -1), endj)
+        else:
+            at = (jj == n) & (d == (m + n))
+            v = jnp.min(jnp.where(at, diag, _BIG), axis=-1)
+            ans = jnp.minimum(ans, v)
+        return (diag, prev, ans, fit, endj), dirv.astype(jnp.uint8)
+
+    (prev, prev2, ans, fit, endj), dirs = jax.lax.scan(
+        step,
+        (prev, prev2, ans0, fit0, endj0),
+        jnp.arange(1, T + 1, dtype=jnp.int32),
+    )
+    cost, end_j = (fit, endj) if ends_free_b else (ans, lens_b)
+
+    # -- traceback over the banded plane -----------------------------------
+    flat = jnp.moveaxis(dirs, 0, 1).reshape(B, T * K)
+
+    def tb_step(carry, _):
+        i, j, prev_op = carry
+        active = (i > 0) if ends_free_b else ((i > 0) | (j > 0))
+        d = i + j
+        lane = j - base(d)
+        idx = jnp.clip((d - 1) * K + jnp.clip(lane, 0, K - 1), 0, T * K - 1)
+        mask = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        diag_op = jnp.where((mask & 8) != 0, OP_EQ, OP_X)
+        op = jnp.where(
+            (prev_op == OP_INS) & ((mask & 2) != 0),
+            OP_INS,
+            jnp.where(
+                (prev_op == OP_DEL) & ((mask & 4) != 0),
+                OP_DEL,
+                jnp.where(
+                    (mask & 1) != 0,
+                    diag_op,
+                    jnp.where((mask & 2) != 0, OP_INS, OP_DEL),
+                ),
+            ),
+        )
+        op = jnp.where(active, op, OP_STOP)
+        di = ((op == OP_EQ) | (op == OP_X) | (op == OP_INS)).astype(jnp.int32)
+        dj = ((op == OP_EQ) | (op == OP_X) | (op == OP_DEL)).astype(jnp.int32)
+        return (i - di, j - dj, op), op.astype(jnp.uint8)
+
+    (_, _, _), ops_rev = jax.lax.scan(
+        tb_step, (lens_a, end_j, jnp.zeros_like(lens_a)), None, length=T
+    )
+    ops_rev = jnp.transpose(ops_rev)
+    nsteps = jnp.sum((ops_rev != OP_STOP).astype(jnp.int32), axis=1)
+    tidx = nsteps[:, None] - 1 - jnp.arange(T, dtype=jnp.int32)[None, :]
+    ops_fwd = jnp.where(
+        tidx >= 0,
+        jnp.take_along_axis(ops_rev, jnp.clip(tidx, 0, T - 1), axis=1),
+        jnp.uint8(OP_STOP),
+    )
+    return cost, end_j, ops_fwd
+
+
+@partial(jax.jit, static_argnames=("ends_free_b", "off_lo", "off_hi"))
+def align_ops_codes_banded(
+    codes_a: jax.Array,
+    lens_a: jax.Array,
+    codes_b: jax.Array,
+    lens_b: jax.Array,
+    mismatch=1,
+    gap=1,
+    ends_free_b: bool = False,
+    off_lo: int = -64,
+    off_hi: int = 64,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """align_ops_codes restricted to the diagonal band j - i in
+    [off_lo, off_hi]: identical (cost, end_j, ops) whenever some optimal
+    path stays in the band (for a GLOBAL alignment that requires
+    off_lo <= min(0, n-m) and off_hi >= max(0, n-m) plus gap-excursion
+    slack); traceback plane is O((M+N)·band) instead of O((M+N)·N)."""
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    pa = jnp.arange(codes_a.shape[-1], dtype=jnp.int32)
+    pb = jnp.arange(codes_b.shape[-1], dtype=jnp.int32)
+    a = jnp.where(pa < lens_a[:, None], codes_a.astype(jnp.int32), _PAD_A)
+    b = jnp.where(pb < lens_b[:, None], codes_b.astype(jnp.int32), _PAD_B)
+    return _wavefront_tb_codes_banded(
+        a, lens_a, b, lens_b, mismatch, gap, ends_free_b, off_lo, off_hi
+    )
 
 
 @partial(jax.jit, static_argnames=("ends_free_b",))

@@ -329,3 +329,110 @@ def test_fit_distance_span_oracle_fuzz(rng, mismatch, gap):
                                                 mismatch, gap))
     assert np.array_equal(cost, c2)
     assert np.array_equal(end, e2)
+
+
+# ---------------------------------------------------------------------------
+# banded wavefront: exact in-band, upper bound beyond, O(L*band) traceback
+# ---------------------------------------------------------------------------
+
+
+def test_fit_span_banded_matches_full_in_band(rng):
+    """Planted fits whose start offset and gap drift are inside the band
+    must be bit-identical to the unbanded span fit (the mapper contract)."""
+    seqs_a, seqs_b = [], []
+    for _ in range(24):
+        la = int(rng.integers(5, 120))
+        a = random_seq(rng, la).upper()
+        lead = random_seq(rng, int(rng.integers(0, 60))).upper()
+        mm = bytearray(a)
+        for _ in range(int(rng.integers(0, 4))):  # <=3 edits: drift << band
+            p = int(rng.integers(0, max(len(mm), 1)))
+            op = int(rng.integers(0, 3))
+            ch = random_seq(rng, 1).upper()
+            if op == 0 and mm:
+                mm[p : p + 1] = ch
+            elif op == 1 and mm:
+                del mm[p]
+            else:
+                mm.insert(p, ch[0])
+        tail = random_seq(rng, int(rng.integers(0, 40))).upper()
+        seqs_a.append(a)
+        seqs_b.append(lead + bytes(mm) + tail)
+    args = _pairs(seqs_a, seqs_b)
+    full = [np.asarray(x) for x in align.fit_distance_span(*args)]
+    band = [
+        np.asarray(x)
+        for x in align.fit_distance_span_banded(
+            *args, off_lo=-16, off_hi=96
+        )
+    ]
+    for f, g in zip(full, band):
+        np.testing.assert_array_equal(f, g)
+
+
+def test_fit_span_banded_upper_bound_out_of_band(rng):
+    """Starts beyond off_hi leave the band: banded cost must still be an
+    achievable upper bound (never below the true optimum)."""
+    seqs_a = [random_seq(rng, 30).upper() for _ in range(8)]
+    seqs_b = [
+        random_seq(rng, 200).upper() + a + random_seq(rng, 10).upper()
+        for a in seqs_a
+    ]
+    args = _pairs(seqs_a, seqs_b)
+    f = np.asarray(align.fit_distance_span(*args)[0])
+    g = np.asarray(
+        align.fit_distance_span_banded(*args, off_lo=-16, off_hi=96)[0]
+    )
+    assert (f == 0).all()  # planted exactly, findable unbanded
+    assert (g >= f).all()
+
+
+def test_fit_span_banded_wide_band_falls_back(rng):
+    """A band at least as wide as the window compiles to the full scan."""
+    seqs_a = [random_seq(rng, 20).upper() for _ in range(4)]
+    seqs_b = [random_seq(rng, 30).upper() for _ in range(4)]
+    args = _pairs(seqs_a, seqs_b)
+    full = [np.asarray(x) for x in align.fit_distance_span(*args)]
+    band = [
+        np.asarray(x)
+        for x in align.fit_distance_span_banded(
+            *args, off_lo=-64, off_hi=64
+        )
+    ]
+    for f, g in zip(full, band):
+        np.testing.assert_array_equal(f, g)
+
+
+@pytest.mark.parametrize("fit", [False, True])
+def test_align_ops_banded_matches_full(rng, fit):
+    """Banded traceback: identical (cost, end_j, ops) to the full-plane
+    version for in-band alignments, in both global and fitting modes."""
+    B, LA, LB = 16, 60, 72
+    ca = np.zeros((B, LA), np.int32)
+    cb = np.zeros((B, LB), np.int32)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for i in range(B):
+        m = int(rng.integers(4, LA))
+        a = rng.integers(0, 4, m).astype(np.int32)
+        bb = list(a)
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, max(len(bb), 1)))
+            op = int(rng.integers(0, 3))
+            if op == 0 and bb:
+                bb[p] = int(rng.integers(0, 4))
+            elif op == 1 and bb:
+                del bb[p]
+            else:
+                bb.insert(p, int(rng.integers(0, 4)))
+        bb = bb[:LB]
+        ca[i, :m] = a
+        la[i] = m
+        cb[i, : len(bb)] = bb
+        lb[i] = len(bb)
+    full = align.align_ops_codes(ca, la, cb, lb, 1, 1, ends_free_b=fit)
+    band = align.align_ops_codes_banded(
+        ca, la, cb, lb, 1, 1, ends_free_b=fit, off_lo=-24, off_hi=24
+    )
+    for f, g in zip(full, band):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(g))
