@@ -903,19 +903,22 @@ def cmd_map(args) -> int:
         return _emit_sam_paired(args, idx, tnames, clens, offsets,
                                 qnames, reads)
     if args.long:
-        if getattr(args, "devices", None) and args.devices > 1:
-            raise SystemExit("--devices is not supported with --long yet")
+        mesh = _build_mesh(args)
         if getattr(args, "sam", False):
             if not args.extend:
                 raise SystemExit("--long --sam needs --extend (base-exact "
                                  "coordinates feed the traceback)")
             res = mapper.map_reads_long(
-                idx, reads, min_chain=args.min_seeds, extend=True
+                idx, reads, min_chain=args.min_seeds, extend=True, mesh=mesh
             )
             L = int(reads.words.shape[1]) * 16
             tb_pad = max(64, L // 8)  # absorb long-read indel drift
             win = L + 2 * tb_pad
-            plane = (L + win) * (win + 1)  # traceback bytes per read
+            # BANDED traceback: the recorded plane is (M+N) x band instead
+            # of (M+N) x (win+1) — O(L * band) bytes per read, where band
+            # covers the same +-tb_pad indel drift the window budget does
+            K = tb_pad + 2
+            plane = (L + win) * K  # traceback bytes per read
             if plane > (512 << 20):
                 raise SystemExit(
                     f"--long --sam: reads of {L} padded bases need "
@@ -924,12 +927,13 @@ def cmd_map(args) -> int:
                 )
             chunk = max(1, (512 << 20) // plane)
             tb = mapper.traceback_cigars(
-                idx, reads, res, pad=tb_pad, chunk=chunk
+                idx, reads, res, pad=tb_pad, chunk=chunk, band=tb_pad
             )
             return _emit_sam(args, qnames, reads, res, tb, tnames, clens,
                              offsets)
         res = mapper.map_reads_long(
-            idx, reads, min_chain=args.min_seeds, extend=args.extend
+            idx, reads, min_chain=args.min_seeds, extend=args.extend,
+            mesh=mesh,
         )
         qlens = np.asarray(reads.lengths)
         out = sys.stdout if args.out is None else open(args.out, "w")

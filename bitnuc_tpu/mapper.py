@@ -687,7 +687,7 @@ def map_reads_sharded(
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("win_width",))
+@partial(jax.jit, static_argnames=("win_width", "band"))
 def _traceback_core(
     words,
     lengths,
@@ -698,6 +698,7 @@ def _traceback_core(
     win_width: int,
     mismatch,
     gap,
+    band: int = 0,
 ):
     """Global alignment ops of each read (in its mapped orientation)
     against its exact reference window [ref_start, ref_end).
@@ -726,9 +727,19 @@ def _traceback_core(
         Rn - 1,
     )
     codes_b = jnp.take(ref_codes, gidx).astype(jnp.int32)
-    cost, _, ops = align_mod.align_ops_codes(
-        codes_a, lengths, codes_b, wlen, mismatch, gap, ends_free_b=False
-    )
+    if band:
+        # banded traceback: the recorded direction plane shrinks from
+        # (M+N)(N+1) to (M+N)K bytes per read — O(L*band), the long-read
+        # regime's memory wall. Exact whenever the alignment's diagonal
+        # drift (net indels at any prefix) stays within +-band.
+        cost, _, ops = align_mod.align_ops_codes_banded(
+            codes_a, lengths, codes_b, wlen, mismatch, gap,
+            ends_free_b=False, off_lo=-int(band), off_hi=int(band),
+        )
+    else:
+        cost, _, ops = align_mod.align_ops_codes(
+            codes_a, lengths, codes_b, wlen, mismatch, gap, ends_free_b=False
+        )
     return cost, ops
 
 
@@ -741,9 +752,17 @@ def traceback_cigars(
     pad: int = 32,
     chunk: int = 1024,
     eqx: bool = True,
+    band: int = 0,
 ) -> dict:
     """Per-read CIGAR strings for a map_reads result (the minimap2 -c /
     --eqx analog the reference tier lacked through round 2).
+
+    band > 0 routes the per-read alignment through the BANDED traceback
+    (ops.align.align_ops_codes_banded, diagonal drift limited to +-band):
+    the recorded plane drops from (M+N)(N+1) to (M+N)(band+2) bytes per
+    read — the memory wall of the long-read SAM path. Exact whenever the
+    alignment's net-indel excursion stays within the band (the CLI passes
+    the same tb_pad budget its window already assumes).
 
     Re-derives the full per-base alignment of each mapped read against its
     exact window [ref_start, ref_end) — the same cost model the mapper's
@@ -785,6 +804,7 @@ def traceback_cigars(
             win_width,
             np.int32(mismatch),
             np.int32(gap),
+            band=int(band),
         )
         costs[s:e] = np.asarray(cost)
         ops_np = np.asarray(ops)
@@ -881,6 +901,8 @@ def map_reads_long(
     pad: int = 32,
     mismatch: int = 1,
     gap: int = 1,
+    mesh=None,
+    axis: str = "data",
 ) -> dict:
     """Chain-based mapping for long / indel-rich reads (the minimap2
     --no-align regime): anchors from the same minimizer join, placement
@@ -899,7 +921,24 @@ def map_reads_long(
     (total edit cost). The window caps at 1.25x the read length + 2*pad;
     wavefront work grows with read length squared — right for reads up
     to a few kb, not 100kb (chunk longer reads by their chain spans).
+
+    mesh: optional jax Mesh — reads shard over `axis` with the index
+    replicated (same fleet layout as map_reads_sharded); the batch is
+    zero-padded to a device multiple and sliced back, so results match
+    the single-device run exactly. Long reads are where one chip runs
+    out of memory first, so this is the scale-out path.
     """
+    if mesh is not None:
+        from .parallel.mesh import pad_batch
+
+        B = int(reads.words.shape[0])
+        padded = pad_batch(reads, int(mesh.shape[axis]))
+        res = map_reads_long_sharded(
+            index, padded, mesh, axis, min_chain=min_chain, max_gap=max_gap,
+            gap_unit=gap_unit, lookback=lookback, extend=extend, pad=pad,
+            mismatch=mismatch, gap=gap,
+        )
+        return {f: v[:B] for f, v in res.items()}
     score, use_rc, sr, er, q_start, q_end, cost = _map_long_core(
         reads.words,
         reads.lengths,
@@ -917,6 +956,74 @@ def map_reads_long(
         pad,
         mismatch,
         gap,
+    )
+    score = np.asarray(score)
+    out = {
+        "mapped": score >= min_chain,
+        "strand": np.where(np.asarray(use_rc), b"-", b"+"),
+        "ref_start": np.asarray(sr),
+        "ref_end": np.asarray(er),
+        "q_start": np.asarray(q_start),
+        "q_end": np.asarray(q_end),
+        "chain_score": score,
+    }
+    if extend:
+        out["cost"] = np.asarray(cost)
+    return out
+
+
+def map_reads_long_sharded(
+    index: MinimizerIndex,
+    reads,
+    mesh,
+    axis: str = "data",
+    min_chain: int = 3,
+    max_gap: int = 2048,
+    gap_unit: int = 16,
+    lookback: int = 64,
+    extend: bool = False,
+    pad: int = 32,
+    mismatch: int = 1,
+    gap: int = 1,
+) -> dict:
+    """Data-parallel map_reads_long: reads sharded over `axis`, index
+    replicated (the long-read twin of map_reads_sharded). Batch must
+    divide the mesh axis; results match map_reads_long exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    B = reads.words.shape[0]
+    assert B % n == 0, f"mesh axis size {n} must divide batch {B}"
+
+    core = partial(
+        _map_long_core,
+        k=index.k,
+        w=index.w,
+        lookback=lookback,
+        extend=extend,
+        pad=pad,
+        mismatch=mismatch,
+        gap=gap,
+    )
+    fn = jax.shard_map(
+        lambda wd, ln, tl, th, tp, rw, rl, mg, gu: core(
+            wd, ln, tl, th, tp, rw, rl, max_gap=mg, gap_unit=gu
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    score, use_rc, sr, er, q_start, q_end, cost = fn(
+        reads.words,
+        jnp.asarray(reads.lengths, jnp.int32),
+        jnp.asarray(index.keys),
+        jnp.asarray(index.keys_hi),
+        jnp.asarray(index.pos),
+        jnp.asarray(index.ref_words),
+        jnp.full((), index.ref_len, jnp.int32),
+        jnp.full((), max_gap, jnp.int32),
+        jnp.full((), gap_unit, jnp.int32),
     )
     score = np.asarray(score)
     out = {

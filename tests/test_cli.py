@@ -813,3 +813,22 @@ def test_cli_map_long_sam(tmp_path, capsys, rng):
         rlen = sum(int(n) for n, o in ops if o in "MD")
         assert qlen == len(reads[0])  # 1500 - 4 del + 3 ins = 1499
         assert rlen == 1500  # reference span restores the deleted bases
+
+
+def test_cli_map_long_devices_equal(tmp_path, capsys, rng):
+    """--long over an 8-device mesh prints byte-identical PAF (and with
+    --extend, byte-identical base-exact coordinates) to single-device."""
+    ref = random_seq(rng, 9000).upper()
+    tp = _write_fasta(tmp_path / "longref.fa", [ref])
+    reads = []
+    for i in range(11):  # not a multiple of 8: pad/slice-back path
+        s = 700 * i + 50
+        src = ref[s : s + 700]
+        reads.append(src[:200] + src[203:500] + src[502:])  # two deletions
+    qp = _write_fastq(tmp_path / "longreads.fq", reads)
+    for extra in ([], ["--extend"]):
+        base = ["map", tp, qp, "-k", "15", "-w", "10", "--long",
+                "--min-seeds", "10"] + extra
+        one = _cli_out(capsys, base)
+        eight = _cli_out(capsys, base + ["--devices", "8"])
+        assert one == eight and len(one.strip().splitlines()) == 11
