@@ -122,6 +122,34 @@ def bench_encode_floor(batch=16384, read_len=32768):
     return batch * read_len / t
 
 
+def bench_decode_floor(batch=8192, read_len=32768):
+    """Write-side floor for the decode row: identical byte streams
+    ([B, W] u32 in, [B, 16W] u8 out) with the per-base code extraction
+    replaced by a broadcast repeat (probe_decode's floor_bcast — the
+    cheapest correct-traffic program measured). decode_rate / floor_rate
+    reads off how much of the achievable ceiling the shipping decode
+    captures, independent of tunnel/chip contention."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.utils.bitops import n_words_for
+    from bitnuc_tpu.utils.timing import amortized_seconds_per_call
+
+    W = n_words_for(read_len)
+
+    def make(key):
+        return (jax.random.bits(key, (batch, W), jnp.uint32),)
+
+    def floor(w):
+        w8 = (w & jnp.uint32(0xFF)).astype(jnp.uint8)
+        return jnp.broadcast_to(
+            w8[:, :, None], (batch, W, 16)
+        ).reshape(batch, W * 16)
+
+    t = amortized_seconds_per_call(floor, make, k=2)
+    return batch * read_len / t
+
+
 def bench_decode(batch=8192, read_len=32768):
     import jax
     import jax.numpy as jnp
@@ -688,45 +716,95 @@ def main():
         )
     )
     if "--all" in sys.argv:
+        # Every row is SELF-CONTAINED (VERDICT r4 item 3): it carries the
+        # minimum bytes its workload must move per metric unit, an xor-copy
+        # calibration taken immediately before the measurement (the chip is
+        # time-shared; only same-moment comparisons mean anything), the
+        # roofline fraction value*bytes/calibration where a bandwidth
+        # ceiling is the right model, and a `bound` tag naming the actual
+        # limiting resource. Rows whose wall is host/sort/compute-side
+        # carry bytes=None — a device-bandwidth roofline would be the
+        # wrong ceiling and a fake fraction is worse than none.
         rows = [
-            ("bases_decoded_per_sec_chip", bench_decode(), "bases/s"),
-            ("hdist_base_comparisons_per_sec_chip", bench_hdist(), "base-cmp/s"),
-            (
-                "hdist_batch_q64_base_comparisons_per_sec_chip",
-                bench_hdist_batch(),
-                "base-cmp/s",
-            ),
-            ("kmers_counted_per_sec_chip_k8_mxu", bench_kmer(k=8, mode="mxu"), "kmers/s"),
-            ("kmers_counted_per_sec_chip_k9_mxu", bench_kmer(k=9, mode="mxu"), "kmers/s"),
-            (
-                "kmers_counted_per_sec_chip_k21_sorted",
-                bench_kmer(k=21, mode="runs"),  # scatter-free sorted engine
-                "kmers/s",
-            ),
-            ("sw_align_cells_per_sec_chip", bench_align(), "cells/s"),
-            ("reads_mapped_per_sec_chip", bench_map(), "reads/s"),
-            ("pairs_merged_per_sec_chip", bench_merge(), "pairs/s"),
-            ("orf_bases_scanned_per_sec_chip", bench_orf(), "bases/s"),
-            ("assembly_read_bases_per_sec", bench_assemble(), "bases/s"),
-            ("fastq_pipeline_staged_bases_per_sec", bench_pipeline(staged=True), "bases/s"),
-            ("fastq_pipeline_python_bases_per_sec", bench_pipeline(staged=False), "bases/s"),
-            # same-run calibrations for the pipeline rows: the loader-only
-            # drain is the transfer-state ceiling, the parse-only pass the
-            # parser ceiling (VERDICT r2 weak #2 / next #8)
-            ("fastq_loader_only_bases_per_sec", bench_loader_only(), "bases/s"),
-            ("fastq_parse_only_bases_per_sec", bench_parse_only(), "bases/s"),
-            ("filter_fastq_bases_per_sec", bench_filter(), "bases/s"),
-            ("qc_profile_bases_per_sec", bench_qc(), "bases/s"),
-            ("device_xor_copy_bandwidth", bench_memcpy(), "GB/s"),
-            ("cpu_baseline_bases_encoded_per_sec", cpu, "bases/s"),
+            # decode moves 0.25 B/base in + 1 B/base out; floor below
+            ("bases_decoded_per_sec_chip", lambda: bench_decode(), "bases/s",
+             1.25, "memory"),
+            # packed db scan: 0.25 B per base compared (query amortized)
+            ("hdist_base_comparisons_per_sec_chip", lambda: bench_hdist(),
+             "base-cmp/s", 0.25, "memory"),
+            # 64 queries share each db word: 0.25/64 B per comparison
+            ("hdist_batch_q64_base_comparisons_per_sec_chip",
+             lambda: bench_hdist_batch(), "base-cmp/s", 0.25 / 64, "memory"),
+            # counting reads each base once: 0.25 B/kmer (k-overlap), but
+            # the MXU one-hot contraction is FLOP-bound at 4^k/key
+            ("kmers_counted_per_sec_chip_k8_mxu",
+             lambda: bench_kmer(k=8, mode="mxu"), "kmers/s", 0.25, "compute"),
+            ("kmers_counted_per_sec_chip_k9_mxu",
+             lambda: bench_kmer(k=9, mode="mxu"), "kmers/s", 0.25, "compute"),
+            # auto hands k=10-12 to the runs engine on TPU (2.7-4.3x the
+            # dense scatter, probe_k1012): the wall is the key sort
+            ("kmers_counted_per_sec_chip_k12_auto",
+             lambda: bench_kmer(k=12, mode="auto"), "kmers/s", 0.25, "sort"),
+            ("kmers_counted_per_sec_chip_k21_sorted",
+             lambda: bench_kmer(k=21, mode="runs"), "kmers/s", 0.25, "sort"),
+            # wavefront DP: ~0 fresh bytes/cell — scan-step-overhead-bound
+            # (DESIGN 12c), a bandwidth roofline would be meaningless
+            ("sw_align_cells_per_sec_chip", lambda: bench_align(), "cells/s",
+             None, "scan-depth"),
+            ("reads_mapped_per_sec_chip", lambda: bench_map(), "reads/s",
+             None, "sort+scan-depth"),
+            ("pairs_merged_per_sec_chip", lambda: bench_merge(), "pairs/s",
+             None, "sort"),
+            ("orf_bases_scanned_per_sec_chip", lambda: bench_orf(),
+             "bases/s", 0.25, "memory"),
+            ("assembly_read_bases_per_sec", lambda: bench_assemble(),
+             "bases/s", None, "host-graph"),
+            # pipeline/preprocessing rows: ~2.15 B of FASTQ file per base
+            # (seq + qual + headers); the wall is host IO/parse, calibrated
+            # by the loader/parse rows below, not by device bandwidth
+            ("fastq_pipeline_staged_bases_per_sec",
+             lambda: bench_pipeline(staged=True), "bases/s", None, "host-io"),
+            ("fastq_pipeline_python_bases_per_sec",
+             lambda: bench_pipeline(staged=False), "bases/s", None, "host-io"),
+            ("fastq_loader_only_bases_per_sec", lambda: bench_loader_only(),
+             "bases/s", None, "host-io"),
+            ("fastq_parse_only_bases_per_sec", lambda: bench_parse_only(),
+             "bases/s", None, "host-io"),
+            ("filter_fastq_bases_per_sec", lambda: bench_filter(), "bases/s",
+             None, "host-io"),
+            ("qc_profile_bases_per_sec", lambda: bench_qc(), "bases/s",
+             None, "host-io"),
         ]
-        for name, val, unit in rows:
-            print(
-                json.dumps(
-                    {"metric": name, "value": round(val, 1), "unit": unit,
-                     "vs_baseline": None}
+        for name, fn, unit, bytes_per_unit, bound in rows:
+            cal = bench_memcpy(64)  # same-moment delivered bandwidth
+            val = fn()
+            row = {
+                "metric": name,
+                "value": round(val, 1),
+                "unit": unit,
+                "vs_baseline": None,
+                "calibration_GBs": round(cal, 2),
+                "bytes_per_unit": bytes_per_unit,
+                "bound": bound,
+            }
+            if bytes_per_unit is not None:
+                row["roofline_frac"] = round(
+                    val * bytes_per_unit / (cal * 1e9), 3
                 )
-            )
+            if name == "bases_decoded_per_sec_chip":
+                fl = bench_decode_floor()
+                row["floor_bases_per_sec"] = round(fl, 1)
+                row["floor_frac"] = round(val / fl, 3)
+            print(json.dumps(row), flush=True)
+        print(json.dumps({
+            "metric": "device_xor_copy_bandwidth",
+            "value": round(bench_memcpy(), 1), "unit": "GB/s",
+            "vs_baseline": None,
+        }), flush=True)
+        print(json.dumps({
+            "metric": "cpu_baseline_bases_encoded_per_sec",
+            "value": round(cpu, 1), "unit": "bases/s", "vs_baseline": None,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bn_filter_emit.argtypes = [u8p, u8p, u8p,
                                        ctypes.c_size_t, ctypes.c_size_t,
                                        i64p, i64p, u8p, i64p, i64p, u8p]
+    if hasattr(lib, "bn_qc_fold"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.bn_qc_fold.restype = ctypes.c_int
+        lib.bn_qc_fold.argtypes = [u8p, u8p, i32p,
+                                   ctypes.c_size_t, ctypes.c_size_t,
+                                   ctypes.c_int, i64p, i64p, i64p, i64p,
+                                   ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -353,6 +360,36 @@ def filter_emit(raw, ascii_arr, quals, name_off, name_len, keep, start, end):
     )
     assert n == total, (n, total)
     return out.tobytes()
+
+
+def qc_fold(ascii_arr, quals, lens, qmax, base_by_cycle, qual_by_cycle,
+            mean_q_hist, gc_hist, n_threads: int = 0) -> bool:
+    """One-pass native QC fold (the fastqc-class batch accumulator):
+    accumulates IN PLACE into the caller's int64 arrays. Returns False
+    when the .so lacks the entry point (stale build) — callers fall back
+    to the numpy fold. Bit-exact with qc._Acc.fold's numpy path (same
+    symbol map, phred clipping, and round-half-to-even)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_qc_fold"):
+        return False
+    a = np.ascontiguousarray(ascii_arr, dtype=np.uint8)
+    q = np.ascontiguousarray(quals, dtype=np.uint8)
+    R, L = a.shape
+    ln = np.ascontiguousarray(lens, dtype=np.int32)
+    assert base_by_cycle.flags.c_contiguous and qual_by_cycle.flags.c_contiguous
+    if n_threads == 0:
+        n_threads = os.cpu_count() or 1
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.bn_qc_fold(
+        a.ctypes.data_as(u8), q.ctypes.data_as(u8), ln.ctypes.data_as(i32),
+        R, L, int(qmax),
+        base_by_cycle.ctypes.data_as(i64), qual_by_cycle.ctypes.data_as(i64),
+        mean_q_hist.ctypes.data_as(i64), gc_hist.ctypes.data_as(i64),
+        int(n_threads),
+    )
+    return True
 
 
 def fastq_to_batch(data: bytes, max_len: int = 0):

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cmath>
 #include <thread>
 #include <vector>
 
@@ -380,6 +381,85 @@ int64_t bn_filter_emit(const uint8_t* raw, const uint8_t* ascii,
     *p++ = '\n';
   }
   return (int64_t)(p - out);
+}
+
+// One-pass QC fold over a rectangular read batch: per-cycle base counts
+// [L, 5], per-cycle quality histogram [L, qmax], mean-quality histogram
+// [qmax], GC%% histogram [101]. The numpy fold pays two full bincount
+// passes over L*R int32 key temporaries (qc.py::_Acc.fold); this walks
+// the bytes once, multithreaded over row slabs with per-thread
+// accumulators merged at the end. Symbol map matches qc._SYM
+// (A/C/G/T -> 0..3 case-insensitive, everything else 4); phred clipped
+// to [0, qmax); mean-q/GC rounding matches numpy's rint (half-to-even).
+int bn_qc_fold(const uint8_t* ascii, const uint8_t* quals,
+               const int32_t* lens, size_t R, size_t L, int qmax,
+               int64_t* base_by_cycle, int64_t* qual_by_cycle,
+               int64_t* mean_q_hist, int64_t* gc_hist, int n_threads) {
+  uint8_t sym[256];
+  for (int i = 0; i < 256; ++i) sym[i] = 4;
+  const char* b = "ACGT";
+  for (int i = 0; i < 4; ++i) {
+    sym[(uint8_t)b[i]] = (uint8_t)i;
+    sym[(uint8_t)(b[i] | 0x20)] = (uint8_t)i;
+  }
+  if (n_threads <= 0) n_threads = 1;
+  size_t nt = (size_t)n_threads;
+  if (nt > R) nt = R ? R : 1;
+  std::vector<std::vector<int64_t>> tb(nt), tq(nt), tm(nt), tg(nt);
+  std::vector<std::thread> threads;
+  auto work = [&](size_t ti) {
+    std::vector<int64_t>& bb = tb[ti];
+    std::vector<int64_t>& qq = tq[ti];
+    std::vector<int64_t>& mm = tm[ti];
+    std::vector<int64_t>& gg = tg[ti];
+    bb.assign(L * 5, 0);
+    qq.assign(L * (size_t)qmax, 0);
+    mm.assign((size_t)qmax, 0);
+    gg.assign(101, 0);
+    size_t lo = R * ti / nt, hi = R * (ti + 1) / nt;
+    for (size_t r = lo; r < hi; ++r) {
+      size_t n = (size_t)(lens[r] < 0 ? 0 : lens[r]);
+      if (n > L) n = L;
+      const uint8_t* a = ascii + r * L;
+      const uint8_t* q = quals + r * L;
+      int64_t qsum = 0;
+      size_t gc = 0;
+      for (size_t c = 0; c < n; ++c) {
+        uint8_t s = sym[a[c]];
+        ++bb[c * 5 + s];
+        int ph = (int)q[c] - 33;
+        if (ph < 0) ph = 0;
+        if (ph >= qmax) ph = qmax - 1;
+        ++qq[c * (size_t)qmax + (size_t)ph];
+        qsum += ph;
+        gc += (s == 1) | (s == 2);
+      }
+      size_t span = n ? n : 1;
+      // numpy rint: round half to even
+      double mq = (double)qsum / (double)span;
+      long long mqi = llrint(mq);
+      if (mqi < 0) mqi = 0;
+      if (mqi >= qmax) mqi = qmax - 1;
+      ++mm[(size_t)mqi];
+      long long gci = llrint(100.0 * (double)gc / (double)span);
+      if (gci < 0) gci = 0;
+      if (gci > 100) gci = 100;
+      ++gg[(size_t)gci];
+    }
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    for (size_t ti = 0; ti < nt; ++ti) threads.emplace_back(work, ti);
+    for (auto& t : threads) t.join();
+  }
+  for (size_t ti = 0; ti < nt; ++ti) {
+    for (size_t i = 0; i < L * 5; ++i) base_by_cycle[i] += tb[ti][i];
+    for (size_t i = 0; i < L * (size_t)qmax; ++i) qual_by_cycle[i] += tq[ti][i];
+    for (int i = 0; i < qmax; ++i) mean_q_hist[i] += tm[ti][i];
+    for (int i = 0; i <= 100; ++i) gc_hist[i] += tg[ti][i];
+  }
+  return BN_OK;
 }
 
 }  // extern "C"

@@ -157,6 +157,18 @@ MAX_MXU_K = 8  # matmul histogram: FLOPs scale as 4^k * N, wins up to ~k=8
 MAX_PALLAS_HIST_K = 9
 
 
+def auto_dense_max_k() -> int:
+    """Largest k for which mode='auto' yields the dense [4^k] layout on
+    the CURRENT backend: TPU hands k = 10..MAX_DENSE_K to the runs engine
+    (2.7-4.3x the scatter, probe_k1012), everything else keeps the dense
+    histogram up to MAX_DENSE_K."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return MAX_PALLAS_HIST_K
+    return MAX_DENSE_K
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def count_kmers_dense_mxu(
     words: jax.Array,
@@ -537,8 +549,10 @@ def count_kmers_reads(
     mode='sorted' -> sparse compacted (keys, counts, n_unique);
     mode='runs' -> same content in run-start layout, scatter-free (~6x
     faster at k=21 — the large-k engine, see count_kmers_runs); 'auto'
-    picks the matmul histogram up to MAX_MXU_K, scatter-dense up to
-    MAX_DENSE_K, runs beyond.
+    picks the matmul/Pallas histogram up to MAX_PALLAS_HIST_K on TPU,
+    then the runs engine for everything above it (measured 2.7-4.3x
+    over the scatter at k=10-12, probe_k1012); off-TPU, scatter-dense
+    up to MAX_DENSE_K and runs beyond.
     canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
     base_valid [B, L] bool (e.g. codec.validity_mask) drops every window
     containing an invalid/ambiguous base (N handling) instead of erroring.
@@ -553,6 +567,14 @@ def count_kmers_reads(
             or (k <= MAX_PALLAS_HIST_K and config.use_pallas())
         ):
             mode = "mxu"  # scatter serializes on TPU; CPU scatter is fine
+        elif jax.default_backend() == "tpu" and k > MAX_PALLAS_HIST_K:
+            # k = 10..12: the runs engine beats the dense scatter 2.7-4.3x
+            # on chip (380 vs 90-140 Mkmers/s, benchmarks/probe_k1012.py —
+            # the scatter serializes, the sort is key-width-independent).
+            # Densifying afterwards costs a second scatter pass, so auto
+            # hands the whole regime to runs; callers that NEED the [4^k]
+            # layout here pass mode='dense' explicitly.
+            mode = "runs"
         else:
             mode = "dense"
     if mode == "mxu":

@@ -62,31 +62,13 @@ def _row_at(ref, idx, TB):
     )
 
 
-def _window_at(ref, idx, K, TB):
-    """ref[idx : idx+K, :] without an unaligned load: (K+8, TB) aligned
-    over-read + residue-selected static slice (runs once, at init)."""
-    base8 = pl.multiple_of((idx // 8) * 8, 8)
+def _window_at_static(ref, idx: int, K: int):
+    """ref[idx : idx+K, :] for a PYTHON-int idx: aligned over-read +
+    static value slice (init-time only)."""
+    base8 = (idx // 8) * 8
     raw = ref[pl.ds(base8, K + 8), :]
     r = idx - base8
-    out = jnp.zeros((K, TB), jnp.int32)
-    for i in range(8):
-        out = jnp.where(r == i, jax.lax.slice_in_dim(raw, i, i + K, axis=0), out)
-    return out
-
-
-def _shift_up(x, fill):
-    """out[t] = x[t+1] (fill at the top)."""
-    return jnp.concatenate(
-        [jax.lax.slice_in_dim(x, 1, x.shape[0], axis=0),
-         jnp.full((1, x.shape[1]), fill, x.dtype)], axis=0
-    )
-
-
-def _shift_down(x, row):
-    """out[t] = x[t-1] (row enters at t=0); row: [1, TB]."""
-    return jnp.concatenate(
-        [row, jax.lax.slice_in_dim(x, 0, x.shape[0] - 1, axis=0)], axis=0
-    )
+    return jax.lax.slice_in_dim(raw, r, r + K, axis=0)
 
 
 def _fit_kernel(
@@ -108,58 +90,71 @@ def _fit_kernel(
     TB = la_ref.shape[1]
     mm = jnp.int32(mm)
     gp = jnp.int32(gp)
-    # row-replicated [8, TB] carriers: Mosaic rejects 1-sublane blocks
     la = jax.lax.slice_in_dim(la_ref[:], 0, 1, axis=0)
     lb = jax.lax.slice_in_dim(lb_ref[:], 0, 1, axis=0)
     top = max(0, N + 1 - K)
     T = M + N
     tsub = jax.lax.broadcasted_iota(jnp.int32, (K, TB), 0)
-    bigs = jnp.full((K, TB), _BIG, jnp.int32)
 
-    def base(d):
-        return jnp.clip((d + off_lo + 1) // 2, 0, top)
+    def pybase(d: int) -> int:
+        return min(max((d + off_lo + 1) // 2, 0), top)
 
-    def a_start(d):
-        return N + 1 + M - d + base(d)
+    # sublane shifts via pltpu.roll (concat-built shifts hit a Mosaic
+    # relayout crash when loop-carried; rolls lower cleanly)
+    def shift_up(v, fill=_BIG):
+        return jnp.where(tsub == K - 1, fill, pltpu.roll(v, shift=K - 1, axis=0))
 
-    # d = 0 state (base(0) = 0): D[0,0] = 0, S[0,j] = j
-    prev = jnp.where(tsub == 0, 0, _BIG)
-    prev2 = bigs
-    sprev = tsub
-    sprev2 = jnp.zeros((K, TB), jnp.int32)
+    def shift_down(v, fill=_BIG):
+        return jnp.where(tsub == 0, fill, pltpu.roll(v, shift=1, axis=0))
+
+    def shift_down_row(v, row):
+        return jnp.where(tsub == 0, jnp.broadcast_to(row, (K, TB)),
+                         pltpu.roll(v, shift=1, axis=0))
+
+    def shift_up_row(v, row):
+        return jnp.where(tsub == K - 1, jnp.broadcast_to(row, (K, TB)),
+                         pltpu.roll(v, shift=K - 1, axis=0))
+
+    # d = 0 state (base(0) = 0): D[0,0] = 0, S[0,j] = j. Every [K, TB]
+    # carry init is offset by a load-derived zero (znr): splat-initialized
+    # carries pick a sublane-REPLICATED layout that the loop back-edge
+    # cannot relayout from the body's general layout (Mosaic "Invalid
+    # relayout ... replicated in destination but not in source").
+    a_diag = _window_at_static(arp_ref, N + 1 + M, K)  # d=0 window
+    b_diag = _window_at_static(bsh_ref, 0, K)
+    znr = jnp.minimum(a_diag, 0)  # zeros, provably non-replicated
+    prev = jnp.where(tsub == 0, 0, _BIG) + znr
+    prev2 = _BIG + znr
+    sprev = tsub + znr
+    sprev2 = znr
     fit = jnp.where(la == 0, 0, _BIG)
     endj = jnp.zeros((1, TB), jnp.int32)
     startj = jnp.zeros((1, TB), jnp.int32)
-    a_diag = _window_at(arp_ref, a_start(1), K, TB)
-    b_diag = _window_at(bsh_ref, base(1), K, TB)
 
-    def body(d, carry):
+    def substep(d, carry, d1: int, d2: int):
+        """One diagonal step; d traced, the band deltas d1/d2 STATIC."""
         prev, prev2, sprev, sprev2, a_diag, b_diag, fit, endj, startj = carry
-        bd = base(d)
-        d1 = bd - base(d - 1)
-        d2 = bd - base(d - 2)
+        # slide the code windows into position for step d (the a-slice
+        # start moves by d1 - 1 in {-1, 0}, the b start by d1 in {0, 1})
+        bd = jnp.clip((d + off_lo + 1) // 2, 0, top)
+        if d1 == 0:  # a start decreased by one: element enters at t=0
+            a_diag = shift_down_row(
+                a_diag, _row_at(arp_ref, N + 1 + M - d + bd, TB)
+            )
+        else:  # b start increased by one: element enters at t=K-1
+            b_diag = shift_up_row(
+                b_diag, _row_at(bsh_ref, bd + (K - 1), TB)
+            )
         sub = jnp.where(a_diag == b_diag, 0, mm)
-        # band-local predecessor reads: out[t] = prev[t + d1 - lag]
-        up = jnp.where(d1 == 0, prev, _shift_up(prev, _BIG))
-        left = jnp.where(d1 == 0, _shift_down(prev, jnp.full((1, TB), _BIG)), prev)
-        dg = jnp.where(
-            d2 == 0,
-            _shift_down(prev2, jnp.full((1, TB), _BIG)),
-            jnp.where(d2 == 1, prev2, _shift_up(prev2, _BIG)),
-        )
-        s_up = jnp.where(d1 == 0, sprev, _shift_up(sprev, _BIG))
-        s_left = jnp.where(
-            d1 == 0, _shift_down(sprev, jnp.full((1, TB), _BIG)), sprev
-        )
-        s_dg = jnp.where(
-            d2 == 0,
-            _shift_down(sprev2, jnp.full((1, TB), _BIG)),
-            jnp.where(d2 == 1, sprev2, _shift_up(sprev2, _BIG)),
-        )
-        c_diag = dg + sub
-        c_up = up + gp
-        c_left = left + gp
+        c_diag = (shift_down(prev2) if d2 == 0
+                  else (prev2 if d2 == 1 else shift_up(prev2))) + sub
+        c_up = (prev if d1 == 0 else shift_up(prev)) + gp
+        c_left = (shift_down(prev) if d1 == 0 else prev) + gp
         diag = jnp.minimum(jnp.minimum(c_diag, c_up), c_left)
+        s_dg = (shift_down(sprev2) if d2 == 0
+                else (sprev2 if d2 == 1 else shift_up(sprev2)))
+        s_up = sprev if d1 == 0 else shift_up(sprev)
+        s_left = shift_down(sprev) if d1 == 0 else sprev
         S = jnp.minimum(
             jnp.minimum(
                 jnp.where(c_diag == diag, s_dg, _BIG),
@@ -173,7 +168,6 @@ def _fit_kernel(
         diag = jnp.where(jj == d, 0, diag)  # free b-prefix
         S = jnp.where(jj == d, jj, S)
         diag = jnp.where(jj > d, _BIG, diag)  # i < 0: no such cell
-        # answer extraction at (i = m, j = d - m)
         jm = d - la
         at = (jj == jm) & (jm >= 0) & (jj <= lb)
         v = jnp.min(jnp.where(at, diag, _BIG), axis=0, keepdims=True)
@@ -182,27 +176,42 @@ def _fit_kernel(
         fit = jnp.minimum(fit, v)
         endj = jnp.where(better, jm, endj)
         startj = jnp.where(better, st, startj)
-        # slide the code windows for d+1: the a-slice start moves -1 or 0
-        # (enter at t=0), the b start 0 or +1 (enter at t=K-1)
-        sa_now, sa_next = a_start(d), a_start(d + 1)
-        a_next = jnp.where(
-            sa_next == sa_now,
-            a_diag,
-            _shift_down(a_diag, _row_at(arp_ref, sa_next, TB)),
-        )
-        bd_next = base(d + 1)
-        b_entering = _row_at(bsh_ref, bd_next + K - 1, TB)
-        b_next = jnp.where(
-            bd_next == bd,
-            b_diag,
-            jnp.concatenate(
-                [jax.lax.slice_in_dim(b_diag, 1, K, axis=0), b_entering], axis=0
-            ),
-        )
-        return (diag, prev, S, sprev, a_next, b_next, fit, endj, startj)
+        return (diag, prev, S, sprev, a_diag, b_diag, fit, endj, startj)
 
+    # the band deltas are pure functions of d: compute them in PYTHON and
+    # emit loops over the (at most period-2) repeating phases, so every
+    # substep's shifts are static
+    deltas = [
+        (pybase(d) - pybase(d - 1), pybase(d) - pybase(d - 2))
+        for d in range(1, T + 1)
+    ]
     carry = (prev, prev2, sprev, sprev2, a_diag, b_diag, fit, endj, startj)
-    carry = jax.lax.fori_loop(1, T + 1, body, carry)
+    i = 0
+    while i < len(deltas):
+        best_p, best_len = 1, 1
+        for p in (1, 2):
+            L = p
+            while (i + L < len(deltas)
+                   and deltas[i + L] == deltas[i + (L % p)]):
+                L += 1
+            L = (L // p) * p
+            if L > best_len:
+                best_p, best_len = p, L
+        if best_len >= 4:
+            pat = tuple(deltas[i : i + best_p])
+            d0 = i + 1
+
+            def body(kk, c, pat=pat, d0=d0, p=best_p):
+                d = d0 + p * kk
+                for q, (a, b) in enumerate(pat):
+                    c = substep(d + q, c, a, b)
+                return c
+
+            carry = jax.lax.fori_loop(0, best_len // best_p, body, carry)
+            i += best_len
+        else:
+            carry = substep(i + 1, carry, *deltas[i])
+            i += 1
     fit, endj, startj = carry[6], carry[7], carry[8]
     fit_ref[:] = jnp.broadcast_to(fit, (8, TB))
     endj_ref[:] = jnp.broadcast_to(endj, (8, TB))

@@ -121,7 +121,7 @@ class _Acc:
         self.width = width
 
     def fold(self, ascii_arr: np.ndarray, quals: np.ndarray, lens: np.ndarray,
-             use_jax=None):
+             use_jax=None, use_native=None):
         R, L = ascii_arr.shape
         if R == 0:
             return
@@ -135,6 +135,25 @@ class _Acc:
             # default; the jitted fold stays for TPU-resident pipelines
             # and as a second implementation for parity tests.
             use_jax = False
+        if not use_jax and use_native is not False:
+            # one native pass (bn_qc_fold, threaded over row slabs) beats
+            # the two full bincount passes over L*R int32 key temporaries;
+            # bit-exact with the numpy path (tests/test_qc.py)
+            from . import native
+
+            if native.available() and native.qc_fold(
+                ascii_arr, quals, lens, _QMAX,
+                self.base_by_cycle[:L], self.qual_by_cycle[:L],
+                self.mean_q_hist, self.gc_hist,
+            ):
+                self.reads += R
+                self.bases += int(lens.sum())
+                lo = int(lens.min())
+                self.min_len = (
+                    lo if self.min_len is None else min(self.min_len, lo)
+                )
+                self.max_len = max(self.max_len, int(lens.max()))
+                return
         if use_jax:
             import jax.numpy as jnp
 

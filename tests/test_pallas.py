@@ -240,3 +240,67 @@ def test_histogram_k9_parity(rng, k, canonical):
     )
     want = kmer.count_kmers_dense(words, lens, k, canonical, base_valid=bv)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_wavefront_fit_parity(rng):
+    """Pallas fused banded span fit == the XLA banded scan (at the
+    kernel's widened band), bit-exact: costs, starts, ends — planted
+    fits with edits, empty reads, and ragged lengths."""
+    from bitnuc_tpu.ops import align
+    from bitnuc_tpu.ops.pallas import wavefront
+    from bitnuc_tpu.sequence import PackedReads
+
+    seqs_a, seqs_b = [], []
+    for i in range(24):
+        la = int(rng.integers(0, 140))
+        a = bytearray(random_seq(rng, la).upper())
+        lead = random_seq(rng, int(rng.integers(0, 60))).upper()
+        mm = bytearray(bytes(a))
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, max(len(mm), 1)))
+            op = int(rng.integers(0, 3))
+            ch = random_seq(rng, 1).upper()
+            if op == 0 and mm:
+                mm[p : p + 1] = ch
+            elif op == 1 and mm:
+                del mm[p]
+            else:
+                mm.insert(p, ch[0])
+        seqs_a.append(bytes(a))
+        seqs_b.append(lead + bytes(mm) + random_seq(rng, 30).upper())
+    ra = PackedReads.from_ascii(seqs_a)
+    rb = PackedReads.from_ascii(seqs_b)
+    K8, off_hi_eff = wavefront._band_k8(-16, 96)
+    ref = align.fit_distance_span_banded(
+        ra.words, ra.lengths, rb.words, rb.lengths, 1, 1,
+        off_lo=-16, off_hi=off_hi_eff,
+    )
+    got = wavefront.fit_distance_span_banded_pallas(
+        ra.words, ra.lengths, rb.words, rb.lengths, 1, 1,
+        off_lo=-16, off_hi=96, interpret=True,
+    )
+    for name, (f, g) in zip(("cost", "start", "end"), zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(g), err_msg=name)
+
+
+def test_wavefront_fit_weights_parity(rng):
+    """Non-unit (mismatch, gap) costs through the Pallas kernel."""
+    from bitnuc_tpu.ops import align
+    from bitnuc_tpu.ops.pallas import wavefront
+    from bitnuc_tpu.sequence import PackedReads
+
+    seqs_a = [random_seq(rng, int(n)).upper() for n in rng.integers(4, 60, 8)]
+    seqs_b = [random_seq(rng, int(n)).upper() for n in rng.integers(20, 120, 8)]
+    ra = PackedReads.from_ascii(seqs_a)
+    rb = PackedReads.from_ascii(seqs_b)
+    _, off_hi_eff = wavefront._band_k8(-8, 40)
+    ref = align.fit_distance_span_banded(
+        ra.words, ra.lengths, rb.words, rb.lengths, 3, 2,
+        off_lo=-8, off_hi=off_hi_eff,
+    )
+    got = wavefront.fit_distance_span_banded_pallas(
+        ra.words, ra.lengths, rb.words, rb.lengths, 3, 2,
+        off_lo=-8, off_hi=40, interpret=True,
+    )
+    for name, (f, g) in zip(("cost", "start", "end"), zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(g), err_msg=name)

@@ -153,3 +153,36 @@ def test_qc_cli(tmp_path, capsys):
     out = tmp_path / "rep.json"
     assert main(["qc", str(bad), "--out", str(out)]) == 0
     assert json.loads(out.read_text())["status"]["per_base_quality"] == "fail"
+
+
+def test_native_fold_matches_numpy(rng):
+    """bn_qc_fold (the one-pass native accumulator) must be bit-exact with
+    the numpy bincount fold on ragged, lowercase, N-containing, and
+    quality-extreme batches."""
+    from bitnuc_tpu import native
+    from bitnuc_tpu import qc as qcmod
+
+    if not (native.available() or native.build()):
+        pytest.skip("native lib not built")
+
+    R, L = 64, 120
+    ascii_arr = rng.choice(
+        np.frombuffer(b"ACGTacgtNnX", np.uint8), size=(R, L)
+    ).astype(np.uint8)
+    quals = rng.integers(30, 120, size=(R, L)).astype(np.uint8)
+    quals[0, :5] = 33  # phred 0 edge
+    quals[1, :5] = 119  # above the _QMAX clip
+    lens = rng.integers(0, L + 1, size=R).astype(np.int64)
+    lens[2] = 0
+    lens[3] = L
+
+    a1, a2 = qcmod._Acc(), qcmod._Acc()
+    a1.fold(ascii_arr, quals, lens, use_native=False)
+    a2.fold(ascii_arr, quals, lens, use_native=True)
+    np.testing.assert_array_equal(a1.base_by_cycle, a2.base_by_cycle)
+    np.testing.assert_array_equal(a1.qual_by_cycle, a2.qual_by_cycle)
+    np.testing.assert_array_equal(a1.mean_q_hist, a2.mean_q_hist)
+    np.testing.assert_array_equal(a1.gc_hist, a2.gc_hist)
+    assert (a1.reads, a1.bases, a1.min_len, a1.max_len) == (
+        a2.reads, a2.bases, a2.min_len, a2.max_len
+    )
