@@ -41,8 +41,20 @@ def rc_ascii(seq: bytes) -> bytes:
 
 
 def _member(sorted_keys: np.ndarray, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Membership of q in a sorted unique key array: (present, index)."""
+    """Membership of q in a sorted unique key array: (present, index).
+
+    q is itself SORTED at the only call site (the graph build's successor
+    candidates suf | b<<2(k-1) preserve key order), so the native tier
+    replaces the n binary searches (~22 random cache misses each — the
+    measured joins wall, probe_assemble) with one linear merge
+    (bn_merge_join); numpy searchsorted is the fallback."""
+    from . import native
+
     n = sorted_keys.shape[0]
+    if n:
+        mj = native.merge_join(sorted_keys, q) if native.available() else None
+        if mj is not None:
+            return mj
     idx = np.minimum(np.searchsorted(sorted_keys, q), n - 1).astype(np.int32)
     return sorted_keys[idx] == q, idx
 
@@ -60,6 +72,17 @@ def _wyllie_rank(prev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     stops after ~a dozen of the worst-case ~31 rounds.
     """
     n = prev.shape[0]
+    from . import native
+
+    if n and native.available():
+        # threaded packed-gather doubling (bn_list_rank): the ranking is
+        # memory-LATENCY-bound (two random gathers per node per round);
+        # packing (rank, jump) into one u64 halves the gathers and the
+        # threads overlap misses across cores (probe_assemble: the wyllie
+        # stage was the single largest graph-build cost)
+        lr = native.list_rank(prev)
+        if lr is not None:
+            return lr
     iota = np.arange(n, dtype=np.int32)
     jump = np.where(prev >= 0, prev, iota)
     # int32 ranks: chain ranks stay < n and cycle ranks cap at ~2n over
@@ -184,7 +207,12 @@ def unitigs_from_keys(
     # Emit: order nodes by (chain, rank); chain c of length m spans
     # out[offs[c] : offs[c] + m + k - 1]; the rank-0 node contributes its
     # full k bases, every later node its last base at position k - 1 + rank.
-    order = np.lexsort((rank, start))
+    # (start, rank) ordering as ONE u64 radix argsort: start < n < 2^31
+    # and chain ranks < n, so the packed key is exact (np.lexsort was the
+    # emit stage's measured wall, probe_assemble)
+    order = _argsort_u64(
+        (start.astype(np.uint64) << np.uint64(32)) | rank.astype(np.uint64)
+    )
     ch_s, rk_s = start[order], rank[order]
     first = np.empty(n, dtype=bool)
     first[0] = True
@@ -302,12 +330,25 @@ def _rc_keys(keys: np.ndarray, k: int) -> np.ndarray:
     return x >> np.uint64(64 - 2 * k) if k < 32 else x
 
 
+def _argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Stable u64 argsort: native LSD radix when built (the strand-union
+    and unitig-emit orderings were the assembler's measured sort walls,
+    probe_assemble), numpy stable sort otherwise."""
+    from . import native
+
+    if native.available():
+        o = native.argsort_u64(keys)
+        if o is not None:
+            return o
+    return np.argsort(keys, kind="stable")
+
+
 def _expand_both_strands(keys: np.ndarray, counts: np.ndarray, k: int):
     """Strand-symmetrize a (canonical) solid set: union in the reverse
     complements, carrying each key's count to its rc twin."""
     allk = np.concatenate([keys, _rc_keys(keys, k)])
     allc = np.concatenate([counts, counts])
-    o = np.argsort(allk, kind="stable")
+    o = _argsort_u64(allk)
     allk, allc = allk[o], allc[o]
     keep = np.empty(allk.shape[0], dtype=bool)
     if allk.shape[0]:

@@ -124,6 +124,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bn_filter_emit.argtypes = [u8p, u8p, u8p,
                                        ctypes.c_size_t, ctypes.c_size_t,
                                        i64p, i64p, u8p, i64p, i64p, u8p]
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    if hasattr(lib, "bn_merge_join"):
+        lib.bn_merge_join.restype = ctypes.c_int
+        lib.bn_merge_join.argtypes = [u64p, ctypes.c_size_t, u64p,
+                                      ctypes.c_size_t, u8p, i32p_]
+    if hasattr(lib, "bn_list_rank"):
+        lib.bn_list_rank.restype = ctypes.c_int
+        lib.bn_list_rank.argtypes = [i32p_, ctypes.c_size_t, i32p_, i32p_,
+                                     ctypes.c_int]
+    if hasattr(lib, "bn_argsort_u64"):
+        lib.bn_argsort_u64.restype = ctypes.c_int
+        lib.bn_argsort_u64.argtypes = [u64p, ctypes.c_size_t, i32p_]
     if hasattr(lib, "bn_qc_fold"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.bn_qc_fold.restype = ctypes.c_int
@@ -360,6 +372,70 @@ def filter_emit(raw, ascii_arr, quals, name_off, name_len, keep, start, end):
     )
     assert n == total, (n, total)
     return out.tobytes()
+
+
+def merge_join(sorted_keys, sorted_q):
+    """(present bool[m], lower-bound idx int32[m]) of sorted queries in a
+    sorted unique key array — ONE linear merge instead of m binary
+    searches (the de Bruijn graph build's joins stage). Returns None when
+    the .so lacks the entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_merge_join"):
+        return None
+    keys = np.ascontiguousarray(sorted_keys, dtype=np.uint64)
+    q = np.ascontiguousarray(sorted_q, dtype=np.uint64)
+    ok = np.zeros(len(q), np.uint8)
+    idx = np.zeros(len(q), np.int32)
+    if len(keys) and len(q):
+        u64 = ctypes.POINTER(ctypes.c_uint64)
+        lib.bn_merge_join(
+            keys.ctypes.data_as(u64), len(keys), q.ctypes.data_as(u64),
+            len(q), ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return ok.astype(bool), idx
+
+
+def list_rank(prev, n_threads: int = 0):
+    """Threaded pointer-doubling list ranking (assemble._wyllie_rank
+    semantics: (rank, jump); cycle nodes rank >= n). Returns None when
+    the .so lacks the entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_list_rank"):
+        return None
+    p = np.ascontiguousarray(prev, dtype=np.int32)
+    n = len(p)
+    rank = np.zeros(n, np.int32)
+    jump = np.zeros(n, np.int32)
+    if n:
+        if n_threads == 0:
+            n_threads = os.cpu_count() or 1
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.bn_list_rank(
+            p.ctypes.data_as(i32), n, rank.ctypes.data_as(i32),
+            jump.ctypes.data_as(i32), int(n_threads),
+        )
+    return rank, jump
+
+
+def argsort_u64(keys):
+    """Stable u64 argsort (LSD radix) -> int32 permutation; None when the
+    .so lacks the entry point. Bit-compatible with
+    np.argsort(keys, kind='stable')."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_argsort_u64"):
+        return None
+    ks = np.ascontiguousarray(keys, dtype=np.uint64)
+    n = len(ks)
+    if n >= (1 << 31):
+        return None
+    order = np.zeros(n, np.int32)
+    if n:
+        lib.bn_argsort_u64(
+            ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return order
 
 
 def qc_fold(ascii_arr, quals, lens, qmax, base_by_cycle, qual_by_cycle,

@@ -383,6 +383,122 @@ int64_t bn_filter_emit(const uint8_t* raw, const uint8_t* ascii,
   return (int64_t)(p - out);
 }
 
+// Sorted-set membership as a LINEAR MERGE: queries q[] are sorted (the
+// assembler's successor candidates suf|b preserve key order), so one
+// two-pointer pass replaces n binary searches (each ~22 random cache
+// misses — the measured joins stage of the de Bruijn graph build).
+// ok[i] = 1 iff q[i] is in keys; idx[i] = lower-bound index (clamped).
+int bn_merge_join(const uint64_t* keys, size_t n, const uint64_t* q,
+                  size_t m, uint8_t* ok, int32_t* idx) {
+  size_t j = 0;
+  for (size_t i = 0; i < m; ++i) {
+    while (j < n && keys[j] < q[i]) ++j;
+    size_t p = j < n ? j : n - 1;
+    idx[i] = (int32_t)p;
+    ok[i] = (uint8_t)(j < n && keys[j] == q[i]);
+  }
+  return BN_OK;
+}
+
+// List ranking over a predecessor forest by pointer doubling (the Wyllie
+// stage of the unitig compaction — docstring semantics of
+// assemble._wyllie_rank). rank/jump are packed into one u64 per node so
+// each round costs ONE random gather instead of two, and rounds run
+// threaded (random gathers overlap across cores). Cycle nodes keep
+// doubling and exceed n — the caller's cycle detector.
+int bn_list_rank(const int32_t* prev, size_t n, int32_t* rank_out,
+                 int32_t* jump_out, int n_threads) {
+  if (n == 0) return BN_OK;
+  // packed[i] = (rank << 32) | jump  (jump as unsigned 32)
+  std::vector<uint64_t> cur(n), nxt(n);
+  for (size_t i = 0; i < n; ++i) {
+    uint32_t j = prev[i] >= 0 ? (uint32_t)prev[i] : (uint32_t)i;
+    uint64_t r = prev[i] >= 0 ? 1ull : 0ull;
+    cur[i] = (r << 32) | j;
+  }
+  if (n_threads <= 0) n_threads = 1;
+  size_t nt = (size_t)n_threads;
+  if (nt > n) nt = 1;
+  int rounds = 1;
+  while ((size_t(1) << rounds) < n) ++rounds;  // ceil(log2 n)
+  ++rounds;
+  std::vector<uint8_t> changed(nt);
+  for (int rd = 0; rd < rounds; ++rd) {
+    auto work = [&](size_t ti) {
+      size_t lo = n * ti / nt, hi = n * (ti + 1) / nt;
+      uint8_t ch = 0;
+      for (size_t i = lo; i < hi; ++i) {
+        uint64_t me = cur[i];
+        uint64_t tgt = cur[(uint32_t)me];
+        uint64_t r = (me >> 32) + (tgt >> 32);
+        uint32_t j = (uint32_t)tgt;
+        uint64_t nv = (r << 32) | j;
+        nxt[i] = nv;
+        ch |= nv != me;
+      }
+      changed[ti] = ch;
+    };
+    if (nt == 1) {
+      work(0);
+    } else {
+      std::vector<std::thread> ts;
+      for (size_t ti = 0; ti < nt; ++ti) ts.emplace_back(work, ti);
+      for (auto& t : ts) t.join();
+    }
+    cur.swap(nxt);
+    uint8_t any = 0;
+    for (size_t ti = 0; ti < nt; ++ti) any |= changed[ti];
+    // Early exit compares the FULL packed (rank, jump) value: a cycle
+    // whose length divides 2^round fixes its jump pointers, but its ranks
+    // keep growing every round (rank[jump] > 0 on a cycle), so only true
+    // chain convergence stops the loop — the rank >= n cycle detector
+    // stays exact (the numpy twin needs a separate prev[jump] < 0 check
+    // precisely because it compares jumps alone).
+    if (!any) break;
+  }
+  for (size_t i = 0; i < n; ++i) {
+    uint64_t v = cur[i];
+    uint64_t r = v >> 32;
+    rank_out[i] = (int32_t)(r > 0x7FFFFFFFull ? 0x7FFFFFFF : r);
+    jump_out[i] = (int32_t)(uint32_t)v;
+  }
+  return BN_OK;
+}
+
+// Stable u64 argsort: LSD radix (8-bit digits, constant-digit passes
+// skipped). The assembler's strand-union and unitig-emit orderings are
+// both u64 argsorts of multi-million-key arrays where numpy's comparison
+// sort was the measured wall (probe_assemble). order must hold n int32
+// (n < 2^31).
+int bn_argsort_u64(const uint64_t* keys, size_t n, int32_t* order) {
+  std::vector<uint64_t> ka(keys, keys + n), kb(n);
+  std::vector<int32_t> ia(n), ib(n);
+  for (size_t i = 0; i < n; ++i) ia[i] = (int32_t)i;
+  uint64_t *src = ka.data(), *dst = kb.data();
+  int32_t *isrc = ia.data(), *idst = ib.data();
+  for (int pass = 0; pass < 8; ++pass) {
+    int sh = 8 * pass;
+    size_t count[256] = {0};
+    for (size_t i = 0; i < n; ++i) ++count[(src[i] >> sh) & 0xFF];
+    size_t nonzero = 0, last = 0;
+    for (int d = 0; d < 256; ++d)
+      if (count[d]) { ++nonzero; last = count[d]; }
+    if (nonzero <= 1 && last == n) continue;  // constant digit: skip
+    size_t pos = 0;
+    size_t offs[256];
+    for (int d = 0; d < 256; ++d) { offs[d] = pos; pos += count[d]; }
+    for (size_t i = 0; i < n; ++i) {
+      size_t p = offs[(src[i] >> sh) & 0xFF]++;
+      dst[p] = src[i];
+      idst[p] = isrc[i];
+    }
+    std::swap(src, dst);
+    std::swap(isrc, idst);
+  }
+  std::memcpy(order, isrc, n * sizeof(int32_t));
+  return BN_OK;
+}
+
 // One-pass QC fold over a rectangular read batch: per-cycle base counts
 // [L, 5], per-cycle quality histogram [L, qmax], mean-quality histogram
 // [qmax], GC%% histogram [101]. The numpy fold pays two full bincount

@@ -47,7 +47,12 @@ def main():
     n_reads = 0
     n_bases = 0
     for batch in bn.io.iter_fastq_batches(path, batch_size=4096):
-        hist = kmer.count_kmers_reads(batch.words, batch.lengths, k, canonical=True)
+        # mode='dense' pins the [4^k] layout this example accumulates
+        # across batches ('auto' hands k >= 10 to the runs engine on TPU,
+        # whose sparse output the managed pipeline below handles for you)
+        hist = kmer.count_kmers_reads(
+            batch.words, batch.lengths, k, mode="dense", canonical=True
+        )
         total = hist if total is None else total + hist
         n_reads += len(batch)
         n_bases += int(np.asarray(batch.lengths).sum())
