@@ -118,9 +118,38 @@ class _Graph:
     )
 
     def __init__(self, keys: np.ndarray, k: int):
+        from . import native
+
         n = keys.shape[0]
         self.keys, self.k = keys, k
         iota = np.arange(n, dtype=np.int32)
+        if n and native.available():
+            # one native pass builds the whole edge structure (merge joins
+            # + degrees + nxt/prev) — the numpy version's per-base
+            # temporaries and fancy-index post stage were the measured
+            # graph-build wall (probe_assemble); bit-matching semantics
+            ge = native.graph_edges(keys, k)
+            if ge is not None:
+                (self.succ_ok, self.succ_idx, self.outdeg, self.indeg,
+                 self.succ1, self.pred1, self.nxt, prev) = ge
+                rank, start = _wyllie_rank(prev)
+                circ_start = np.zeros(n, dtype=bool)
+                cyc = rank >= n
+                if cyc.any():
+                    mn = iota.copy()
+                    j2 = np.where(prev >= 0, prev, iota)
+                    for _ in range(
+                        max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+                    ):
+                        mn = np.minimum(mn, mn[j2])
+                        j2 = j2[j2]
+                    brk = cyc & (mn == iota)
+                    circ_start[brk] = True
+                    prev[brk] = -1
+                    rank, start = _wyllie_rank(prev)
+                self.prev = prev
+                self.rank, self.start, self.circ_start = rank, start, circ_start
+                return
         shift_hi = np.uint64(2 * (k - 1))
         suf = keys >> np.uint64(2)
 

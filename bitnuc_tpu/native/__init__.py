@@ -133,6 +133,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bn_list_rank.restype = ctypes.c_int
         lib.bn_list_rank.argtypes = [i32p_, ctypes.c_size_t, i32p_, i32p_,
                                      ctypes.c_int]
+    if hasattr(lib, "bn_graph_edges"):
+        lib.bn_graph_edges.restype = ctypes.c_int
+        lib.bn_graph_edges.argtypes = [u64p, ctypes.c_size_t, ctypes.c_int,
+                                       u8p, i32p_, i32p_, i32p_, i32p_,
+                                       i32p_, i32p_, i32p_]
     if hasattr(lib, "bn_argsort_u64"):
         lib.bn_argsort_u64.restype = ctypes.c_int
         lib.bn_argsort_u64.argtypes = [u64p, ctypes.c_size_t, i32p_]
@@ -416,6 +421,42 @@ def list_rank(prev, n_threads: int = 0):
             jump.ctypes.data_as(i32), int(n_threads),
         )
     return rank, jump
+
+
+def graph_edges(sorted_keys, k: int):
+    """One-pass de Bruijn edge structure over a sorted unique key set:
+    (succ_ok bool[4,n], succ_idx i32[4,n], outdeg i32[n], indeg i32[n],
+    succ1 i32[n], pred1 i32[n], nxt i32[n], prev i32[n]) — bit-matching
+    assemble._Graph.__init__'s numpy construction. None when the .so
+    lacks the entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_graph_edges"):
+        return None
+    keys = np.ascontiguousarray(sorted_keys, dtype=np.uint64)
+    n = len(keys)
+    if n >= (1 << 31):
+        return None
+    succ_ok = np.zeros((4, n), np.uint8)
+    succ_idx = np.zeros((4, n), np.int32)
+    outdeg = np.zeros(n, np.int32)
+    indeg = np.zeros(n, np.int32)
+    succ1 = np.zeros(n, np.int32)
+    pred1 = np.zeros(n, np.int32)
+    nxt = np.zeros(n, np.int32)
+    prev = np.zeros(n, np.int32)
+    if n:
+        u64 = ctypes.POINTER(ctypes.c_uint64)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.bn_graph_edges(
+            keys.ctypes.data_as(u64), n, int(k),
+            succ_ok.ctypes.data_as(u8), succ_idx.ctypes.data_as(i32),
+            outdeg.ctypes.data_as(i32), indeg.ctypes.data_as(i32),
+            succ1.ctypes.data_as(i32), pred1.ctypes.data_as(i32),
+            nxt.ctypes.data_as(i32), prev.ctypes.data_as(i32),
+        )
+    return (succ_ok.astype(bool), succ_idx, outdeg, indeg, succ1, pred1,
+            nxt, prev)
 
 
 def argsort_u64(keys):

@@ -465,6 +465,63 @@ int bn_list_rank(const int32_t* prev, size_t n, int32_t* rank_out,
   return BN_OK;
 }
 
+// Full de Bruijn edge structure in one native pass per base: for each of
+// the 4 successor candidates y_b = (key >> 2) | b << 2(k-1) (sorted in
+// key order), a two-pointer merge against the key set fills the
+// membership planes, degrees, unique-successor/predecessor candidates,
+// and the simple-edge function nxt and its inverse prev — the numpy
+// version materialized per-b ok/idx/bincount temporaries and a fancy-
+// index post stage that together dominated the graph build
+// (probe_assemble). Semantics bit-match _Graph.__init__: succ1 = FIRST
+// ok base's index (b=0's clamped lower bound when none), pred1 = LAST
+// writing base, nxt/prev only where outdeg==1 && indeg[succ]==1.
+int bn_graph_edges(const uint64_t* keys, size_t n, int k,
+                   uint8_t* succ_ok, int32_t* succ_idx,
+                   int32_t* outdeg, int32_t* indeg,
+                   int32_t* succ1, int32_t* pred1,
+                   int32_t* nxt, int32_t* prev) {
+  if (n == 0) return BN_OK;
+  int sh = 2 * (k - 1);
+  std::memset(outdeg, 0, n * sizeof(int32_t));
+  std::memset(indeg, 0, n * sizeof(int32_t));
+  std::memset(pred1, 0, n * sizeof(int32_t));
+  for (int b = 0; b < 4; ++b) {
+    uint64_t hi = (uint64_t)b << sh;
+    uint8_t* okp = succ_ok + (size_t)b * n;
+    int32_t* idxp = succ_idx + (size_t)b * n;
+    size_t j = 0;
+    for (size_t i = 0; i < n; ++i) {
+      uint64_t q = (keys[i] >> 2) | hi;
+      while (j < n && keys[j] < q) ++j;
+      size_t p = j < n ? j : n - 1;
+      idxp[i] = (int32_t)p;
+      bool ok = j < n && keys[j] == q;
+      okp[i] = (uint8_t)ok;
+      if (ok) {
+        if (outdeg[i] == 0) succ1[i] = (int32_t)j;
+        ++outdeg[i];
+        ++indeg[j];
+        pred1[j] = (int32_t)i;
+      }
+    }
+  }
+  for (size_t i = 0; i < n; ++i) {
+    if (outdeg[i] == 0) succ1[i] = succ_idx[i];  // b=0 plane fallback
+    prev[i] = -1;
+    nxt[i] = -1;
+  }
+  for (size_t i = 0; i < n; ++i) {
+    if (outdeg[i] == 1) {
+      int32_t y = succ1[i];
+      if (indeg[y] == 1) {
+        nxt[i] = y;
+        prev[y] = (int32_t)i;
+      }
+    }
+  }
+  return BN_OK;
+}
+
 // Stable u64 argsort: LSD radix (8-bit digits, constant-digit passes
 // skipped). The assembler's strand-union and unitig-emit orderings are
 // both u64 argsorts of multi-million-key arrays where numpy's comparison

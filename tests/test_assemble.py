@@ -354,3 +354,47 @@ def test_assemble_reads_sharded_spectrum_equals_local():
     shard_n = assemble.assemble_reads(pn, 21, min_count=2, base_valid=bv,
                                       mesh=mesh)
     assert shard_n == local_n
+
+
+def test_native_graph_matches_numpy(rng):
+    """The native edge builder / merge join / list rank must reproduce the
+    numpy graph field-for-field (incl. cycles broken at min-key nodes)."""
+    from conftest import random_seq
+
+    from bitnuc_tpu import native
+
+    if not (native.available() or native.build()):
+        pytest.skip("native lib not built")
+    k = 9
+    g = random_seq(rng, 3000).upper()
+    codes = ((np.frombuffer(g, np.uint8) >> 1) ^ (np.frombuffer(g, np.uint8) >> 2)) & 3
+    n = len(g) - k + 1
+    acc = np.zeros(n, np.uint64)
+    for j in range(k):
+        acc |= codes[j : n + j].astype(np.uint64) << np.uint64(2 * j)
+    # a circular chunk: keys of a small cycle (rotations of one 40-mer)
+    circ = random_seq(rng, 40).upper()
+    cc = ((np.frombuffer(circ + circ[:k - 1], np.uint8) >> 1)
+          ^ (np.frombuffer(circ + circ[:k - 1], np.uint8) >> 2)) & 3
+    cacc = np.zeros(40, np.uint64)
+    for j in range(k):
+        cacc |= cc[j : 40 + j].astype(np.uint64) << np.uint64(2 * j)
+    keys = np.unique(np.concatenate([acc, cacc]))
+    g1 = assemble._Graph(keys, k)  # native fast path
+    orig = (native.graph_edges, native.merge_join, native.list_rank)
+    native.graph_edges = lambda *a, **kw: None
+    native.merge_join = lambda *a, **kw: None
+    native.list_rank = lambda *a, **kw: None
+    try:
+        g2 = assemble._Graph(keys, k)  # pure numpy
+    finally:
+        native.graph_edges, native.merge_join, native.list_rank = orig
+    for f in ("outdeg", "indeg", "nxt", "prev", "rank", "start",
+              "circ_start", "succ_ok", "succ_idx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g1, f)), np.asarray(getattr(g2, f)), err_msg=f
+        )
+    m = np.asarray(g1.outdeg) >= 1
+    np.testing.assert_array_equal(g1.succ1[m], g2.succ1[m])
+    m = np.asarray(g1.indeg) == 1
+    np.testing.assert_array_equal(g1.pred1[m], g2.pred1[m])
