@@ -551,6 +551,22 @@ def _fit_extend(
     )(ws)
     wlen = jnp.clip(ref_len - ws * 16, 0, Wwin * 16).astype(jnp.int32)
     if start_slack is not None and band_gap is not None:
+        import jax as _jax
+
+        from . import config
+
+        if _jax.default_backend() == "tpu" and config.use_pallas():
+            # fused Pallas wavefront: the whole diagonal loop inside one
+            # kernel (the XLA scan is per-step-overhead-bound, DESIGN 12c);
+            # TPU-only — interpret mode would serialize 400 python steps
+            from .ops.pallas.wavefront import fit_distance_span_banded_pallas
+
+            cost, startj, endj = fit_distance_span_banded_pallas(
+                q_words, lengths, win, wlen, int(mismatch), int(gap),
+                off_lo=-int(band_gap),
+                off_hi=int(start_slack) + int(band_gap),
+            )
+            return cost, ws * 16 + startj, ws * 16 + endj
         cost, startj, endj = align_ops.fit_distance_span_banded(
             q_words, lengths, win, wlen, mismatch, gap,
             off_lo=-int(band_gap), off_hi=int(start_slack) + int(band_gap),
