@@ -47,27 +47,31 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_B = 512  # reads per program
 
 _BIG = np.int32(2**30)
+_BIG16 = 2**14  # int16 sentinel: BIG16 + max step cost stays < 2**15
 _PAD_A = np.int32(4)
 _PAD_B = np.int32(5)
 
 
-def _row_at(ref, idx, TB):
-    """ref[idx, :] as [1, TB] without an unaligned load: (8, TB) load at
-    the rounded-down multiple-of-8 offset + one-hot row pick."""
-    base8 = pl.multiple_of((idx // 8) * 8, 8)
-    raw = ref[pl.ds(base8, 8), :]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, TB), 0)
+def _row_at(ref, idx, TB, SA):
+    """ref[idx, :] as [1, TB] without an unaligned load: (SA, TB) load at
+    the rounded-down multiple-of-SA offset + one-hot row pick (SA = the
+    dtype's sublane tile: 8 for int32, 16 for int16)."""
+    base = pl.multiple_of((idx // SA) * SA, SA)
+    raw = ref[pl.ds(base, SA), :]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SA, TB), 0)
+    # Mosaic has no int16 reductions: widen for the one-hot sum
     return jnp.sum(
-        jnp.where(sub == idx - base8, raw, 0), axis=0, keepdims=True
-    )
+        jnp.where(sub == idx - base, raw, 0).astype(jnp.int32),
+        axis=0, keepdims=True,
+    ).astype(raw.dtype)
 
 
-def _window_at_static(ref, idx: int, K: int):
+def _window_at_static(ref, idx: int, K: int, SA: int):
     """ref[idx : idx+K, :] for a PYTHON-int idx: aligned over-read +
     static value slice (init-time only)."""
-    base8 = (idx // 8) * 8
-    raw = ref[pl.ds(base8, K + 8), :]
-    r = idx - base8
+    base = (idx // SA) * SA
+    raw = ref[pl.ds(base, K + SA), :]
+    r = idx - base
     return jax.lax.slice_in_dim(raw, r, r + K, axis=0)
 
 
@@ -86,26 +90,30 @@ def _fit_kernel(
     off_lo: int,
     mm: int,
     gp: int,
+    dt=jnp.int32,
 ):
     TB = la_ref.shape[1]
-    mm = jnp.int32(mm)
-    gp = jnp.int32(gp)
+    SA = 16 if dt == jnp.int16 else 8
+    big = dt(np.int16(_BIG16)) if dt == jnp.int16 else jnp.int32(_BIG)
+    mmv = dt(mm)
+    gpv = dt(gp)
     la = jax.lax.slice_in_dim(la_ref[:], 0, 1, axis=0)
     lb = jax.lax.slice_in_dim(lb_ref[:], 0, 1, axis=0)
     top = max(0, N + 1 - K)
     T = M + N
     tsub = jax.lax.broadcasted_iota(jnp.int32, (K, TB), 0)
+    tsub_d = tsub.astype(dt)
 
     def pybase(d: int) -> int:
         return min(max((d + off_lo + 1) // 2, 0), top)
 
     # sublane shifts via pltpu.roll (concat-built shifts hit a Mosaic
     # relayout crash when loop-carried; rolls lower cleanly)
-    def shift_up(v, fill=_BIG):
-        return jnp.where(tsub == K - 1, fill, pltpu.roll(v, shift=K - 1, axis=0))
+    def shift_up(v):
+        return jnp.where(tsub == K - 1, big, pltpu.roll(v, shift=K - 1, axis=0))
 
-    def shift_down(v, fill=_BIG):
-        return jnp.where(tsub == 0, fill, pltpu.roll(v, shift=1, axis=0))
+    def shift_down(v):
+        return jnp.where(tsub == 0, big, pltpu.roll(v, shift=1, axis=0))
 
     def shift_down_row(v, row):
         return jnp.where(tsub == 0, jnp.broadcast_to(row, (K, TB)),
@@ -120,12 +128,12 @@ def _fit_kernel(
     # carries pick a sublane-REPLICATED layout that the loop back-edge
     # cannot relayout from the body's general layout (Mosaic "Invalid
     # relayout ... replicated in destination but not in source").
-    a_diag = _window_at_static(arp_ref, N + 1 + M, K)  # d=0 window
-    b_diag = _window_at_static(bsh_ref, 0, K)
-    znr = jnp.minimum(a_diag, 0)  # zeros, provably non-replicated
-    prev = jnp.where(tsub == 0, 0, _BIG) + znr
-    prev2 = _BIG + znr
-    sprev = tsub + znr
+    a_diag = _window_at_static(arp_ref, N + 1 + M, K, SA)  # d=0 window
+    b_diag = _window_at_static(bsh_ref, 0, K, SA)
+    znr = jnp.minimum(a_diag, dt(0))  # zeros, provably non-replicated
+    prev = jnp.where(tsub == 0, dt(0), big) + znr
+    prev2 = big + znr
+    sprev = tsub_d + znr
     sprev2 = znr
     fit = jnp.where(la == 0, 0, _BIG)
     endj = jnp.zeros((1, TB), jnp.int32)
@@ -139,17 +147,17 @@ def _fit_kernel(
         bd = jnp.clip((d + off_lo + 1) // 2, 0, top)
         if d1 == 0:  # a start decreased by one: element enters at t=0
             a_diag = shift_down_row(
-                a_diag, _row_at(arp_ref, N + 1 + M - d + bd, TB)
+                a_diag, _row_at(arp_ref, N + 1 + M - d + bd, TB, SA)
             )
         else:  # b start increased by one: element enters at t=K-1
             b_diag = shift_up_row(
-                b_diag, _row_at(bsh_ref, bd + (K - 1), TB)
+                b_diag, _row_at(bsh_ref, bd + (K - 1), TB, SA)
             )
-        sub = jnp.where(a_diag == b_diag, 0, mm)
+        sub = jnp.where(a_diag == b_diag, dt(0), mmv)
         c_diag = (shift_down(prev2) if d2 == 0
                   else (prev2 if d2 == 1 else shift_up(prev2))) + sub
-        c_up = (prev if d1 == 0 else shift_up(prev)) + gp
-        c_left = (shift_down(prev) if d1 == 0 else prev) + gp
+        c_up = (prev if d1 == 0 else shift_up(prev)) + gpv
+        c_left = (shift_down(prev) if d1 == 0 else prev) + gpv
         diag = jnp.minimum(jnp.minimum(c_diag, c_up), c_left)
         s_dg = (shift_down(sprev2) if d2 == 0
                 else (sprev2 if d2 == 1 else shift_up(sprev2)))
@@ -157,21 +165,30 @@ def _fit_kernel(
         s_left = shift_down(sprev) if d1 == 0 else sprev
         S = jnp.minimum(
             jnp.minimum(
-                jnp.where(c_diag == diag, s_dg, _BIG),
-                jnp.where(c_up == diag, s_up, _BIG),
+                jnp.where(c_diag == diag, s_dg, big),
+                jnp.where(c_up == diag, s_up, big),
             ),
-            jnp.where(c_left == diag, s_left, _BIG),
+            jnp.where(c_left == diag, s_left, big),
         )
         jj = bd + tsub
-        diag = jnp.where(jj == 0, d * gp, diag)
-        S = jnp.where(jj == 0, 0, S)
-        diag = jnp.where(jj == d, 0, diag)  # free b-prefix
-        S = jnp.where(jj == d, jj, S)
-        diag = jnp.where(jj > d, _BIG, diag)  # i < 0: no such cell
+        dg0 = (d * jnp.int32(gp)).astype(dt)  # <= T*gp, in-range by the
+        diag = jnp.where(jj == 0, dg0, diag)  # wrapper's dtype guard
+        S = jnp.where(jj == 0, dt(0), S)
+        diag = jnp.where(jj == d, dt(0), diag)  # free b-prefix
+        S = jnp.where(jj == d, jj.astype(dt), S)
+        diag = jnp.where(jj > d, big, diag)  # i < 0: no such cell
         jm = d - la
         at = (jj == jm) & (jm >= 0) & (jj <= lb)
-        v = jnp.min(jnp.where(at, diag, _BIG), axis=0, keepdims=True)
-        st = jnp.min(jnp.where(at, S, _BIG), axis=0, keepdims=True)
+        # Mosaic has no int16 reductions: widen for the extraction mins
+        v = jnp.min(
+            jnp.where(at, diag, big).astype(jnp.int32), axis=0, keepdims=True
+        )
+        st = jnp.min(
+            jnp.where(at, S, big).astype(jnp.int32), axis=0, keepdims=True
+        )
+        bigpy = _BIG16 if dt == jnp.int16 else int(_BIG)
+        v = jnp.where(v >= bigpy, _BIG, v)  # re-widen the sentinel
+        st = jnp.where(st >= bigpy, _BIG, st)
         better = v < fit
         fit = jnp.minimum(fit, v)
         endj = jnp.where(better, jm, endj)
@@ -220,13 +237,14 @@ def _fit_kernel(
     )
 
 
-def _band_k8(off_lo: int, off_hi: int) -> Tuple[int, int]:
+def _band_k8(off_lo: int, off_hi: int, sa: int = 8) -> Tuple[int, int]:
     """(K, effective off_hi): widen the band so K is a sublane-tile
-    multiple (the widened band is a superset — never less exact)."""
+    multiple (the widened band is a superset — never less exact).
+    sa: the dtype's sublane tile (8 for int32, 16 for int16)."""
     from ..align import _band_geometry
 
     K, _ = _band_geometry(off_lo, off_hi, 1 << 30)
-    K8 = -(-K // 8) * 8
+    K8 = -(-K // sa) * sa
     return K8, off_lo + 2 * (K8 - 2)
 
 
@@ -250,7 +268,11 @@ def fit_distance_span_banded_pallas(
     contract at the widened off_hi from _band_k8 (bit-exact against the
     XLA banded scan called with that band), same (cost, start_j, end_j).
     mismatch/gap are STATIC here (kernel literals; the XLA twins trace
-    them) — the mapper only ever uses one cost model per index anyway."""
+    them) — the mapper only ever uses one cost model per index anyway.
+
+    Cell dtype: int16 when every DP value provably fits its sentinel
+    headroom ((M+N+1)*max(mm,gp) < 2**14 and N < 2**14) — half the vector
+    registers per cell, measured faster on chip — int32 otherwise."""
     from ..align import _codes, _rev_padded, _b_shifted, fit_distance_span
 
     lens_a = jnp.asarray(lens_a, jnp.int32)
@@ -259,7 +281,16 @@ def fit_distance_span_banded_pallas(
     b = _codes(words_b, lens_b, _PAD_B)
     B, M = a.shape
     N = b.shape[-1]
-    K, _ = _band_k8(off_lo, off_hi)
+    # int16 cells would halve the vregs/cell and every DP value fits
+    # ((M+N+1)*max(mm,gp) < 2**14 at mapper shapes), but this Mosaic
+    # version cannot lower the band shifts at 16 bit ("not implemented:
+    # Rotate with non-32-bit data") — measured on chip, round 4. The
+    # dtype plumbing stays so the guard below can flip when Mosaic grows
+    # 16-bit rotates.
+    use16 = False
+    dt = jnp.int16 if use16 else jnp.int32
+    SA = 16 if use16 else 8
+    K, _ = _band_k8(off_lo, off_hi, SA)
     if K >= N + 1:  # band covers the window: the plain scan is cheaper
         return fit_distance_span(words_a, lens_a, words_b, lens_b, mismatch, gap)
 
@@ -267,11 +298,11 @@ def fit_distance_span_banded_pallas(
     arp = _rev_padded(a, N + 1)  # [B, M + 2(N+1)]
     bsh = _b_shifted(b)  # [B, N+1]
     arp_t = jnp.pad(
-        arp, ((0, Bp - B), (0, 8)), constant_values=_PAD_A
-    ).T.astype(jnp.int32)
+        arp, ((0, Bp - B), (0, SA)), constant_values=_PAD_A
+    ).T.astype(dt)
     bsh_t = jnp.pad(
-        bsh, ((0, Bp - B), (0, 8)), constant_values=_PAD_B
-    ).T.astype(jnp.int32)
+        bsh, ((0, Bp - B), (0, SA)), constant_values=_PAD_B
+    ).T.astype(dt)
     la = jnp.broadcast_to(jnp.pad(lens_a, (0, Bp - B))[None, :], (8, Bp))
     lb = jnp.broadcast_to(jnp.pad(lens_b, (0, Bp - B))[None, :], (8, Bp))
 
@@ -279,7 +310,7 @@ def fit_distance_span_banded_pallas(
     grid = (Bp // TILE_B,)
     kern = partial(
         _fit_kernel, M=M, N=N, K=K, off_lo=off_lo,
-        mm=int(mismatch), gp=int(gap),
+        mm=int(mismatch), gp=int(gap), dt=dt,
     )
     fit, startj, endj = pl.pallas_call(
         kern,
@@ -287,7 +318,7 @@ def fit_distance_span_banded_pallas(
         in_specs=[
             pl.BlockSpec((R, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (N + 9, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM
+                (N + 1 + SA, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
