@@ -617,6 +617,59 @@ def bench_assemble(genome_mb=2, read_len=150, step=30, k=31):
     return len(starts) * read_len / best
 
 
+def bench_assemble_stages(genome_mb=2, read_len=150, step=30, k=31):
+    """Assembly stage split (VERDICT r4 item 8): one timed pass per stage,
+    same workload as bench_assemble. Returns a dict of stage -> ms.
+
+    Measured accounting (round 4): the end-to-end wall is NOT the device
+    spectrum (count_kmers_runs ~0.1s) nor the host graph (the native
+    merge-join/list-rank/radix tier cut prepare+graph+emit 4.7s -> 1.5s);
+    it is the O(distinct-kmers) spectrum DOWNLOAD — this tunnel's
+    device->host path delivers ~10-16 MB/s regardless of transfer size
+    (8 MB = 514 ms measured; docs/DESIGN.md §15b), so the ~24 MB key
+    download costs seconds here and ~milliseconds on local-PCIe hardware.
+    """
+    import time as _t
+
+    import numpy as np
+
+    from bitnuc_tpu import assemble
+    from bitnuc_tpu.ops import kmer as kmer_ops
+    from bitnuc_tpu.sequence import PackedReads
+
+    rng = np.random.default_rng(17)
+    n = genome_mb << 20
+    g = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    starts = np.unique(np.append(np.arange(0, n - read_len + 1, step),
+                                 n - read_len))
+    reads = PackedReads.from_ascii(
+        g[starts[:, None] + np.arange(read_len)],
+        lengths=np.full(len(starts), read_len, np.int32),
+    )
+    assemble.assemble_reads(reads, k, min_count=1)  # warm compiles
+    out = {}
+    t0 = _t.perf_counter()
+    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
+        reads.words, reads.lengths, k, canonical=True
+    )
+    keys, kc = assemble._runs_to_keys(lo, hi, cts, 1)
+    out["spectrum_and_download"] = (_t.perf_counter() - t0) * 1e3
+    t0 = _t.perf_counter()
+    pk, pc = assemble.prepare_keys(keys, kc, k, both_strands=True)
+    out["prepare"] = (_t.perf_counter() - t0) * 1e3
+    t0 = _t.perf_counter()
+    graph = assemble._Graph(pk, k)
+    out["graph"] = (_t.perf_counter() - t0) * 1e3
+    t0 = _t.perf_counter()
+    seqs, circ = assemble.unitigs_from_keys(pk, k, _graph=graph)
+    seqs, circ = assemble.dedupe_strand_twins(seqs, circ, k)
+    seqs, circ = assemble._sort_longest_first(seqs, circ)
+    out["emit"] = (_t.perf_counter() - t0) * 1e3
+    gb = g.tobytes()
+    assert len(seqs) == 1 and seqs[0] in (gb, assemble.rc_ascii(gb))
+    return out
+
+
 def bench_memcpy(mbytes=128):
     """Device xor-copy calibration: effective GB/s (read+write)."""
     import jax
@@ -795,6 +848,11 @@ def main():
                 fl = bench_decode_floor()
                 row["floor_bases_per_sec"] = round(fl, 1)
                 row["floor_frac"] = round(val / fl, 3)
+            if name == "assembly_read_bases_per_sec":
+                row["stages_ms"] = {
+                    s: round(v, 1)
+                    for s, v in bench_assemble_stages().items()
+                }
             print(json.dumps(row), flush=True)
         print(json.dumps({
             "metric": "device_xor_copy_bandwidth",
