@@ -31,6 +31,7 @@ Semantics (phred+33 qualities):
 
 from __future__ import annotations
 
+import contextlib
 from functools import lru_cache
 from typing import Optional, Tuple
 
@@ -260,6 +261,7 @@ def _filter_core(m: int, has_trim: bool, has_meanq: bool, has_maxn: bool,
 def _filter_reads_jax(ascii_arr, quals, lengths, min_len, min_mean_q, trim_q,
                       max_n, adapter, adapter_max_error, adapter_min_overlap,
                       min_complexity, min_entropy):
+    import jax
     import jax.numpy as jnp
 
     a = np.frombuffer(bytes(adapter or b"").upper(), np.uint8)
@@ -267,6 +269,31 @@ def _filter_reads_jax(ascii_arr, quals, lengths, min_len, min_mean_q, trim_q,
         len(a), trim_q > 0, min_mean_q > 0, max_n is not None,
         min_complexity is not None, min_entropy is not None,
     )
+    # Pin the kernel to the HOST backend: the quality bytes are
+    # host-resident and the keep/trim outputs are host-consumed, so on a
+    # tunneled accelerator every batch pays dispatch + H2D + the slow D2H
+    # path for pure VPU-trivial math — measured 33 Mbases/s through the
+    # tunnel vs 76 on XLA:CPU, same kernel (round 4). A local-PCIe device
+    # can flip this; the jit itself is backend-agnostic.
+    cpus = jax.devices("cpu")
+    ctx = jax.default_device(cpus[0]) if cpus else contextlib.nullcontext()
+    with ctx:
+        keep, start, end = _filter_call(fn, ascii_arr, quals, lengths, a,
+                                        min_len, min_mean_q, trim_q, max_n,
+                                        adapter_max_error, adapter_min_overlap,
+                                        min_complexity, min_entropy)
+    return (
+        np.asarray(keep),
+        np.asarray(start, np.int64),
+        np.asarray(end, np.int64),
+    )
+
+
+def _filter_call(fn, ascii_arr, quals, lengths, a, min_len, min_mean_q,
+                 trim_q, max_n, adapter_max_error, adapter_min_overlap,
+                 min_complexity, min_entropy):
+    import jax.numpy as jnp
+
     keep, start, end = fn(
         jnp.asarray(ascii_arr),
         jnp.asarray(quals),
@@ -281,11 +308,7 @@ def _filter_reads_jax(ascii_arr, quals, lengths, min_len, min_mean_q, trim_q,
         jnp.float32(min_complexity or 0.0),
         jnp.float32(min_entropy or 0.0),
     )
-    return (
-        np.asarray(keep),
-        np.asarray(start, np.int64),
-        np.asarray(end, np.int64),
-    )
+    return keep, start, end
 
 
 def filter_reads(
