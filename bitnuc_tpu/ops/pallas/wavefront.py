@@ -336,3 +336,170 @@ def fit_distance_span_banded_pallas(
         interpret=interpret,
     )(arp_t, bsh_t, la, lb)
     return fit[0, :B], startj[0, :B], endj[0, :B]
+
+
+# ---------------------------------------------------------------------------
+# affine-gap Smith-Waterman as the same fused loop
+# ---------------------------------------------------------------------------
+
+
+def _sw_kernel(
+    arp_ref,     # [R + 8, TB] int32 reversed-padded a codes, transposed
+    bsh_ref,     # [N + 9, TB] int32 b[j-1] with sentinel, transposed
+    la_ref,      # [8, TB] int32 lengths of a (row-replicated)
+    lb_ref,      # [8, TB] int32 lengths of b
+    best_ref,    # [8, TB] int32 out
+    endi_ref,    # [8, TB] int32 out
+    endj_ref,    # [8, TB] int32 out
+    *,
+    M: int,
+    N: int,
+    mt: int,
+    mm: int,
+    go: int,
+    ge: int,
+):
+    """ops.align.sw_score's Gotoh recurrence fused into one kernel loop —
+    full [N+1]-lane wavefront (local alignments start anywhere, so there
+    is no band contract), same tie rules (max score, smallest i+j, then
+    smallest j), bit-exact vs the XLA scan (tests/test_pallas.py).
+
+    Unlike the fit kernel there are no sliding deltas: the only dynamic
+    slice is the a-diagonal, carried as a value with one entering row per
+    step (all loads 8-aligned)."""
+    TB = la_ref.shape[1]
+    K = N + 1
+    mtv = jnp.int32(mt)
+    mmv = jnp.int32(mm)
+    gov = jnp.int32(go)
+    gev = jnp.int32(ge)
+    la = jax.lax.slice_in_dim(la_ref[:], 0, 1, axis=0)
+    lb = jax.lax.slice_in_dim(lb_ref[:], 0, 1, axis=0)
+    T = M + N
+    tsub = jax.lax.broadcasted_iota(jnp.int32, (K, TB), 0)
+
+    def shift_down(v, fill):
+        return jnp.where(tsub == 0, fill, pltpu.roll(v, shift=1, axis=0))
+
+    a_diag = _window_at_static(arp_ref, N + 1 + M, K, 8)
+    znr = jnp.minimum(a_diag, 0)
+    h_prev = znr  # H[0, j] = 0
+    h_prev2 = znr
+    e_prev = -_BIG + znr
+    f_prev = -_BIG + znr
+    best = jnp.zeros((1, TB), jnp.int32)
+    end_i = jnp.zeros((1, TB), jnp.int32)
+    end_j = jnp.zeros((1, TB), jnp.int32)
+
+    def body(d, carry):
+        h_prev, h_prev2, e_prev, f_prev, a_diag, best, end_i, end_j = carry
+        # a-slice start decreases by exactly 1 per step (no band)
+        a_diag = jnp.where(
+            tsub == 0,
+            jnp.broadcast_to(_row_at(arp_ref, N + 1 + M - d, TB, 8), (K, TB)),
+            pltpu.roll(a_diag, shift=1, axis=0),
+        )
+        b_diag = bsh_ref[pl.ds(0, K), :]
+        s = jnp.where(a_diag == b_diag, mtv, mmv)
+        e = jnp.maximum(
+            shift_down(h_prev, -_BIG) + gov, shift_down(e_prev, -_BIG) + gev
+        )
+        f = jnp.maximum(h_prev + gov, f_prev + gev)
+        h = jnp.maximum(
+            jnp.maximum(shift_down(h_prev2, -_BIG) + s, jnp.int32(0)),
+            jnp.maximum(e, f),
+        )
+        edge = (tsub == 0) | (tsub == d)
+        h = jnp.where(edge, 0, h)
+        e = jnp.where(edge, -_BIG, e)
+        f = jnp.where(edge, -_BIG, f)
+        i = d - tsub
+        in_range = (tsub >= 1) & (tsub <= lb) & (i >= 1) & (i <= la)
+        hm = jnp.where(in_range, h, -1)
+        row_best = jnp.max(hm, axis=0, keepdims=True)
+        row_j = jnp.min(
+            jnp.where(hm == row_best, tsub, jnp.int32(N + 1)),
+            axis=0, keepdims=True,
+        )
+        upd = row_best > best  # strict: earlier d wins ties
+        best = jnp.maximum(best, row_best)
+        end_j = jnp.where(upd, row_j, end_j)
+        end_i = jnp.where(upd, d - row_j, end_i)
+        return (h, h_prev, e, f, a_diag, best, end_i, end_j)
+
+    carry = (h_prev, h_prev2, e_prev, f_prev, a_diag, best, end_i, end_j)
+    carry = jax.lax.fori_loop(1, T + 1, body, carry)
+    best, end_i, end_j = carry[5], carry[6], carry[7]
+    best_ref[:] = jnp.broadcast_to(best, (8, TB))
+    endi_ref[:] = jnp.broadcast_to(end_i, (8, TB))
+    endj_ref[:] = jnp.broadcast_to(end_j, (8, TB))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap_open", "gap_extend", "interpret"
+    ),
+)
+def sw_score_pallas(
+    words_a: jax.Array,
+    lens_a: jax.Array,
+    words_b: jax.Array,
+    lens_b: jax.Array,
+    match: int = 2,
+    mismatch: int = -3,
+    gap_open: int = -5,
+    gap_extend: int = -2,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pallas twin of ops.align.sw_score (params STATIC here; the XLA twin
+    traces them). Returns (score [B], end_i [B], end_j [B]), bit-exact."""
+    from ..align import _codes, _rev_padded, _b_shifted
+
+    lens_a = jnp.asarray(lens_a, jnp.int32)
+    lens_b = jnp.asarray(lens_b, jnp.int32)
+    a = _codes(words_a, lens_a, _PAD_A)
+    b = _codes(words_b, lens_b, _PAD_B)
+    B, M = a.shape
+    N = b.shape[-1]
+    Bp = -(-B // TILE_B) * TILE_B
+    arp = _rev_padded(a, N + 1)
+    bsh = _b_shifted(b)
+    arp_t = jnp.pad(
+        arp, ((0, Bp - B), (0, 8)), constant_values=_PAD_A
+    ).T.astype(jnp.int32)
+    bsh_t = jnp.pad(
+        bsh, ((0, Bp - B), (0, 8)), constant_values=_PAD_B
+    ).T.astype(jnp.int32)
+    la = jnp.broadcast_to(jnp.pad(lens_a, (0, Bp - B))[None, :], (8, Bp))
+    lb = jnp.broadcast_to(jnp.pad(lens_b, (0, Bp - B))[None, :], (8, Bp))
+    R = arp_t.shape[0]
+    kern = partial(
+        _sw_kernel, M=M, N=N, mt=int(match), mm=int(mismatch),
+        go=int(gap_open), ge=int(gap_extend),
+    )
+    best, endi, endj = pl.pallas_call(
+        kern,
+        grid=(Bp // TILE_B,),
+        in_specs=[
+            pl.BlockSpec((R, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (N + 9, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(arp_t, bsh_t, la, lb)
+    return best[0, :B], endi[0, :B], endj[0, :B]

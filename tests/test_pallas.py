@@ -304,3 +304,30 @@ def test_wavefront_fit_weights_parity(rng):
     )
     for name, (f, g) in zip(("cost", "start", "end"), zip(ref, got)):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(g), err_msg=name)
+
+
+def test_sw_pallas_parity(rng):
+    """Fused Pallas Smith-Waterman == the XLA wavefront: scores and tie-
+    ruled end coordinates, ragged lengths, default and custom params."""
+    from bitnuc_tpu.ops import align
+    from bitnuc_tpu.ops.pallas import wavefront
+    from bitnuc_tpu.sequence import PackedReads
+
+    seqs_a, seqs_b = [], []
+    for _ in range(20):
+        seqs_a.append(random_seq(rng, int(rng.integers(0, 90))).upper())
+        seqs_b.append(random_seq(rng, int(rng.integers(0, 120))).upper())
+    base = random_seq(rng, 80).upper()
+    seqs_a.append(base[10:60])  # planted local hit
+    seqs_b.append(random_seq(rng, 20).upper() + base + random_seq(rng, 15).upper())
+    ra = PackedReads.from_ascii(seqs_a)
+    rb = PackedReads.from_ascii(seqs_b)
+    for params in ((2, -3, -5, -2), (1, -1, -2, -1)):
+        ref = align.sw_score(ra.words, ra.lengths, rb.words, rb.lengths, *params)
+        got = wavefront.sw_score_pallas(
+            ra.words, ra.lengths, rb.words, rb.lengths, *params, interpret=True
+        )
+        for name, (f, g) in zip(("score", "end_i", "end_j"), zip(ref, got)):
+            np.testing.assert_array_equal(
+                np.asarray(f), np.asarray(g), err_msg=name
+            )
