@@ -797,7 +797,7 @@ def main():
             # auto hands k=10-12 to the runs engine on TPU (2.7-4.3x the
             # dense scatter, probe_k1012): the wall is the key sort
             ("kmers_counted_per_sec_chip_k12_auto",
-             lambda: bench_kmer(k=12, mode="auto"), "kmers/s", 0.25, "sort"),
+             lambda: bench_kmer(k=12, mode="auto_layout"), "kmers/s", 0.25, "sort"),
             ("kmers_counted_per_sec_chip_k21_sorted",
              lambda: bench_kmer(k=21, mode="runs"), "kmers/s", 0.25, "sort"),
             # wavefront DP: ~0 fresh bytes/cell — scan-step-overhead-bound

@@ -554,7 +554,14 @@ def _fit_extend(
         import jax as _jax
 
         from . import config
+        from .ops.pallas.wavefront import _band_k8
 
+        # widen the band ONCE to the Pallas kernel's sublane-tile multiple
+        # and hand the SAME effective band to both backends, so cost/start/
+        # end are backend-invariant (the widened band is a superset of the
+        # requested one — never less exact). _band_k8 is idempotent here.
+        off_lo = -int(band_gap)
+        _, off_hi = _band_k8(off_lo, int(start_slack) + int(band_gap))
         if _jax.default_backend() == "tpu" and config.use_pallas():
             # fused Pallas wavefront: the whole diagonal loop inside one
             # kernel (the XLA scan is per-step-overhead-bound, DESIGN 12c);
@@ -563,13 +570,12 @@ def _fit_extend(
 
             cost, startj, endj = fit_distance_span_banded_pallas(
                 q_words, lengths, win, wlen, int(mismatch), int(gap),
-                off_lo=-int(band_gap),
-                off_hi=int(start_slack) + int(band_gap),
+                off_lo=off_lo, off_hi=off_hi,
             )
             return cost, ws * 16 + startj, ws * 16 + endj
         cost, startj, endj = align_ops.fit_distance_span_banded(
             q_words, lengths, win, wlen, mismatch, gap,
-            off_lo=-int(band_gap), off_hi=int(start_slack) + int(band_gap),
+            off_lo=off_lo, off_hi=off_hi,
         )
     else:
         cost, startj, endj = align_ops.fit_distance_span(
@@ -782,8 +788,12 @@ def traceback_cigars(
 
     Re-derives the full per-base alignment of each mapped read against its
     exact window [ref_start, ref_end) — the same cost model the mapper's
-    double-fit used, so tb_cost == map_result['cost'] for mapped reads
-    (asserted by tests). Runs in `chunk`-read slabs: the traceback's
+    fit used. With band=0 (full plane) tb_cost <= map_result['cost'] and
+    they are EQUAL whenever the map fit's own band (_BAND_GAP net indels)
+    contained the optimal path — i.e. for every read the banded fit scored
+    exactly; a read that exceeded that drift budget maps with an
+    upper-bound cost and can report tb_cost < cost here (the traceback is
+    the tighter of the two). Runs in `chunk`-read slabs: the traceback's
     direction planes are O(L * window) bytes per read and this is the
     metadata output path, not the mapping hot loop.
 

@@ -431,6 +431,12 @@ int bn_list_rank(const int32_t* prev, size_t n, int32_t* rank_out,
         uint64_t me = cur[i];
         uint64_t tgt = cur[(uint32_t)me];
         uint64_t r = (me >> 32) + (tgt >> 32);
+        // Saturate: on a cycle the rank doubles every round (up to ~4n);
+        // for n > 2^30 an unsaturated r<<32 would wrap and corrupt the
+        // packed value, defeating the rank >= n cycle detector. Once every
+        // cycle node saturates, nv == me and the early exit fires with
+        // rank == 2^32-1 >= n — still a detected cycle for any n < 2^31.
+        if (r > 0xFFFFFFFFull) r = 0xFFFFFFFFull;
         uint32_t j = (uint32_t)tgt;
         uint64_t nv = (r << 32) | j;
         nxt[i] = nv;

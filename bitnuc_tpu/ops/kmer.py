@@ -158,10 +158,11 @@ MAX_PALLAS_HIST_K = 9
 
 
 def auto_dense_max_k() -> int:
-    """Largest k for which mode='auto' yields the dense [4^k] layout on
-    the CURRENT backend: TPU hands k = 10..MAX_DENSE_K to the runs engine
-    (2.7-4.3x the scatter, probe_k1012), everything else keeps the dense
-    histogram up to MAX_DENSE_K."""
+    """Largest k for which mode='auto_layout' yields the dense [4^k]
+    layout on the CURRENT backend: TPU hands k = 10..MAX_DENSE_K to the
+    runs engine (2.7-4.3x the scatter, probe_k1012), everything else
+    keeps the dense histogram up to MAX_DENSE_K. (mode='auto' is
+    backend-invariant: dense for every k <= MAX_DENSE_K.)"""
     import jax
 
     if jax.default_backend() == "tpu":
@@ -548,16 +549,22 @@ def count_kmers_reads(
     mode='dense'/'mxu' -> [4^k] histogram (scatter / matmul lowering);
     mode='sorted' -> sparse compacted (keys, counts, n_unique);
     mode='runs' -> same content in run-start layout, scatter-free (~6x
-    faster at k=21 — the large-k engine, see count_kmers_runs); 'auto'
-    picks the matmul/Pallas histogram up to MAX_PALLAS_HIST_K on TPU,
-    then the runs engine for everything above it (measured 2.7-4.3x
-    over the scatter at k=10-12, probe_k1012); off-TPU, scatter-dense
-    up to MAX_DENSE_K and runs beyond.
+    faster at k=21 — the large-k engine, see count_kmers_runs).
+    mode='auto' is BACKEND-INVARIANT in its return structure: a dense
+    [4^k] histogram for every k <= MAX_DENSE_K (fastest dense engine for
+    the backend: MXU/Pallas histogram on TPU up to MAX_PALLAS_HIST_K,
+    scatter otherwise) and the runs 4-tuple beyond.
+    mode='auto_layout' picks the fastest ENGINE and returns its native
+    layout, which may differ per backend: on TPU k = 10..12 goes to the
+    runs engine (2.7-4.3x over the dense scatter, 380 vs 90-140 Mkmers/s,
+    benchmarks/probe_k1012.py — the scatter serializes, the sort is
+    key-width-independent; densifying afterwards would cost the scatter
+    back). The managed pipeline uses this via auto_dense_max_k().
     canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
     base_valid [B, L] bool (e.g. codec.validity_mask) drops every window
     containing an invalid/ambiguous base (N handling) instead of erroring.
     """
-    if mode == "auto":
+    if mode in ("auto", "auto_layout"):
         from .. import config
 
         if k > MAX_DENSE_K:
@@ -567,13 +574,11 @@ def count_kmers_reads(
             or (k <= MAX_PALLAS_HIST_K and config.use_pallas())
         ):
             mode = "mxu"  # scatter serializes on TPU; CPU scatter is fine
-        elif jax.default_backend() == "tpu" and k > MAX_PALLAS_HIST_K:
-            # k = 10..12: the runs engine beats the dense scatter 2.7-4.3x
-            # on chip (380 vs 90-140 Mkmers/s, benchmarks/probe_k1012.py —
-            # the scatter serializes, the sort is key-width-independent).
-            # Densifying afterwards costs a second scatter pass, so auto
-            # hands the whole regime to runs; callers that NEED the [4^k]
-            # layout here pass mode='dense' explicitly.
+        elif (
+            mode == "auto_layout"
+            and jax.default_backend() == "tpu"
+            and k > MAX_PALLAS_HIST_K
+        ):
             mode = "runs"
         else:
             mode = "dense"

@@ -541,6 +541,15 @@ def count_fastq(
                     f"expected {CKPT_VERSION}"
                 )
             for key, want in params.items():
+                if key not in z.files:
+                    # e.g. an "engine"-less checkpoint written before the
+                    # engine field existed: refuse with the designed error,
+                    # not a raw KeyError from the npz archive
+                    raise ValueError(
+                        f"checkpoint {checkpoint!r} was written without "
+                        f"{key!r} (older layout), current run has "
+                        f"{want!r} — refusing to mix"
+                    )
                 got = z[key][()] if z[key].shape == () else z[key]
                 got = got.item() if hasattr(got, "item") else got
                 if isinstance(want, str):

@@ -112,6 +112,20 @@ def test_count_fastq_checkpoint_file_mismatch(fastq, tmp_path, rng):
         pipeline.count_fastq(other, 5, batch_size=8, checkpoint=ckpt)
 
 
+def test_count_fastq_checkpoint_legacy_missing_key(fastq, tmp_path):
+    """A checkpoint missing a newer param key (e.g. 'engine', added after
+    CKPT_VERSION 2 shipped) must refuse with the descriptive ValueError,
+    not a raw KeyError from the npz archive."""
+    p, _ = fastq
+    ckpt = str(tmp_path / "legacy.npz")
+    pipeline.count_fastq(p, 5, batch_size=8, checkpoint=ckpt)
+    with np.load(ckpt, allow_pickle=False) as z:
+        state = {k: z[k] for k in z.files if k != "engine"}
+    np.savez(ckpt, **state)
+    with pytest.raises(ValueError, match="engine"):
+        pipeline.count_fastq(p, 5, batch_size=8, checkpoint=ckpt)
+
+
 def test_count_fastq_dense_returns_int64(fastq):
     p, _ = fastq
     hist = pipeline.count_fastq(p, 5, batch_size=8)
