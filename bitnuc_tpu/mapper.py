@@ -338,37 +338,40 @@ def _seed_anchors(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
     tag = jnp.concatenate(
         [jnp.zeros(Nk, jnp.uint32), jnp.ones(Q, jnp.uint32)]
     )
-    ptr = jnp.concatenate(
-        [jnp.arange(Nk, dtype=jnp.int32), jnp.full(Q, -1, jnp.int32)]
-    )
     orig = jnp.concatenate(
         [jnp.full(Nk, Q, jnp.int32), jnp.arange(Q, dtype=jnp.int32)]
     )
+    # The table-row pointer does NOT ride the sort (round 5): table keys
+    # are distinct and ascending, so in sorted order the table rows are
+    # exactly rows 0..Nk-1 in id order and ptr_s is derivable as
+    # cumsum(is_table) - 1 — the dominant join sort sheds one payload
+    # array (3 -> 2 for narrow keys, 5 -> 4 wide; benchmarks/probe_join.py
+    # measured the sort cost ~linear in arrays carried).
     if k <= 15:
         # narrow keys (< 4^15 = 2^30) leave a spare bit: fold the
-        # table/query tag into it so the dominant join sort shrinks from
-        # 5 arrays / 3 keys to 3 arrays / 1 key (the sort IS the seed
-        # stage's cost, benchmarks/probe_map.py). The sentinel (no-
-        # minimizer slot) keeps its all-ones value and still sorts last.
+        # table/query tag into it so the dominant join sort shrinks
+        # further to 2 arrays / 1 key (the sort IS the seed stage's cost,
+        # benchmarks/probe_map.py). The sentinel (no-minimizer slot)
+        # keeps its all-ones value and still sorts last.
         key_all = jnp.where(
             lo_all == _SENT, _SENT, (lo_all << jnp.uint32(1)) | tag
         )
-        key_s, ptr_s, orig_s = jax.lax.sort(
-            (key_all, ptr, orig), num_keys=1
-        )
+        key_s, orig_s = jax.lax.sort((key_all, orig), num_keys=1)
+        is_table = (key_s & jnp.uint32(1)) == 0  # _SENT is odd
         lo_s = jnp.where(key_s == _SENT, _SENT, key_s >> jnp.uint32(1))
         hi_s = jnp.zeros_like(lo_s)
     else:
-        hi_s, lo_s, _, ptr_s, orig_s = jax.lax.sort(
-            (hi_all, lo_all, tag, ptr, orig), num_keys=3
+        hi_s, lo_s, tag_s, orig_s = jax.lax.sort(
+            (hi_all, lo_all, tag, orig), num_keys=3
         )
+        is_table = tag_s == 0  # sentinel query rows carry tag 1
 
     # table rows are distinct and ascending by (hi, lo), so "my key's
     # table row" is a monotone pointer forward-fill; it is a real hit iff
     # that table row is inside MY key run (table rows sort before query
-    # rows of the same key), i.e. tptr >= run_start — both cummax fills,
-    # no gather and no key compare. Sentinel query rows form table-free
-    # runs and fail the test automatically.
+    # rows of the same key), i.e. tptr >= run_start — cumsum/cummax
+    # fills, no gather and no key compare. Sentinel query rows form
+    # table-free runs and fail the test automatically.
     N = Nk + Q
     idx = jnp.arange(N, dtype=jnp.int32)
     first = jnp.concatenate(
@@ -379,9 +382,9 @@ def _seed_anchors(words, lengths, t_lo, t_hi, t_pos, k: int, w: int):
     )
     run_start = jax.lax.cummax(jnp.where(first, idx, 0))
     # position (in sorted order) of the last table row at or before i —
-    # same index space as run_start, unlike the table-row id in ptr_s
-    tpos = jax.lax.cummax(jnp.where(ptr_s >= 0, idx, -1))
-    tptr = jax.lax.cummax(ptr_s)
+    # same index space as run_start, unlike the table-row id in tptr
+    tpos = jax.lax.cummax(jnp.where(is_table, idx, -1))
+    tptr = jnp.cumsum(is_table.astype(jnp.int32)) - 1  # last table id <= i
     tptr = jnp.where(tpos >= run_start, tptr, Nk)  # Nk = all-miss dummy
 
     _, tptr_u = jax.lax.sort((orig_s, tptr), num_keys=1)
