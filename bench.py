@@ -307,14 +307,21 @@ def bench_setop(n=1 << 23, mode="intersect_min"):
     from bitnuc_tpu.utils.timing import amortized_seconds_per_call
 
     def make(key):
+        # combine_counts' contract is SORTED counted lists (built outside
+        # the timed call, like every producer in the codebase does) — the
+        # round-5 merge-engine path exploits exactly that
         ks = jax.random.split(key, 4)
+        a_hi, a_lo = jax.lax.sort(
+            (jax.random.bits(ks[0], (n,), jnp.uint32),
+             jax.random.bits(ks[1], (n,), jnp.uint32)), num_keys=2
+        )
+        b_hi, b_lo = jax.lax.sort(
+            (jax.random.bits(ks[2], (n,), jnp.uint32),
+             jax.random.bits(ks[3], (n,), jnp.uint32)), num_keys=2
+        )
         return (
-            jax.random.bits(ks[0], (n,), jnp.uint32),
-            jax.random.bits(ks[1], (n,), jnp.uint32),
-            jnp.ones((n,), jnp.int32),
-            jax.random.bits(ks[2], (n,), jnp.uint32),
-            jax.random.bits(ks[3], (n,), jnp.uint32),
-            jnp.ones((n,), jnp.int32),
+            a_lo, a_hi, jnp.ones((n,), jnp.int32),
+            b_lo, b_hi, jnp.ones((n,), jnp.int32),
         )
 
     t = amortized_seconds_per_call(

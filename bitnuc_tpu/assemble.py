@@ -618,11 +618,12 @@ def assemble_reads(
     tip_len: Optional[int] = None,
     mesh=None,
     axis: str = "data",
+    engine: str = "auto",
 ) -> Tuple[List[bytes], List[bool]]:
     """Assemble a PackedReads batch into unitigs.
 
-    Counts canonical k-mers on device (count_kmers_runs), keeps those with
-    count >= min_count (the usual error-k-mer filter; pair with
+    Counts canonical k-mers (spectrum), keeps those with count >=
+    min_count (the usual error-k-mer filter; pair with
     ops.correct.correct_reads upstream for low-coverage data), and
     compacts the strand-symmetric de Bruijn graph. both_strands=False
     instead builds the strand-specific graph from the reads as written
@@ -633,8 +634,43 @@ def assemble_reads(
     shards the reads over the mesh and merges with one all_gather
     (parallel.kmer.count_kmers_sorted_sharded); graph compaction stays on
     host (genome-sized metadata). Output equals the local path exactly.
+
+    engine selects WHERE the spectrum is built (bit-identical results,
+    asserted by tests/test_assemble.py):
+      'device'  count_kmers_runs on the accelerator, download the
+                compacted distinct keys (12 B/distinct k-mer of D2H);
+      'host'    native.spectrum on the packed words (threaded C++
+                bn_spectrum, numpy twin fallback) — D2H is the packed
+                READS (bases/4 bytes == coverage/48 of the spectrum) or
+                nothing at all when the reads are host-resident;
+      'auto'    'host' on a TPU backend, 'device' elsewhere — on this
+                project's measured hardware the device->host path runs at
+                ~12 MB/s (docs/DESIGN.md 15b/15c) and the host spectrum
+                beats any on-device re-encoding (delta coding is
+                entropy-limited to ~2.3x at random-genome density);
+                a local-PCIe deployment flips this with engine='device'.
+    mesh forces the sharded device path (pod-scale read sets).
     """
     from .ops import kmer as kmer_ops
+
+    if engine not in ("auto", "device", "host"):
+        raise ValueError(f"engine must be auto|device|host, got {engine!r}")
+    if mesh is None and engine != "device":
+        import jax
+
+        if engine == "host" or jax.default_backend() == "tpu":
+            from . import native
+
+            bv = None if base_valid is None else np.asarray(base_valid)
+            keys, cts = native.spectrum(
+                np.asarray(reads.words), np.asarray(reads.lengths), k,
+                canonical=both_strands, valid=bv,
+            )
+            m = cts >= max(min_count, 1)
+            return assemble_keys(
+                keys[m], k, counts=cts[m].astype(np.int64),
+                both_strands=both_strands, clean=clean, tip_len=tip_len,
+            )
 
     if mesh is not None:
         import jax

@@ -566,3 +566,88 @@ def fastq_to_batch_sq(data: bytes, max_len: int = 0):
             B, L,
         )
     return ascii_arr, quals, lens, name_off, name_len
+
+
+def _pad_valid(valid, B, L):
+    """[B, Lv] base-validity mask -> [B, L] bool, padded True (positions
+    past a read's length are already masked by the length test)."""
+    v = np.asarray(valid, dtype=bool)
+    if v.shape[1] < L:
+        v = np.pad(v, ((0, 0), (0, L - v.shape[1])), constant_values=True)
+    return v[:, :L]
+
+
+def _np_spectrum(words, lens, k, canonical, valid):
+    """Vectorized numpy twin of bn_spectrum (the fallback when the .so is
+    absent/stale): same contract, ~k vector passes over the batch."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    lens = np.asarray(lens, dtype=np.int32)
+    B, W = words.shape
+    L = W * 16
+    j = np.arange(L)
+    bases = ((words[:, j // 16] >> (2 * (j % 16))) & 3).astype(np.uint64)
+    nwin = L - k + 1
+    if nwin <= 0 or B == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    key = np.zeros((B, nwin), np.uint64)
+    rck = np.zeros((B, nwin), np.uint64)
+    for t in range(k):
+        key |= bases[:, t : t + nwin] << np.uint64(2 * t)
+        rck |= (np.uint64(3) - bases[:, t : t + nwin]) << np.uint64(
+            2 * (k - 1 - t)
+        )
+    if canonical:
+        key = np.minimum(key, rck)
+    ok = (np.arange(nwin)[None, :] + k) <= lens[:, None]
+    if valid is not None:
+        v = _pad_valid(valid, B, L)
+        allv = v[:, :nwin].copy()
+        for t in range(1, k):
+            allv &= v[:, t : t + nwin]
+        ok &= allv
+    keys, counts = np.unique(key[ok], return_counts=True)
+    return keys.astype(np.uint64), counts.astype(np.int32)
+
+
+def spectrum(words, lens, k: int, canonical: bool = False, valid=None,
+             n_threads: int = 0):
+    """K-mer spectrum of a packed read batch ON HOST: (sorted distinct u64
+    keys, int32 counts) — semantics of ops.kmer.count_kmers_runs compacted
+    (canonical = count min(kmer, revcomp); windows touching an invalid
+    base dropped). The assembly spectrum path that skips the device->host
+    download entirely (docs/DESIGN.md 15c: on the tunneled TPU the packed
+    reads are coverage/48 of the spectrum's D2H bytes). Falls back to a
+    vectorized numpy twin when the .so is absent/stale."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    lens = np.asarray(lens, dtype=np.int32)
+    lib = _load()
+    if lib is None or not hasattr(lib, "bn_spectrum"):
+        return _np_spectrum(words, lens, k, canonical, valid)
+    B, W = words.shape
+    total = int(np.maximum(lens - k + 1, 0).sum())
+    if total == 0 or B == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    out_keys = np.zeros(total, np.uint64)
+    out_counts = np.zeros(total, np.int32)
+    n_out = ctypes.c_int64(0)
+    if n_threads == 0:
+        n_threads = os.cpu_count() or 1
+    v_arr = None
+    v_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    if valid is not None:
+        v_arr = np.ascontiguousarray(
+            _pad_valid(valid, B, W * 16), dtype=np.uint8
+        )
+        v_ptr = v_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.bn_spectrum(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), B, W,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(k), int(bool(canonical)), v_ptr,
+        out_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(n_out), int(n_threads),
+    )
+    if rc != _OK:
+        raise InvalidLength(k)
+    m = int(n_out.value)
+    return out_keys[:m].copy(), out_counts[:m].copy()

@@ -641,4 +641,150 @@ int bn_qc_fold(const uint8_t* ascii, const uint8_t* quals,
   return BN_OK;
 }
 
+// Host-native k-mer spectrum over a packed read batch: the assembly
+// spectrum WITHOUT the device->host download (on the tunneled TPU the D2H
+// path is ~12 MB/s, docs/DESIGN.md 15b, and the spectrum is 12 bytes per
+// distinct k-mer while the packed READS are coverage/48 of that — round-5
+// lever, DESIGN 15c). Semantics are exactly ops.kmer.count_kmers_runs
+// compacted: canonical = count min(kmer, revcomp(kmer)); windows touching
+// an invalid base (valid[r*L + j] == 0) are dropped; output is ascending
+// distinct u64 keys (hi<<32|lo layout of the 2k-bit LSB-first window)
+// with int32 counts. Two-pass: threaded window emission into per-read
+// offsets, threaded LSD radix sort (per-pass per-thread counts + disjoint
+// scatter regions), then one run-length pass.
+//
+// words: u32 row-major [B, W] (16 LSB-first bases per word, reference
+// src/utils/packing/naive.rs:17 layout in u32 lanes); lens int32 [B];
+// valid: NULL or u8 [B, L] with L == 16*W; out arrays sized >= total
+// window count (caller computes sum(max(0, len-k+1))).
+int bn_spectrum(const uint32_t* words, size_t B, size_t W,
+                const int32_t* lens, int k, int canonical,
+                const uint8_t* valid, uint64_t* out_keys,
+                int32_t* out_counts, int64_t* n_out, int n_threads) {
+  if (k < 1 || k > 32) return BN_INVALID_LENGTH;
+  size_t L = W * 16;
+  // per-read emission offsets (upper bound: skipped invalid windows leave
+  // gaps that compact away before the sort)
+  std::vector<size_t> off(B + 1, 0);
+  for (size_t r = 0; r < B; ++r) {
+    int32_t len = lens[r];
+    size_t nw = (len >= k) ? (size_t)(len - k + 1) : 0;
+    off[r + 1] = off[r] + nw;
+  }
+  size_t total = off[B];
+  *n_out = 0;
+  if (total == 0) return BN_OK;
+  std::vector<uint64_t> keys(total);
+  std::vector<size_t> emitted(B, 0);
+  const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+  if (n_threads <= 0) n_threads = 1;
+  size_t nt = (size_t)n_threads;
+  if (nt > B) nt = 1;
+  auto emit_rows = [&](size_t ti) {
+    size_t lo = B * ti / nt, hi = B * (ti + 1) / nt;
+    for (size_t r = lo; r < hi; ++r) {
+      int32_t len = lens[r];
+      if (len < k) continue;
+      const uint32_t* w = words + r * W;
+      const uint8_t* v = valid ? valid + r * L : nullptr;
+      uint64_t key = 0, rck = 0;
+      int run = 0;  // consecutive valid bases ending at j
+      size_t out = off[r];
+      for (int32_t j = 0; j < len; ++j) {
+        uint64_t b = (w[j >> 4] >> (2 * (j & 15))) & 3u;
+        key = ((key >> 2) | (b << (2 * (k - 1)))) & mask;
+        rck = ((rck << 2) | (3 - b)) & mask;
+        run = (!v || v[j]) ? run + 1 : 0;
+        if (j >= k - 1 && run >= k) {
+          uint64_t kk = key;
+          if (canonical && rck < kk) kk = rck;
+          keys[out++] = kk;
+        }
+      }
+      emitted[r] = out - off[r];
+    }
+  };
+  if (nt == 1) {
+    emit_rows(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (size_t ti = 0; ti < nt; ++ti) ts.emplace_back(emit_rows, ti);
+    for (auto& t : ts) t.join();
+  }
+  // compact the invalid-window gaps (no-op when every window was valid)
+  size_t n = 0;
+  for (size_t r = 0; r < B; ++r) {
+    if (n != off[r] && emitted[r])
+      std::memmove(keys.data() + n, keys.data() + off[r],
+                   emitted[r] * sizeof(uint64_t));
+    n += emitted[r];
+  }
+  if (n == 0) return BN_OK;
+  // threaded LSD radix over the 2k key bits
+  int passes = (2 * k + 7) / 8;
+  std::vector<uint64_t> alt(n);
+  uint64_t* src = keys.data();
+  uint64_t* dst = alt.data();
+  size_t ntr = (size_t)n_threads;
+  if (ntr < 1) ntr = 1;
+  if (ntr > n) ntr = 1;
+  std::vector<size_t> counts_t(ntr * 256);
+  for (int pass = 0; pass < passes; ++pass) {
+    int sh = 8 * pass;
+    std::fill(counts_t.begin(), counts_t.end(), 0);
+    auto count_fn = [&](size_t ti) {
+      size_t lo = n * ti / ntr, hi = n * (ti + 1) / ntr;
+      size_t* c = counts_t.data() + ti * 256;
+      for (size_t i = lo; i < hi; ++i) ++c[(src[i] >> sh) & 0xFF];
+    };
+    if (ntr == 1) {
+      count_fn(0);
+    } else {
+      std::vector<std::thread> ts;
+      for (size_t ti = 0; ti < ntr; ++ti) ts.emplace_back(count_fn, ti);
+      for (auto& t : ts) t.join();
+    }
+    // digit-major exclusive scan so each (digit, thread) slab is disjoint
+    size_t pos = 0;
+    bool constant = false;
+    for (int d = 0; d < 256 && !constant; ++d) {
+      size_t tot = 0;
+      for (size_t ti = 0; ti < ntr; ++ti) tot += counts_t[ti * 256 + d];
+      if (tot == n) constant = true;
+    }
+    if (constant) continue;
+    for (int d = 0; d < 256; ++d)
+      for (size_t ti = 0; ti < ntr; ++ti) {
+        size_t c = counts_t[ti * 256 + d];
+        counts_t[ti * 256 + d] = pos;
+        pos += c;
+      }
+    auto scatter_fn = [&](size_t ti) {
+      size_t lo = n * ti / ntr, hi = n * (ti + 1) / ntr;
+      size_t* o = counts_t.data() + ti * 256;
+      for (size_t i = lo; i < hi; ++i) dst[o[(src[i] >> sh) & 0xFF]++] = src[i];
+    };
+    if (ntr == 1) {
+      scatter_fn(0);
+    } else {
+      std::vector<std::thread> ts;
+      for (size_t ti = 0; ti < ntr; ++ti) ts.emplace_back(scatter_fn, ti);
+      for (auto& t : ts) t.join();
+    }
+    std::swap(src, dst);
+  }
+  // run-length: distinct keys + counts
+  size_t m = 0;
+  for (size_t i = 0; i < n;) {
+    size_t j = i + 1;
+    while (j < n && src[j] == src[i]) ++j;
+    out_keys[m] = src[i];
+    out_counts[m] = (int32_t)((j - i) > 0x7FFFFFFF ? 0x7FFFFFFF : (j - i));
+    ++m;
+    i = j;
+  }
+  *n_out = (int64_t)m;
+  return BN_OK;
+}
+
 }  // extern "C"

@@ -98,10 +98,13 @@ def _merge_tail_kernel(n_keys: int, n_arrs: int, rows: int, *refs):
             )
             for x in xs
         ]
-        # lo side swaps when its partner is smaller; hi side when larger
+        # lo side swaps when its partner is smaller; hi side when larger.
+        # Combined with logical ops, not a select: Mosaic cannot lower a
+        # select between two i1 vectors ("Unsupported target bitwidth for
+        # truncation", measured round 5 — the i8->i1 trunci it emits).
         swap_lo = _swap_lex(xs[:n_keys], part[:n_keys])
         swap_hi = _swap_lex(part[:n_keys], xs[:n_keys])
-        swap = jnp.where(is_lo, swap_lo, swap_hi)
+        swap = (is_lo & swap_lo) | (~is_lo & swap_hi)
         xs = [jnp.where(swap, p, x) for x, p in zip(xs, part)]
         d //= 2
     for o, x in zip(outs, xs):
@@ -185,7 +188,12 @@ def merge_sorted(
         arrs = _stage_xla(arrs, n_keys, d)
         d //= 2
     arrs = _merge_tail(arrs, n_keys, interpret)
-    return tuple(arrs)
+    # Materialize: the outer stages are an elementwise reshape/select
+    # chain, and XLA's producer-into-consumer fusion will RECOMPUTE the
+    # whole chain once per downstream consumer (measured round 5: the
+    # wired combine_counts lost the engine's full 1.6x to exactly this —
+    # three shifted reads of the merged arrays tripled the stage cost).
+    return tuple(jax.lax.optimization_barrier(tuple(arrs)))
 
 
 def _pad_of(i: int, dtype, n_keys: int, pad_val):

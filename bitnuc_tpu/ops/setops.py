@@ -35,7 +35,7 @@ import jax.numpy as jnp
 MODES = ("intersect_min", "subtract", "union_sum", "union_max")
 
 
-@partial(jax.jit, static_argnames=("mode",))
+@partial(jax.jit, static_argnames=("mode", "compact"))
 def combine_counts(
     a_lo: jax.Array,
     a_hi: jax.Array,
@@ -44,34 +44,88 @@ def combine_counts(
     b_hi: jax.Array,
     b_ct: jax.Array,
     mode: str = "intersect_min",
+    compact: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Combine two counted k-mer lists -> (lo, hi, ct, n_unique).
 
-    The output has static length len(A) + len(B); entries [0, n_unique)
-    are the distinct result keys ascending by (hi, lo) with positive
-    counts, the tail is all-ones-key / zero-count padding.
+    The output has static length len(A) + len(B). compact=True (default):
+    entries [0, n_unique) are the distinct result keys ascending by
+    (hi, lo) with positive counts, the tail is all-ones-key / zero-count
+    padding. compact=False skips the compaction sort: keys are still
+    ascending but zero-count rows INTERLEAVE with live ones (the run-start
+    convention, ops.kmer) — a legal input to further combine_counts calls
+    and to ops.kmer.compact_runs, and the fast form for combine CHAINS:
+    on the merge-engine path (TPU/Pallas) it skips the one remaining
+    lax.sort, measured 132 -> 63 ms at 8M+8M rows on chip (round 5,
+    docs/DESIGN.md 6b).
     """
     assert mode in MODES, f"mode must be one of {MODES}"
+    from .. import config
+
     sent = jnp.uint32(0xFFFFFFFF)
 
     a_ct = jnp.asarray(a_ct, jnp.int32)
     b_ct = jnp.asarray(b_ct, jnp.int32)
-    ct = jnp.concatenate([a_ct, b_ct])
-    dead = ct <= 0
-    lo = jnp.where(dead, sent, jnp.concatenate([a_lo, b_lo]))
-    hi = jnp.where(dead, sent, jnp.concatenate([a_hi, b_hi]))
-    src = jnp.concatenate(
-        [
-            jnp.zeros(a_ct.shape[0], jnp.int32),
-            jnp.ones(b_ct.shape[0], jnp.int32),
-        ]
-    )
-    src = jnp.where(dead, jnp.int32(2), src)
+    n_ab = a_ct.shape[0] + b_ct.shape[0]
+    if config.use_pallas():
+        # both inputs are SORTED counted lists (the function's contract),
+        # so the combination sort is a merge: the bitonic merge engine
+        # (ops/pallas/merge.py) runs it in log N compare-exchange stages
+        # instead of lax.sort's log^2 — measured 1.76x at 8M+8M on chip
+        # (benchmarks/probe_merge2.py, DESIGN.md 6b). Keys stay UNCHANGED
+        # (dead rows keep their true keys, so each side remains sorted);
+        # deadness rides the third key word: src 0=A, 1=B, 2=dead, and
+        # key-tied rows order A-live < B-live < dead exactly as the
+        # 4-array sort ordered them.
+        from .pallas.merge import merge_sorted
 
-    hi_s, lo_s, src_s, negct_s = jax.lax.sort(
-        (hi, lo, src, -jnp.where(dead, 0, ct)), num_keys=4
-    )
-    ct_s = -negct_s
+        # The merge requires each input sorted AFTER dead-row handling.
+        # Dead rows (ct <= 0) come in two shapes, both kept sorted here:
+        # an all-dead SUFFIX (the compact layouts' padding, whose keys are
+        # arbitrary) remaps to the all-ones sentinel; INTERIOR dead rows
+        # (the run-start layout: a dead slot duplicates its run's key)
+        # keep their keys and ride behind their key's live rows via the
+        # src key word (A-live 0 < B-live 1 < dead 2). A list that is
+        # unsorted even counting its dead rows violates the function's
+        # sorted-input contract either way.
+        def _side(hi_x, lo_x, ct_x, live_src):
+            dead = ct_x <= 0
+            sfx = (
+                jnp.flip(jax.lax.cummin(jnp.flip(dead.astype(jnp.int32))))
+                == 1
+            )
+            return (
+                jnp.where(sfx, sent, hi_x),
+                jnp.where(sfx, sent, lo_x),
+                jnp.where(dead, jnp.uint32(2), jnp.uint32(live_src)),
+                jnp.where(dead, 0, ct_x),
+            )
+
+        hi_s, lo_s, src_w, ct_s = merge_sorted(
+            _side(a_hi, a_lo, a_ct, 0),
+            _side(b_hi, b_lo, b_ct, 1),
+            n_keys=3,
+            pad_val=(0,),
+            interpret=config.pallas_interpret(),
+        )
+        src_s = src_w.astype(jnp.int32)  # pad rows -> -1: matches no branch
+    else:
+        ct = jnp.concatenate([a_ct, b_ct])
+        dead = ct <= 0
+        lo = jnp.where(dead, sent, jnp.concatenate([a_lo, b_lo]))
+        hi = jnp.where(dead, sent, jnp.concatenate([a_hi, b_hi]))
+        src = jnp.concatenate(
+            [
+                jnp.zeros(a_ct.shape[0], jnp.int32),
+                jnp.ones(b_ct.shape[0], jnp.int32),
+            ]
+        )
+        src = jnp.where(dead, jnp.int32(2), src)
+
+        hi_s, lo_s, src_s, negct_s = jax.lax.sort(
+            (hi, lo, src, -jnp.where(dead, 0, ct)), num_keys=4
+        )
+        ct_s = -negct_s
 
     # neighbor pairing: a live A row whose successor is a live B row with
     # the same key holds that key's (a, b) count pair
@@ -96,9 +150,19 @@ def combine_counts(
         out = jnp.where((src_s == 1) & consumed, 0, out)
         out = jnp.where(src_s == 2, 0, out)
 
+    out_dead = out <= 0
+    if not compact:
+        # merged order already has keys ascending with dead rows
+        # interleaved (pad rows sort strictly last: their src key word is
+        # all-ones); zero the dead counts and slice the real rows
+        return (
+            lo_s[:n_ab],
+            hi_s[:n_ab],
+            jnp.where(out_dead, 0, out)[:n_ab],
+            jnp.sum((~out_dead).astype(jnp.int32)),
+        )
     # compact live rows ascending (dead -> sentinel key, negated counts as
     # the tiebreak so a live all-T row beats dead rows at the cap boundary)
-    out_dead = out <= 0
     hi_c, lo_c, neg_c = jax.lax.sort(
         (
             jnp.where(out_dead, sent, hi_s),
@@ -107,7 +171,14 @@ def combine_counts(
         ),
         num_keys=3,
     )
-    return lo_c, hi_c, -neg_c, jnp.sum((~out_dead).astype(jnp.int32))
+    # engine path works on pow2-padded arrays; live rows <= len(A)+len(B)
+    # always, so the contract's static length survives the slice
+    return (
+        lo_c[:n_ab],
+        hi_c[:n_ab],
+        -neg_c[:n_ab],
+        jnp.sum((~out_dead).astype(jnp.int32)),
+    )
 
 
 def combine_dicts(a: dict, b: dict, mode: str = "intersect_min") -> dict:

@@ -398,3 +398,121 @@ def test_native_graph_matches_numpy(rng):
     np.testing.assert_array_equal(g1.succ1[m], g2.succ1[m])
     m = np.asarray(g1.indeg) == 1
     np.testing.assert_array_equal(g1.pred1[m], g2.pred1[m])
+
+
+def _genome_reads(seed, glen=500, rlen=90, step=5):
+    rng = np.random.default_rng(seed)
+    genome = _genome(rng, glen)
+    return genome, PackedReads.from_ascii(_reads_covering(genome, rlen, step))
+
+
+@pytest.mark.parametrize("both_strands", [False, True])
+def test_host_spectrum_equals_device(both_strands):
+    """native.spectrum (and its numpy twin) must be bit-identical to the
+    device count_kmers_runs spectrum — the engine='host' contract."""
+    from bitnuc_tpu import native
+    from bitnuc_tpu.ops import kmer as kmer_ops
+
+    _, reads = _genome_reads(33)
+    k = 21
+    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
+        reads.words, reads.lengths, k, canonical=both_strands
+    )
+    dlo, dhi, dct = kmer_ops.compact_runs(lo, hi, cts)
+    dkeys = (dhi.astype(np.uint64) << np.uint64(32)) | dlo.astype(np.uint64)
+    for force_np in (False, True):
+        if force_np:
+            hk, hc = native._np_spectrum(
+                np.asarray(reads.words), np.asarray(reads.lengths), k,
+                both_strands, None,
+            )
+        else:
+            hk, hc = native.spectrum(
+                np.asarray(reads.words), np.asarray(reads.lengths), k,
+                canonical=both_strands,
+            )
+        assert np.array_equal(hk, dkeys), f"keys (numpy={force_np})"
+        assert np.array_equal(hc.astype(np.int64), dct.astype(np.int64))
+
+
+def test_host_spectrum_base_valid():
+    from bitnuc_tpu import native
+    from bitnuc_tpu.ops import kmer as kmer_ops
+
+    rng = np.random.default_rng(34)
+    genome, reads = _genome_reads(34, glen=300, rlen=60, step=3)
+    B, W = np.asarray(reads.words).shape
+    L = 60
+    bv = rng.random((B, L)) > 0.05  # ~5% masked bases
+    k = 15
+    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
+        reads.words, reads.lengths, k, canonical=True,
+        base_valid=np.ascontiguousarray(bv),
+    )
+    dlo, dhi, dct = kmer_ops.compact_runs(lo, hi, cts)
+    dkeys = (dhi.astype(np.uint64) << np.uint64(32)) | dlo.astype(np.uint64)
+    hk, hc = native.spectrum(
+        np.asarray(reads.words), np.asarray(reads.lengths), k,
+        canonical=True, valid=bv,
+    )
+    assert np.array_equal(hk, dkeys)
+    assert np.array_equal(hc.astype(np.int64), dct.astype(np.int64))
+    nk, nc = native._np_spectrum(
+        np.asarray(reads.words), np.asarray(reads.lengths), k, True, bv
+    )
+    assert np.array_equal(nk, dkeys) and np.array_equal(nc, hc)
+
+
+def test_host_spectrum_ragged_lengths():
+    from bitnuc_tpu import native
+    from bitnuc_tpu.ops import kmer as kmer_ops
+
+    rng = np.random.default_rng(35)
+    from conftest import random_seq
+
+    seqs = [random_seq(rng, n).upper() for n in (64, 21, 20, 1, 33, 90)]
+    reads = PackedReads.from_ascii(seqs)
+    k = 21
+    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
+        reads.words, reads.lengths, k, canonical=True
+    )
+    dlo, dhi, dct = kmer_ops.compact_runs(lo, hi, cts)
+    dkeys = (dhi.astype(np.uint64) << np.uint64(32)) | dlo.astype(np.uint64)
+    hk, hc = native.spectrum(
+        np.asarray(reads.words), np.asarray(reads.lengths), k, canonical=True
+    )
+    assert np.array_equal(hk, dkeys)
+    assert np.array_equal(hc.astype(np.int64), dct.astype(np.int64))
+
+
+@pytest.mark.parametrize("both_strands", [False, True])
+def test_assemble_engine_host_equals_device(both_strands):
+    genome, reads = _genome_reads(36, glen=420)
+    a = assemble.assemble_reads(
+        reads, 21, min_count=1, both_strands=both_strands, engine="device"
+    )
+    b = assemble.assemble_reads(
+        reads, 21, min_count=1, both_strands=both_strands, engine="host"
+    )
+    assert a == b
+
+
+def test_assemble_engine_host_min_count():
+    # duplicate coverage + one error read: min_count=2 must drop the
+    # error k-mers identically on both engines
+    genome, reads = _genome_reads(37, glen=400, rlen=80, step=4)
+    arr = np.asarray(
+        PackedReads.from_ascii(_reads_covering(genome, 80, 4)).words
+    )
+    import jax.numpy as jnp
+
+    words2 = np.concatenate([np.asarray(reads.words)] * 2)
+    lens2 = np.concatenate([np.asarray(reads.lengths)] * 2)
+    from bitnuc_tpu.sequence import PackedReads as PR
+
+    r2 = PR(words=jnp.asarray(words2), lengths=jnp.asarray(lens2))
+    a = assemble.assemble_reads(r2, 21, min_count=2, engine="device")
+    b = assemble.assemble_reads(r2, 21, min_count=2, engine="host")
+    assert a == b
+    want = min(genome.encode(), assemble.rc_ascii(genome.encode()))
+    assert b[0] == [want]

@@ -111,3 +111,34 @@ def test_setop_cli(tmp_path, capsys, k):
         for ln in out
     }
     assert got == expect
+
+
+@pytest.mark.parametrize("mode", ["intersect_min", "union_sum", "union_max", "subtract"])
+def test_combine_compact_false_chains(rng, mode):
+    """compact=False output (zero-count rows interleaved) must be a legal
+    input to further combines and to compact_runs — the fast chain form."""
+    from bitnuc_tpu.ops import kmer as K
+
+    k = 11
+    seq_sets = [
+        [random_seq(rng, 90).upper() for _ in range(4)] for _ in range(3)
+    ]
+    shared = random_seq(rng, 120).upper()
+    for s in seq_sets:
+        s.append(shared)
+    devs = [_device_counts(s, k, K.count_kmers_sorted) for s in seq_sets]
+    mid = setops.combine_counts(*devs[0], *devs[1], mode=mode, compact=False)
+    got_arrays = setops.combine_counts(*mid[:3], *devs[2], mode=mode)
+    got = _to_dict(*got_arrays)
+    d = [
+        _count_dict(s, k) for s in seq_sets
+    ]
+    expect = setops.combine_dicts(setops.combine_dicts(d[0], d[1], mode), d[2], mode)
+    assert got == expect
+    # compact_runs densifies the compact=False layout directly
+    lo, hi, ct, nu = mid
+    clo, chi, cct = K.compact_runs(lo, hi, ct)
+    mid_dict = {
+        (int(h) << 32) | int(l): int(c) for l, h, c in zip(clo, chi, cct)
+    }
+    assert mid_dict == setops.combine_dicts(d[0], d[1], mode)
