@@ -626,21 +626,25 @@ def bench_assemble(genome_mb=2, read_len=150, step=30, k=31):
 
 def bench_assemble_stages(genome_mb=2, read_len=150, step=30, k=31):
     """Assembly stage split (VERDICT r4 item 8): one timed pass per stage,
-    same workload as bench_assemble. Returns a dict of stage -> ms.
+    same workload as bench_assemble, split along whatever engine
+    assemble_reads(engine='auto') resolves to. Returns stage -> ms plus an
+    'engine' tag.
 
-    Measured accounting (round 4): the end-to-end wall is NOT the device
-    spectrum (count_kmers_runs ~0.1s) nor the host graph (the native
-    merge-join/list-rank/radix tier cut prepare+graph+emit 4.7s -> 1.5s);
-    it is the O(distinct-kmers) spectrum DOWNLOAD — this tunnel's
-    device->host path delivers ~10-16 MB/s regardless of transfer size
-    (8 MB = 514 ms measured; docs/DESIGN.md §15b), so the ~24 MB key
-    download costs seconds here and ~milliseconds on local-PCIe hardware.
+    Measured accounting: round 4 found the wall was the O(distinct-kmers)
+    spectrum DOWNLOAD (~24 MB at the tunnel's ~10-16 MB/s D2H floor,
+    docs/DESIGN.md §15b — 2.8 s of a 4.9 s total). Round 5's engine='host'
+    (native bn_spectrum on the packed reads, DESIGN §15c) downloads the
+    packed READS instead (coverage/48 of the bytes: 2.8 MB here) and the
+    end-to-end moved 0.9-1.1 -> 3.0-3.1 Mbases/s (~3x same-run); the wall
+    is now genuinely the host graph (emit + prepare + graph ~2.5 s vs
+    spectrum ~0.3 s).
     """
     import time as _t
 
+    import jax
     import numpy as np
 
-    from bitnuc_tpu import assemble
+    from bitnuc_tpu import assemble, native
     from bitnuc_tpu.ops import kmer as kmer_ops
     from bitnuc_tpu.sequence import PackedReads
 
@@ -654,13 +658,31 @@ def bench_assemble_stages(genome_mb=2, read_len=150, step=30, k=31):
         lengths=np.full(len(starts), read_len, np.int32),
     )
     assemble.assemble_reads(reads, k, min_count=1)  # warm compiles
-    out = {}
-    t0 = _t.perf_counter()
-    lo, hi, cts, _ = kmer_ops.count_kmers_runs(
-        reads.words, reads.lengths, k, canonical=True
-    )
-    keys, kc = assemble._runs_to_keys(lo, hi, cts, 1)
-    out["spectrum_and_download"] = (_t.perf_counter() - t0) * 1e3
+    host_engine = jax.default_backend() == "tpu"
+    out = {"engine": "host" if host_engine else "device"}
+    if host_engine:
+        # np.asarray on an unmodified ArrayImpl caches its host copy, so a
+        # warmed run would time 0 for the download; stage it on fresh arrays
+        import jax.numpy as jnp
+
+        fresh_w = jnp.asarray(np.asarray(reads.words)) + jnp.uint32(0)
+        fresh_l = jnp.asarray(np.asarray(reads.lengths))
+        float(fresh_w[0, 0])  # sync
+        t0 = _t.perf_counter()
+        w = np.asarray(fresh_w)
+        ls = np.asarray(fresh_l)
+        out["reads_download"] = (_t.perf_counter() - t0) * 1e3
+        t0 = _t.perf_counter()
+        keys, kc = native.spectrum(w, ls, k, canonical=True)
+        out["spectrum_host"] = (_t.perf_counter() - t0) * 1e3
+        kc = kc.astype(np.int64)
+    else:
+        t0 = _t.perf_counter()
+        lo, hi, cts, _ = kmer_ops.count_kmers_runs(
+            reads.words, reads.lengths, k, canonical=True
+        )
+        keys, kc = assemble._runs_to_keys(lo, hi, cts, 1)
+        out["spectrum_and_download"] = (_t.perf_counter() - t0) * 1e3
     t0 = _t.perf_counter()
     pk, pc = assemble.prepare_keys(keys, kc, k, both_strands=True)
     out["prepare"] = (_t.perf_counter() - t0) * 1e3
@@ -857,7 +879,7 @@ def main():
                 row["floor_frac"] = round(val / fl, 3)
             if name == "assembly_read_bases_per_sec":
                 row["stages_ms"] = {
-                    s: round(v, 1)
+                    s: (round(v, 1) if isinstance(v, float) else v)
                     for s, v in bench_assemble_stages().items()
                 }
             print(json.dumps(row), flush=True)

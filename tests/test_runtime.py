@@ -94,6 +94,58 @@ print("KMERS_OK", jax.process_index(), flush=True)
 """
 
 
+_PIPELINE_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from bitnuc_tpu.parallel import runtime
+
+runtime.initialize(
+    coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+)
+
+# -- the PRODUCTION distributed path end-to-end (VERDICT r4 item 5) ----------
+# pipeline.count_fastq(mesh=) — the thing a pod would actually run — across a
+# REAL 2-process gloo cluster, not the single-process 8-virtual-device mesh:
+# every process streams the file, batches shard over the 2-process mesh
+# (device_put slices each process's addressable shard), dense k merges with a
+# cross-process psum per batch and sparse k=21 with the ONE all_gather at the
+# end. Both processes must agree with each other AND the host dict oracle.
+import numpy as np
+
+from bitnuc_tpu import oracle, pipeline
+
+mesh = jax.make_mesh((2,), ("data",))
+fq = sys.argv[3]
+
+seqs = []
+with open(fq) as f:
+    lines = f.read().splitlines()
+for i in range(0, len(lines), 4):
+    seqs.append(lines[i + 1].encode())
+
+hist = np.asarray(pipeline.count_fastq(fq, 5, batch_size=4, mesh=mesh))
+expect5 = np.zeros(4 ** 5, np.int64)
+for s in seqs:
+    for key, c in oracle.count_kmers(s, 5).items():
+        expect5[key] += c
+assert np.array_equal(hist, expect5), (hist.sum(), expect5.sum())
+print("PIPELINE_DENSE_OK", jax.process_index(), flush=True)
+
+got21 = pipeline.count_fastq(fq, 21, batch_size=4, mesh=mesh)
+expect21 = {}
+for s in seqs:
+    for key, c in oracle.count_kmers(s, 21).items():
+        expect21[key] = expect21.get(key, 0) + c
+assert got21 == expect21, (len(got21), len(expect21))
+print("PIPELINE_SPARSE_OK", jax.process_index(), flush=True)
+"""
+
+
 import pytest
 
 
@@ -130,6 +182,54 @@ def test_two_process_psum(tmp_path, spec):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"PSUM_OK {i}" in out, out
         assert f"KMERS_OK {i}" in out, out
+
+
+def test_two_process_count_fastq(tmp_path):
+    """The streaming pipeline across the real 2-process cluster (dense psum
+    merge + sparse all_gather merge), asserted vs the dict oracle in each
+    worker."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    lines = []
+    for i in range(37):
+        s = rng.choice(acgt, int(rng.integers(30, 80))).tobytes().decode()
+        lines += [f"@r{i}", s, "+", "I" * len(s)]
+    fq = tmp_path / "reads.fq"
+    fq.write_text("\n".join(lines) + "\n")
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    addr = f"127.0.0.1:{port}"
+
+    worker = tmp_path / "worker_pipeline.py"
+    worker.write_text(_PIPELINE_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), str(fq)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"PIPELINE_DENSE_OK {i}" in out, out
+        assert f"PIPELINE_SPARSE_OK {i}" in out, out
 
 
 def test_single_process_noop():
