@@ -835,10 +835,16 @@ def main():
              None, "scan-depth"),
             ("reads_mapped_per_sec_chip", lambda: bench_map(), "reads/s",
              None, "sort+scan-depth"),
+            # merge_pairs: the offset scan is step-overhead-bound (~141
+            # steps; packed vs code-plane scans measured EQUAL) — the old
+            # "sort" tag was wrong and the old wall (fragment gather+pack,
+            # ~54 of 64 ms) fell to the packed construction (DESIGN 16)
             ("pairs_merged_per_sec_chip", lambda: bench_merge(), "pairs/s",
-             None, "sort"),
+             None, "scan-depth"),
+            # orf: fused Pallas strand kernel; traffic = unpack write+read
+            # (1+1 B/base) per strand + packed revcomp (~0.5) ~= 4.5 B/base
             ("orf_bases_scanned_per_sec_chip", lambda: bench_orf(),
-             "bases/s", 0.25, "memory"),
+             "bases/s", 4.5, "memory"),
             ("assembly_read_bases_per_sec", lambda: bench_assemble(),
              "bases/s", None, "host-graph"),
             # pipeline/preprocessing rows: ~2.15 B of FASTQ file per base
@@ -858,21 +864,44 @@ def main():
              None, "host-io"),
         ]
         for name, fn, unit, bytes_per_unit, bound in rows:
-            cal = bench_memcpy(64)  # same-moment delivered bandwidth
-            val = fn()
+            # matched triplet (VERDICT r4 item 3): the chip is time-shared
+            # with >10x bandwidth swings, so a calibration from a different
+            # moment makes roofline_frac unfalsifiable (r4 recorded 1.6-3.7
+            # on memory-bound rows). Bracket the measurement with
+            # calibrations and take the max (the delivered ceiling around
+            # the run); if the fraction still exceeds 1.1 — bandwidth surged
+            # strictly inside the measurement window — resample the whole
+            # triplet once, then annotate rather than report a fake ceiling.
+            for attempt in range(2):
+                c0 = bench_memcpy(64)
+                val = fn()
+                c1 = bench_memcpy(64)
+                cal = max(c0, c1)
+                frac = (
+                    val * bytes_per_unit / (cal * 1e9)
+                    if bytes_per_unit is not None
+                    else None
+                )
+                if frac is None or frac <= 1.1:
+                    break
             row = {
                 "metric": name,
                 "value": round(val, 1),
                 "unit": unit,
                 "vs_baseline": None,
                 "calibration_GBs": round(cal, 2),
+                "calibration_GBs_pre": round(c0, 2),
+                "calibration_GBs_post": round(c1, 2),
                 "bytes_per_unit": bytes_per_unit,
                 "bound": bound,
             }
-            if bytes_per_unit is not None:
-                row["roofline_frac"] = round(
-                    val * bytes_per_unit / (cal * 1e9), 3
-                )
+            if frac is not None:
+                row["roofline_frac"] = round(frac, 3)
+                if frac > 1.1:
+                    row["cal_note"] = (
+                        "bandwidth surged inside the measurement window on "
+                        "both samples; fraction not a valid ceiling"
+                    )
             if name == "bases_decoded_per_sec_chip":
                 fl = bench_decode_floor()
                 row["floor_bases_per_sec"] = round(fl, 1)

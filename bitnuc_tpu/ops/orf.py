@@ -67,7 +67,27 @@ def _best_orf_one_strand(words, lengths):
     """(length [B], start [B], stopped [B]) of the longest ATG..stop ORF
     over the three same-strand frames. length counts coding bases
     (excluding the stop codon); 0 when no ATG exists. Ties prefer the
-    smallest start."""
+    smallest start.
+
+    Dispatch: the fused Pallas kernel (ops/pallas/orfscan.py) on TPU
+    backends — the XLA path's strided reverse cummin is an
+    associative_scan of ~log2(L/3) materialized [B, L] passes, 7.4 of the
+    8.0 ms one-strand cost at [16384, 512] (benchmarks/probe_orf.py);
+    the kernel runs codon build + scan + winner reduces on one VMEM
+    block. Bit-identical (tests/test_orf.py)."""
+    from .. import config
+
+    W = words.shape[-1]
+    if config.use_pallas() and W * 16 <= 32767:
+        from .pallas.orfscan import best_orf_one_strand_pallas
+
+        codes8 = bitops.unpack_words(words)
+        best, start, stopped = best_orf_one_strand_pallas(
+            codes8,
+            jnp.asarray(lengths, jnp.int32),
+            interpret=config.pallas_interpret(),
+        )
+        return best, jnp.where(best > 0, start, 0), stopped
     codes = bitops.unpack_words(words).astype(jnp.int32)
     B, L = codes.shape
     lengths = jnp.asarray(lengths, jnp.int32)

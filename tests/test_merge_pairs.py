@@ -133,3 +133,36 @@ def test_merge_containment_keeps_full_r1(rng):
     assert PackedReads(words=w, lengths=l).to_ascii()[0] == r1
     want, wov, wmm = naive_merge(r1, r2, 10, 0.1)
     assert (len(want), wov, wmm) == (150, 80, 0)  # oracle agrees
+
+
+def test_packed_scan_equals_codes_scan(rng):
+    """The round-5 packed-domain offset scan must be bit-exact with the
+    code-plane formulation on ragged, mismatched, and unmergeable pairs
+    (every output, including the unmerged passthrough rows)."""
+    B = 64
+    seqs1, seqs2 = [], []
+    for i in range(B):
+        frag = random_seq(rng, int(rng.integers(120, 260))).upper()
+        l1 = int(rng.integers(40, 151))
+        l2 = int(rng.integers(40, 151))
+        s1 = frag[:l1]
+        s2 = rc(frag[-l2:])
+        if i % 4 == 1:  # sprinkle mismatches into R1
+            b = bytearray(s1)
+            for p in rng.integers(0, l1, size=3):
+                b[p] = ord("ACGT"[int(rng.integers(0, 4))])
+            s1 = bytes(b)
+        if i % 4 == 2:  # unrelated pair (usually unmergeable)
+            s2 = random_seq(rng, l2).upper()
+        seqs1.append(s1)
+        seqs2.append(s2)
+    p1 = PackedReads.from_ascii(seqs1)
+    p2 = PackedReads.from_ascii(seqs2)
+    a = merge_pairs.merge_pairs(
+        p1.words, p1.lengths, p2.words, p2.lengths, scan="packed"
+    )
+    b = merge_pairs.merge_pairs(
+        p1.words, p1.lengths, p2.words, p2.lengths, scan="codes"
+    )
+    for x, y, nm in zip(a, b, ("words", "lens", "merged", "ov", "mm")):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), nm

@@ -103,3 +103,51 @@ def test_translate_reads_vs_table(rng):
         got = aa[i, : n_aa[i]].tobytes().decode()
         assert got == py_translate(q), (i, q)
     assert aa[-1, :3].tobytes() == b"MA*"
+
+
+def test_pallas_one_strand_equals_xla(rng):
+    """The fused orfscan kernel (interpret mode on CPU) must be
+    bit-identical to the XLA one-strand path on ragged reads with planted
+    starts, stops, open ORFs, and start-free rows."""
+    from bitnuc_tpu.ops.pallas.orfscan import best_orf_one_strand_pallas
+    from bitnuc_tpu.utils import bitops
+    from bitnuc_tpu import config
+
+    seqs = [
+        b"ATG" + random_seq(rng, 60).upper() + b"TAA",
+        b"ATGAAATAA",                      # tiny stopped ORF
+        b"ATGAAAAA",                       # open ORF to last whole codon
+        b"CCCCCCCC",                       # no start at all
+        b"ATGTAA",                         # zero-codon body... len 3
+        random_seq(rng, 149).upper(),
+        random_seq(rng, 31).upper(),
+        b"TTTATGATGAAATGAAAATAG",          # nested starts, shared stop
+    ]
+    reads = PackedReads.from_ascii(seqs)
+    codes = bitops.unpack_words(reads.words)
+    with config.backend("xla"):
+        want = orf._best_orf_one_strand(reads.words, reads.lengths)
+    got = best_orf_one_strand_pallas(codes, reads.lengths, interpret=True)
+    got = (got[0], jnp.where(got[0] > 0, got[1], 0), got[2])
+    for g, w, nm in zip(got, want, ("len", "start", "stopped")):
+        assert np.array_equal(np.asarray(g), np.asarray(w)), nm
+
+
+def test_longest_orf_backend_invariant(rng):
+    """longest_orf must return identical results on the xla and pallas
+    (interpret) backends — the public-surface parity gate."""
+    from bitnuc_tpu import config
+
+    seqs = [random_seq(rng, int(n)).upper() for n in rng.integers(10, 200, 24)]
+    reads = PackedReads.from_ascii(seqs)
+    # longest_orf is jitted and the backend choice happens at TRACE time:
+    # clear the cache between backends or the second call replays the first
+    with config.backend("xla"):
+        orf.longest_orf.clear_cache()
+        a = orf.longest_orf(reads.words, reads.lengths)
+    with config.backend("pallas"):
+        orf.longest_orf.clear_cache()
+        b = orf.longest_orf(reads.words, reads.lengths)
+    orf.longest_orf.clear_cache()
+    for x, y, nm in zip(a, b, ("len", "start", "end", "is_rc", "stopped")):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), nm
