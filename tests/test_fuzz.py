@@ -172,3 +172,49 @@ def test_fuzz_counting_engines_agree(rng):
         if k <= kmer.MAX_DENSE_K and not canonical:
             hist = np.asarray(kmer.count_kmers_dense(r.words, r.lengths, k))
             assert {i: int(c) for i, c in enumerate(hist) if c} == got
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_merge_pairs_scans_agree(rng, trial):
+    """Packed-domain vs code-plane merge_pairs on fully random ragged
+    pairs (round 5: the packed scan + word-domain fragment construction
+    must stay bit-exact with the code-plane oracle path)."""
+    from bitnuc_tpu.ops import merge_pairs
+    from bitnuc_tpu.sequence import PackedReads
+
+    B = 48
+    s1 = [random_seq(rng, int(rng.integers(12, 180))).upper() for _ in range(B)]
+    s2 = [random_seq(rng, int(rng.integers(12, 180))).upper() for _ in range(B)]
+    p1, p2 = PackedReads.from_ascii(s1), PackedReads.from_ascii(s2)
+    a = merge_pairs.merge_pairs(
+        p1.words, p1.lengths, p2.words, p2.lengths, scan="packed"
+    )
+    b = merge_pairs.merge_pairs(
+        p1.words, p1.lengths, p2.words, p2.lengths, scan="codes"
+    )
+    for x, y, nm in zip(a, b, ("words", "lens", "merged", "ov", "mm")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), nm)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_orf_kernel_fuzz(rng, trial):
+    """orfscan kernel (interpret) vs the XLA strand path on random ragged
+    batches — the 6-frame fuzz analog of test_codec_four_way."""
+    from bitnuc_tpu import config
+    from bitnuc_tpu.ops import orf
+    from bitnuc_tpu.ops.pallas.orfscan import best_orf_one_strand_pallas
+    from bitnuc_tpu.sequence import PackedReads
+    from bitnuc_tpu.utils import bitops
+
+    seqs = [
+        random_seq(rng, int(n)).upper() for n in rng.integers(1, 300, 32)
+    ]
+    reads = PackedReads.from_ascii(seqs)
+    with config.backend("xla"):
+        want = orf._best_orf_one_strand(reads.words, reads.lengths)
+    got = best_orf_one_strand_pallas(
+        bitops.unpack_words(reads.words), reads.lengths, interpret=True
+    )
+    got = (got[0], jnp.where(got[0] > 0, got[1], 0), got[2])
+    for g, w, nm in zip(got, want, ("len", "start", "stopped")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w), nm)
