@@ -807,82 +807,108 @@ def main():
         # limiting resource. Rows whose wall is host/sort/compute-side
         # carry bytes=None — a device-bandwidth roofline would be the
         # wrong ceiling and a fake fraction is worse than none.
+        # (name, fn, unit, bytes_per_unit, bound, cal_mb): cal_mb sizes the
+        # xor-copy calibration burst to ~the row's own per-call traffic —
+        # delivered bandwidth is strongly burst-size-dependent on this
+        # tunnel (probe_encode6: 8 GB/s at 32 MB -> 106 at 512 MB), so a
+        # fixed 64 MB calibration understates the ceiling of a 400 MB-burst
+        # row (that, not contention, produced round 4's frac 1.6-3.7).
         rows = [
             # decode moves 0.25 B/base in + 1 B/base out; floor below
+            # (268M bases/call -> ~335 MB traffic)
             ("bases_decoded_per_sec_chip", lambda: bench_decode(), "bases/s",
-             1.25, "memory"),
-            # packed db scan: 0.25 B per base compared (query amortized)
+             1.25, "memory", 168),
+            # packed db scan: 0.25 B per base compared (query amortized);
+            # db = 4M x 32 words = 537 MB/call
             ("hdist_base_comparisons_per_sec_chip", lambda: bench_hdist(),
-             "base-cmp/s", 0.25, "memory"),
-            # 64 queries share each db word: 0.25/64 B per comparison
+             "base-cmp/s", 0.25, "memory", 268),
+            # 64 queries share each db word: 0.25/64 B per comparison;
+            # db = 1M x 32 words = 134 MB/call
             ("hdist_batch_q64_base_comparisons_per_sec_chip",
-             lambda: bench_hdist_batch(), "base-cmp/s", 0.25 / 64, "memory"),
+             lambda: bench_hdist_batch(), "base-cmp/s", 0.25 / 64, "memory",
+             67),
             # counting reads each base once: 0.25 B/kmer (k-overlap), but
             # the MXU one-hot contraction is FLOP-bound at 4^k/key
             ("kmers_counted_per_sec_chip_k8_mxu",
-             lambda: bench_kmer(k=8, mode="mxu"), "kmers/s", 0.25, "compute"),
+             lambda: bench_kmer(k=8, mode="mxu"), "kmers/s", 0.25,
+             "compute", 64),
             ("kmers_counted_per_sec_chip_k9_mxu",
-             lambda: bench_kmer(k=9, mode="mxu"), "kmers/s", 0.25, "compute"),
+             lambda: bench_kmer(k=9, mode="mxu"), "kmers/s", 0.25,
+             "compute", 64),
             # auto hands k=10-12 to the runs engine on TPU (2.7-4.3x the
             # dense scatter, probe_k1012): the wall is the key sort
+            # (~log passes over 16.8M keys ~ GB-class traffic)
             ("kmers_counted_per_sec_chip_k12_auto",
-             lambda: bench_kmer(k=12, mode="auto_layout"), "kmers/s", 0.25, "sort"),
+             lambda: bench_kmer(k=12, mode="auto_layout"), "kmers/s", 0.25,
+             "sort", 256),
             ("kmers_counted_per_sec_chip_k21_sorted",
-             lambda: bench_kmer(k=21, mode="runs"), "kmers/s", 0.25, "sort"),
+             lambda: bench_kmer(k=21, mode="runs"), "kmers/s", 0.25,
+             "sort", 256),
             # wavefront DP: ~0 fresh bytes/cell — scan-step-overhead-bound
             # (DESIGN 12c), a bandwidth roofline would be meaningless
             ("sw_align_cells_per_sec_chip", lambda: bench_align(), "cells/s",
-             None, "scan-depth"),
+             None, "scan-depth", 64),
             ("reads_mapped_per_sec_chip", lambda: bench_map(), "reads/s",
-             None, "sort+scan-depth"),
+             None, "sort+scan-depth", 64),
             # merge_pairs: the offset scan is step-overhead-bound (~141
             # steps; packed vs code-plane scans measured EQUAL) — the old
             # "sort" tag was wrong and the old wall (fragment gather+pack,
             # ~54 of 64 ms) fell to the packed construction (DESIGN 16)
             ("pairs_merged_per_sec_chip", lambda: bench_merge(), "pairs/s",
-             None, "scan-depth"),
+             None, "scan-depth", 64),
             # orf: fused Pallas strand kernel; traffic = unpack write+read
             # (1+1 B/base) per strand + packed revcomp (~0.5) ~= 4.5 B/base
+            # (8.4M bases/call -> ~38 MB)
             ("orf_bases_scanned_per_sec_chip", lambda: bench_orf(),
-             "bases/s", 4.5, "memory"),
+             "bases/s", 4.5, "memory", 19),
             ("assembly_read_bases_per_sec", lambda: bench_assemble(),
-             "bases/s", None, "host-graph"),
+             "bases/s", None, "host-graph", 64),
             # pipeline/preprocessing rows: ~2.15 B of FASTQ file per base
             # (seq + qual + headers); the wall is host IO/parse, calibrated
             # by the loader/parse rows below, not by device bandwidth
             ("fastq_pipeline_staged_bases_per_sec",
-             lambda: bench_pipeline(staged=True), "bases/s", None, "host-io"),
+             lambda: bench_pipeline(staged=True), "bases/s", None,
+             "host-io", 64),
             ("fastq_pipeline_python_bases_per_sec",
-             lambda: bench_pipeline(staged=False), "bases/s", None, "host-io"),
+             lambda: bench_pipeline(staged=False), "bases/s", None,
+             "host-io", 64),
             ("fastq_loader_only_bases_per_sec", lambda: bench_loader_only(),
-             "bases/s", None, "host-io"),
+             "bases/s", None, "host-io", 64),
             ("fastq_parse_only_bases_per_sec", lambda: bench_parse_only(),
-             "bases/s", None, "host-io"),
+             "bases/s", None, "host-io", 64),
             ("filter_fastq_bases_per_sec", lambda: bench_filter(), "bases/s",
-             None, "host-io"),
+             None, "host-io", 64),
             ("qc_profile_bases_per_sec", lambda: bench_qc(), "bases/s",
-             None, "host-io"),
+             None, "host-io", 64),
         ]
-        for name, fn, unit, bytes_per_unit, bound in rows:
+        for name, fn, unit, bytes_per_unit, bound, cal_mb in rows:
             # matched triplet (VERDICT r4 item 3): the chip is time-shared
-            # with >10x bandwidth swings, so a calibration from a different
-            # moment makes roofline_frac unfalsifiable (r4 recorded 1.6-3.7
-            # on memory-bound rows). Bracket the measurement with
-            # calibrations and take the max (the delivered ceiling around
-            # the run); if the fraction still exceeds 1.1 — bandwidth surged
-            # strictly inside the measurement window — resample the whole
-            # triplet once, then annotate rather than report a fake ceiling.
+            # with >10x bandwidth swings AND burst-size-dependent delivery,
+            # so a calibration from a different moment (or a mismatched
+            # burst size) makes roofline_frac unfalsifiable (r4 recorded
+            # 1.6-3.7 on memory-bound rows). Bracket the measurement with
+            # traffic-matched calibrations and take the max (the delivered
+            # ceiling around the run); if the fraction still exceeds 1.1 —
+            # bandwidth surged strictly inside the measurement window —
+            # resample the whole triplet once, then annotate rather than
+            # report a fake ceiling. The decode floor probe rides inside
+            # the same bracket so floor_frac is same-window too.
+            fl = None
             for attempt in range(2):
-                c0 = bench_memcpy(64)
+                c0 = bench_memcpy(cal_mb)
                 val = fn()
-                c1 = bench_memcpy(64)
+                if name == "bases_decoded_per_sec_chip":
+                    fl = bench_decode_floor()
+                c1 = bench_memcpy(cal_mb)
                 cal = max(c0, c1)
                 frac = (
                     val * bytes_per_unit / (cal * 1e9)
                     if bytes_per_unit is not None
                     else None
                 )
-                if frac is None or frac <= 1.1:
+                if (frac is None or frac <= 1.1) and (
+                    fl is None or val / fl <= 1.1
+                ):
                     break
             row = {
                 "metric": name,
@@ -902,8 +928,7 @@ def main():
                         "bandwidth surged inside the measurement window on "
                         "both samples; fraction not a valid ceiling"
                     )
-            if name == "bases_decoded_per_sec_chip":
-                fl = bench_decode_floor()
+            if fl is not None:
                 row["floor_bases_per_sec"] = round(fl, 1)
                 row["floor_frac"] = round(val / fl, 3)
             if name == "assembly_read_bases_per_sec":

@@ -71,7 +71,13 @@ def _packed_offset_scan(words1, lens1, rc2w, lens2, min_overlap, mmf):
 
     ext = jnp.pad(c2, ((0, 0), (0, 1)))  # carry-out word
     mext = jnp.pad(m2, ((0, 0), (0, 1)))
-    back = max(0, W1 - (W2 + 1 + qmax))
+    # slice [qmax - q, qmax - q + W1) must fit at q = 0 for any W1/W2:
+    # back >= W1 - (W2 + 1). (Round-5 review bug: subtracting qmax here
+    # under-padded whenever W1 > W2 + 1, and lax.dynamic_slice CLAMPS the
+    # start — every small offset silently compared rc(R2) at the wrong
+    # word shift and dropped real merges; regression test
+    # test_merge_r2_much_shorter_small_offset.)
+    back = max(0, W1 - (W2 + 1))
     # [16, B, qmax + W2 + 1 + back]: rc2 shifted up by o bases is words
     # [qmax - q, qmax - q + W1) of copy r
     stk = jnp.stack([up(ext, r) for r in range(16)])

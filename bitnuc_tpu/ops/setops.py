@@ -67,65 +67,56 @@ def combine_counts(
     a_ct = jnp.asarray(a_ct, jnp.int32)
     b_ct = jnp.asarray(b_ct, jnp.int32)
     n_ab = a_ct.shape[0] + b_ct.shape[0]
+
+    # Dead-row handling, IDENTICAL on both backends so the raw output
+    # arrays are backend-invariant (round-5 review finding). Dead rows
+    # (ct <= 0) come in two shapes, both kept sorted here: an all-dead
+    # SUFFIX (the compact layouts' padding, whose keys are arbitrary)
+    # remaps to the all-ones sentinel; INTERIOR dead rows (the run-start
+    # layout: a dead slot duplicates its run's key) keep their keys and
+    # ride behind their key's live rows via the src key word
+    # (A-live 0 < B-live 1 < dead 2). A list that is unsorted even
+    # counting its dead rows violates the function's sorted-input
+    # contract either way.
+    def _side(hi_x, lo_x, ct_x, live_src):
+        dead = ct_x <= 0
+        sfx = (
+            jnp.flip(jax.lax.cummin(jnp.flip(dead.astype(jnp.int32))))
+            == 1
+        )
+        return (
+            jnp.where(sfx, sent, hi_x),
+            jnp.where(sfx, sent, lo_x),
+            jnp.where(dead, jnp.uint32(2), jnp.uint32(live_src)),
+            jnp.where(dead, 0, ct_x),
+        )
+
+    a_side = _side(a_hi, a_lo, a_ct, 0)
+    b_side = _side(b_hi, b_lo, b_ct, 1)
     if config.use_pallas():
         # both inputs are SORTED counted lists (the function's contract),
         # so the combination sort is a merge: the bitonic merge engine
         # (ops/pallas/merge.py) runs it in log N compare-exchange stages
         # instead of lax.sort's log^2 — measured 1.76x at 8M+8M on chip
-        # (benchmarks/probe_merge2.py, DESIGN.md 6b). Keys stay UNCHANGED
-        # (dead rows keep their true keys, so each side remains sorted);
-        # deadness rides the third key word: src 0=A, 1=B, 2=dead, and
-        # key-tied rows order A-live < B-live < dead exactly as the
-        # 4-array sort ordered them.
+        # (benchmarks/probe_merge2.py, DESIGN.md 6b).
         from .pallas.merge import merge_sorted
 
-        # The merge requires each input sorted AFTER dead-row handling.
-        # Dead rows (ct <= 0) come in two shapes, both kept sorted here:
-        # an all-dead SUFFIX (the compact layouts' padding, whose keys are
-        # arbitrary) remaps to the all-ones sentinel; INTERIOR dead rows
-        # (the run-start layout: a dead slot duplicates its run's key)
-        # keep their keys and ride behind their key's live rows via the
-        # src key word (A-live 0 < B-live 1 < dead 2). A list that is
-        # unsorted even counting its dead rows violates the function's
-        # sorted-input contract either way.
-        def _side(hi_x, lo_x, ct_x, live_src):
-            dead = ct_x <= 0
-            sfx = (
-                jnp.flip(jax.lax.cummin(jnp.flip(dead.astype(jnp.int32))))
-                == 1
-            )
-            return (
-                jnp.where(sfx, sent, hi_x),
-                jnp.where(sfx, sent, lo_x),
-                jnp.where(dead, jnp.uint32(2), jnp.uint32(live_src)),
-                jnp.where(dead, 0, ct_x),
-            )
-
         hi_s, lo_s, src_w, ct_s = merge_sorted(
-            _side(a_hi, a_lo, a_ct, 0),
-            _side(b_hi, b_lo, b_ct, 1),
+            a_side,
+            b_side,
             n_keys=3,
             pad_val=(0,),
             interpret=config.pallas_interpret(),
         )
         src_s = src_w.astype(jnp.int32)  # pad rows -> -1: matches no branch
     else:
-        ct = jnp.concatenate([a_ct, b_ct])
-        dead = ct <= 0
-        lo = jnp.where(dead, sent, jnp.concatenate([a_lo, b_lo]))
-        hi = jnp.where(dead, sent, jnp.concatenate([a_hi, b_hi]))
-        src = jnp.concatenate(
-            [
-                jnp.zeros(a_ct.shape[0], jnp.int32),
-                jnp.ones(b_ct.shape[0], jnp.int32),
-            ]
+        hi_s, lo_s, src_w, ct_s = jax.lax.sort(
+            tuple(
+                jnp.concatenate([x, y]) for x, y in zip(a_side, b_side)
+            ),
+            num_keys=3,
         )
-        src = jnp.where(dead, jnp.int32(2), src)
-
-        hi_s, lo_s, src_s, negct_s = jax.lax.sort(
-            (hi, lo, src, -jnp.where(dead, 0, ct)), num_keys=4
-        )
-        ct_s = -negct_s
+        src_s = src_w.astype(jnp.int32)
 
     # neighbor pairing: a live A row whose successor is a live B row with
     # the same key holds that key's (a, b) count pair

@@ -166,3 +166,36 @@ def test_packed_scan_equals_codes_scan(rng):
     )
     for x, y, nm in zip(a, b, ("words", "lens", "merged", "ov", "mm")):
         assert np.array_equal(np.asarray(x), np.asarray(y)), nm
+
+
+def test_merge_r2_much_shorter_small_offset(rng):
+    """Regression (round-5 review): W1 > W2 + 1 with the overlap at a SMALL
+    offset — the under-padded shift stack let dynamic_slice clamp and the
+    packed scan compared rc(R2) at the wrong word shift, silently dropping
+    the merge."""
+    r1 = random_seq(rng, 150).upper()           # W1 = 10 words
+    r2 = rc(r1[30:90])                          # 60 bases, W2 = 4, offset 30
+    p1 = PackedReads.from_ascii([r1])
+    p2 = PackedReads.from_ascii([r2])
+    for scan in ("packed", "codes"):
+        w, l, m, ov, mm = map(
+            np.asarray,
+            merge_pairs.merge_pairs(
+                p1.words, p1.lengths, p2.words, p2.lengths, scan=scan
+            ),
+        )
+        assert m[0] and (l[0], ov[0], mm[0]) == (150, 60, 0), scan
+        assert PackedReads(words=w, lengths=l).to_ascii()[0] == r1, scan
+    # sweep every offset at this width imbalance: packed == codes
+    for off in range(0, 120, 7):
+        rr2 = rc(r1[off : off + 60])
+        q1 = PackedReads.from_ascii([r1])
+        q2 = PackedReads.from_ascii([rr2])
+        a = merge_pairs.merge_pairs(
+            q1.words, q1.lengths, q2.words, q2.lengths, scan="packed"
+        )
+        b = merge_pairs.merge_pairs(
+            q1.words, q1.lengths, q2.words, q2.lengths, scan="codes"
+        )
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), off

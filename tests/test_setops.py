@@ -142,3 +142,35 @@ def test_combine_compact_false_chains(rng, mode):
         (int(h) << 32) | int(l): int(c) for l, h, c in zip(clo, chi, cct)
     }
     assert mid_dict == setops.combine_dicts(d[0], d[1], mode)
+
+
+@pytest.mark.parametrize("compact", [True, False])
+def test_combine_backend_invariant_arrays(rng, compact):
+    """The RAW output arrays (not just the dict semantics) must be
+    identical across the xla and pallas(interpret) backends, including
+    interior-dead run-start rows and dead-suffix padding (round-5
+    review finding)."""
+    from bitnuc_tpu import config
+    from bitnuc_tpu.ops import kmer as K
+
+    k = 11
+    seqs1 = [random_seq(rng, 80).upper() for _ in range(4)]
+    seqs2 = [random_seq(rng, 80).upper() for _ in range(4)]
+    a = _device_counts(seqs1, k, K.count_kmers_sorted)
+    # run-start layout side (interior zero-count rows) + a dead suffix
+    r = PackedReads.from_ascii(seqs2)
+    lo, hi, ct, _ = K.count_kmers_runs(r.words, r.lengths, k)
+    b = (lo, hi, ct)
+    outs = {}
+    for be in ("xla", "pallas"):
+        with config.backend(be):
+            setops.combine_counts.clear_cache()
+            outs[be] = [
+                np.asarray(x)
+                for x in setops.combine_counts(
+                    *a, *b, mode="union_sum", compact=compact
+                )
+            ]
+    setops.combine_counts.clear_cache()
+    for x, y, nm in zip(outs["xla"], outs["pallas"], ("lo", "hi", "ct", "nu")):
+        assert np.array_equal(x, y), nm
