@@ -211,6 +211,17 @@ class PackedDB:
         from .ops.pallas import hamming as ph
 
         if config.use_pallas():
+            Q, W = queries.shape
+            # MXU bitplane kernel wins once Q amortizes the per-tile plane
+            # expansion (round 5: neutral at Q=64, +17% at Q=256); plane
+            # rows 48W must fit VMEM next to the tile
+            if Q >= 128 and 48 * W <= 4096:
+                return ph.hdist_scan_batch_mxu(
+                    queries,
+                    self.words_wm,
+                    self.n_bases,
+                    interpret=config.pallas_interpret(),
+                )
             return ph.hdist_scan_batch_pallas(
                 queries,
                 self.words_wm,
@@ -235,6 +246,9 @@ class PackedDB:
             return psearch.hdist_search_batch_db_sharded(
                 queries, wm, self.n_bases, min(k, D), mesh, axis, d_valid=D
             )
-        return jax.vmap(lambda row: hamming.topk_smallest(row, k))(
-            self.distances_batch(queries)
+        # blocked one-pass top-k when (n_bases, D) pack into a u32 key —
+        # the iterative per-row extractor was k full passes over [Q, D]
+        # (21.7 of 22.7 ms at [64, 1M], round-5 probe)
+        return hamming.topk_batch_dispatch(
+            self.distances_batch(queries), k, self.n_bases
         )

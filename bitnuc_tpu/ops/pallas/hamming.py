@@ -178,3 +178,108 @@ def hdist_topk_pallas(
 
     d = hdist_scan_pallas(query, db_word_major, n_bases, interpret=interpret)
     return hamming.topk_smallest(d, k)
+
+
+# -- MXU bitplane batch scan (round 5) ---------------------------------------
+# The VPU batch kernel above does ~5 vector ops per (query, word) pair —
+# compute-bound at ~10 ms for [64 x 1M x 512 bp] while moving only 134 MB.
+# Exact Hamming matching is MXU-shaped through the +-1 bitplane identity:
+# with x0, x1 the +-1-coded bits of a 2-bit base and x01 = x0*x1,
+#   match_j = (1 + x0q x0d + x1q x1d + x01q x01d) / 4
+# so sum_j match = (n_bases + S) / 4 with S ONE [Q, 3L] @ [3L, TD] matmul
+# (query planes precomputed in XLA with invalid positions zeroed; db planes
+# expanded in VMEM per tile; +-1 sums are exact integers in f32). Plane row
+# order is (group, t, w): position j = 16w + t of word w — both sides use
+# the same order, which is free because the dot contracts over it.
+
+TILE_DM = 512  # db columns per MXU grid step
+
+
+def _make_mxu_batch_kernel(W: int, n_bases: int):
+    def kernel(qp_ref, db_ref, out_ref):
+        db = db_ref[0:W, :]  # [W, TD] u32 (sublane pad rows unused)
+        pieces0, pieces1, pieces01 = [], [], []
+        for t in range(16):
+            x = (db >> jnp.uint32(2 * t)) & jnp.uint32(3)
+            b0 = (x & jnp.uint32(1)).astype(jnp.int32)
+            b1 = (x >> jnp.uint32(1)).astype(jnp.int32)
+            pieces0.append((2 * b0 - 1).astype(jnp.bfloat16))
+            pieces1.append((2 * b1 - 1).astype(jnp.bfloat16))
+            pieces01.append((1 - 2 * (b0 ^ b1)).astype(jnp.bfloat16))
+        planes = jnp.concatenate(
+            pieces0 + pieces1 + pieces01, axis=0
+        )  # [48W, TD]
+        s = jnp.dot(
+            qp_ref[...], planes, preferred_element_type=jnp.float32
+        )  # [TQ, TD]
+        out_ref[...] = ((3.0 * n_bases) - s).astype(jnp.int32) // 4
+
+    return kernel
+
+
+def _query_planes(queries: jax.Array, W: int, n_bases: int) -> jax.Array:
+    """[Q, W] packed -> [Q, 48W] bf16 query planes in (group, t, w) row
+    order, invalid positions zeroed (their db-side product then vanishes
+    and the n_bases constant in the kernel counts only valid js)."""
+    from ...utils import bitops
+
+    Q = queries.shape[0]
+    codes = bitops.unpack_words(queries).astype(jnp.int32)  # [Q, 16W]
+    valid = jnp.arange(16 * W, dtype=jnp.int32) < n_bases
+    # reorder positions j = 16w + t to (t, w)
+    def reorder(p):
+        return p.reshape(Q, W, 16).transpose(0, 2, 1).reshape(Q, 16 * W)
+
+    v = jnp.where(valid, 1, 0)[None, :]
+    b0 = codes & 1
+    b1 = (codes >> 1) & 1
+    x0 = reorder((2 * b0 - 1) * v)
+    x1 = reorder((2 * b1 - 1) * v)
+    x01 = reorder((1 - 2 * (b0 ^ b1)) * v)
+    return jnp.concatenate([x0, x1, x01], axis=1).astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("n_bases", "interpret"))
+def hdist_scan_batch_mxu(
+    queries: jax.Array,
+    db_word_major: jax.Array,
+    n_bases: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """MXU twin of hdist_scan_batch_pallas: [Q, W] x [W, D] -> [Q, D]
+    int32, bit-exact (tests/test_pallas.py). Wins when the VPU kernel's
+    per-(query, word) work dominates — large Q amortizes the per-tile
+    plane expansion across every query, so the advantage grows with Q."""
+    Q, W = queries.shape
+    W2, D = db_word_major.shape
+    assert W == W2, (W, W2)
+    TQ = min(128, -(-Q // 8) * 8)
+    Qp = -(-Q // TQ) * TQ
+    Dp = -(-D // TILE_DM) * TILE_DM
+    Wp = -(-W // 8) * 8
+
+    qp = jnp.pad(
+        _query_planes(queries, W, int(n_bases)), ((0, Qp - Q), (0, 0))
+    )
+    db = jnp.pad(db_word_major, ((0, Wp - W), (0, Dp - D)))
+
+    grid = (Qp // TQ, Dp // TILE_DM)
+    out = pl.pallas_call(
+        _make_mxu_batch_kernel(W, int(n_bases)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (TQ, 48 * W), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Wp, TILE_DM), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TQ, TILE_DM), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Qp, Dp), jnp.int32),
+        interpret=interpret,
+    )(qp, db)
+    return out[:Q, :D]

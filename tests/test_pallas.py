@@ -331,3 +331,51 @@ def test_sw_pallas_parity(rng):
             np.testing.assert_array_equal(
                 np.asarray(f), np.asarray(g), err_msg=name
             )
+
+
+def test_mxu_batch_scan_parity(rng):
+    """The MXU bitplane batch scan must be bit-exact with the VPU batch
+    kernel and the XLA many-to-many on ragged n_bases (round 5)."""
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops import hamming
+    from bitnuc_tpu.ops.pallas.hamming import (
+        hdist_scan_batch_mxu,
+        hdist_scan_batch_pallas,
+    )
+
+    for Q, W, D, nb in ((5, 4, 200, 64), (130, 9, 700, 137), (64, 32, 600, 512)):
+        qs = jnp.asarray(rng.integers(0, 2**32, (Q, W)).astype(np.uint32))
+        db = jnp.asarray(rng.integers(0, 2**32, (W, D)).astype(np.uint32))
+        want = np.asarray(
+            hamming.hdist_many_to_many(qs, jnp.transpose(db), nb)
+        )
+        got = np.asarray(hdist_scan_batch_mxu(qs, db, nb, interpret=True))
+        assert np.array_equal(got, want), (Q, W, D, nb)
+        got2 = np.asarray(hdist_scan_batch_pallas(qs, db, nb, interpret=True))
+        assert np.array_equal(got2, want), (Q, W, D, nb)
+
+
+def test_topk_smallest_batch_parity(rng):
+    """Blocked one-pass batch top-k == the iterative per-row extractor
+    (values, indices, tie rule, k > D sentinel tail)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitnuc_tpu.ops import hamming
+
+    for trial in range(5):
+        Q = int(rng.integers(1, 9))
+        D = int(rng.integers(1, 3000))
+        k = int(rng.integers(1, 40))
+        vals = jnp.asarray(rng.integers(0, 300, (Q, D)).astype(np.int32))
+        want = jax.vmap(lambda row: hamming.topk_smallest(row, k))(vals)
+        got = hamming.topk_smallest_batch(vals, k)
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w)), (trial, Q, D, k)
+    # all-ties: index tiebreak must hold across chunk boundaries
+    vals = jnp.zeros((3, 1500), jnp.int32)
+    want = jax.vmap(lambda row: hamming.topk_smallest(row, 20))(vals)
+    got = hamming.topk_smallest_batch(vals, 20)
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
