@@ -827,6 +827,11 @@ def main():
             ("hdist_batch_q64_base_comparisons_per_sec_chip",
              lambda: bench_hdist_batch(), "base-cmp/s", 0.25 / 64, "memory",
              67),
+            # serving regime: Q >= 128 routes the MXU bitplane kernel and
+            # the blocked one-pass top-k (DESIGN 18)
+            ("hdist_batch_q256_base_comparisons_per_sec_chip",
+             lambda: bench_hdist_batch(q=256), "base-cmp/s", 0.25 / 256,
+             "compute", 67),
             # counting reads each base once: 0.25 B/kmer (k-overlap), but
             # the MXU one-hot contraction is FLOP-bound at 4^k/key
             ("kmers_counted_per_sec_chip_k8_mxu",
@@ -931,6 +936,15 @@ def main():
             if fl is not None:
                 row["floor_bases_per_sec"] = round(fl, 1)
                 row["floor_frac"] = round(val / fl, 3)
+                if val / fl > 1.1:
+                    # the op outran its "cheapest correct-traffic program"
+                    # twice in-bracket: the floor PROBE lost its floor
+                    # status at this window (layout/fusion drift), the op
+                    # did not break physics — read the roofline_frac
+                    row["floor_note"] = (
+                        "floor probe slower than the op at this window; "
+                        "floor_frac not a capture ratio here"
+                    )
             if name == "assembly_read_bases_per_sec":
                 row["stages_ms"] = {
                     s: (round(v, 1) if isinstance(v, float) else v)

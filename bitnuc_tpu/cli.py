@@ -263,22 +263,26 @@ def cmd_setop(args) -> int:
     from .ops import setops
 
     ra = _count_file(args.a, args)
-    rb = _count_file(args.b, args)
     if isinstance(ra, dict):
-        result = setops.combine_dicts(ra, rb, args.op)
-        rows = sorted(result.items())
+        # left-associative over every further input (KMC-style chains:
+        # `setop union_sum a.fq b.fq c.fq ...`)
+        for path in args.b:
+            ra = setops.combine_dicts(ra, _count_file(path, args), args.op)
+        rows = sorted(ra.items())
     else:
         # dense histograms combine elementwise on host (int64-exact)
-        a, b = np.asarray(ra), np.asarray(rb)
-        combined = {
-            "intersect_min": lambda: np.where(
-                (a > 0) & (b > 0), np.minimum(a, b), 0
-            ),
-            "subtract": lambda: np.maximum(a - b, 0),
-            "union_sum": lambda: a + b,
-            "union_max": lambda: np.maximum(a, b),
-        }[args.op]()
-        rows = ((int(i), int(combined[i])) for i in np.nonzero(combined)[0])
+        a = np.asarray(ra)
+        for path in args.b:
+            b = np.asarray(_count_file(path, args))
+            a = {
+                "intersect_min": lambda: np.where(
+                    (a > 0) & (b > 0), np.minimum(a, b), 0
+                ),
+                "subtract": lambda: np.maximum(a - b, 0),
+                "union_sum": lambda: a + b,
+                "union_max": lambda: np.maximum(a, b),
+            }[args.op]()
+        rows = ((int(i), int(a[i])) for i in np.nonzero(a)[0])
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
         for key, count in rows:
@@ -1536,7 +1540,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("op", choices=_SETOP_MODES)
     p.add_argument("a", help="FASTA/FASTQ file (.gz ok)")
-    p.add_argument("b", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument(
+        "b", nargs="+",
+        help="one or more further FASTA/FASTQ files (left-associative chain)",
+    )
     p.add_argument("-k", type=int, required=True, help="k-mer size (1..32)")
     p.add_argument("--canonical", action="store_true")
     p.add_argument("--skip-invalid", action="store_true")

@@ -174,3 +174,35 @@ def test_combine_backend_invariant_arrays(rng, compact):
     setops.combine_counts.clear_cache()
     for x, y, nm in zip(outs["xla"], outs["pallas"], ("lo", "hi", "ct", "nu")):
         assert np.array_equal(x, y), nm
+
+
+def test_setop_cli_chain(tmp_path, capsys):
+    """Multi-input left-associative CLI chain: union_sum over three files
+    equals the pairwise dict algebra."""
+    from bitnuc_tpu.cli import main as cli_main
+    from bitnuc_tpu import oracle
+
+    rng = np.random.default_rng(4)
+    paths, dicts = [], []
+    k = 7
+    for i in range(3):
+        seqs = [random_seq(rng, 60).upper() for _ in range(3)]
+        p = tmp_path / f"s{i}.fa"
+        p.write_text("".join(f">r{j}\n{s.decode()}\n" for j, s in enumerate(seqs)))
+        paths.append(str(p))
+        d = {}
+        for s in seqs:
+            for key, c in oracle.count_kmers(s, k).items():
+                d[key] = d.get(key, 0) + c
+        dicts.append(d)
+    rc = cli_main(["setop", "union_sum", *paths, "-k", str(k)])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    got = {}
+    for ln in out:
+        seq, c = ln.split("\t")
+        got[oracle.as_2bit(seq.encode())] = int(c)
+    expect = setops.combine_dicts(
+        setops.combine_dicts(dicts[0], dicts[1], "union_sum"), dicts[2], "union_sum"
+    )
+    assert got == expect
