@@ -1845,7 +1845,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # downstream of a closed pipe (e.g. `| head`) — the unix-tool
+        # convention is silent success; detach stdout so the interpreter's
+        # shutdown flush doesn't raise a second time
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":  # pragma: no cover
