@@ -270,18 +270,19 @@ def cmd_setop(args) -> int:
             ra = setops.combine_dicts(ra, _count_file(path, args), args.op)
         rows = sorted(ra.items())
     else:
-        # dense histograms combine elementwise on host (int64-exact)
+        # dense histograms combine elementwise on host (int64-exact);
+        # explicit parameters — no closure over the loop-mutated locals
+        dense_ops = {
+            "intersect_min": lambda x, y: np.where(
+                (x > 0) & (y > 0), np.minimum(x, y), 0
+            ),
+            "subtract": lambda x, y: np.maximum(x - y, 0),
+            "union_sum": lambda x, y: x + y,
+            "union_max": lambda x, y: np.maximum(x, y),
+        }
         a = np.asarray(ra)
         for path in args.b:
-            b = np.asarray(_count_file(path, args))
-            a = {
-                "intersect_min": lambda: np.where(
-                    (a > 0) & (b > 0), np.minimum(a, b), 0
-                ),
-                "subtract": lambda: np.maximum(a - b, 0),
-                "union_sum": lambda: a + b,
-                "union_max": lambda: np.maximum(a, b),
-            }[args.op]()
+            a = dense_ops[args.op](a, np.asarray(_count_file(path, args)))
         rows = ((int(i), int(a[i])) for i in np.nonzero(a)[0])
     out = sys.stdout if args.out is None else open(args.out, "w")
     try:
@@ -1846,7 +1847,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
-        return args.fn(args)
+        rc = args.fn(args)
+        # flush INSIDE the handler's scope: on block-buffered piped stdout
+        # a small result set only hits the closed pipe at interpreter-
+        # shutdown flush, which this except could never catch
+        sys.stdout.flush()
+        return rc
     except BrokenPipeError:
         # downstream of a closed pipe (e.g. `| head`) — the unix-tool
         # convention is silent success; detach stdout so the interpreter's

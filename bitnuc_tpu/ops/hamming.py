@@ -102,9 +102,12 @@ def topk_smallest(values: jax.Array, k: int):
 
 @partial(jax.jit, static_argnames=("k", "chunk"))
 def topk_smallest_batch(values: jax.Array, k: int, chunk: int = 512):
-    """Exact per-row k smallest of [Q, D] int values with indices, each
-    row ascending, ties by lowest index — the batched twin of
-    topk_smallest with ONE full pass over the matrix instead of k.
+    """Exact per-row k smallest of [Q, D] NON-NEGATIVE int values with
+    indices, each row ascending, ties by lowest index — the batched twin
+    of topk_smallest with ONE full pass over the matrix instead of k.
+    Negative inputs wrap in the u32 packing and sort LAST — callers with
+    signed scores must use the iterative topk_smallest (distances are
+    >= 0 by construction everywhere this is dispatched).
 
     Round-5 finding (probe split, 12 GB/s window): the vmapped iterative
     top-k was 21.7 of search_batch's 22.7 ms at [64, 1M] — k sequential
@@ -189,7 +192,6 @@ def hdist_topk(query: jax.Array, database: jax.Array, n_bases, k: int):
     return topk_smallest(d, k)
 
 
-@partial(jax.jit, static_argnames=("k",))
 def hdist_topk_batch(queries: jax.Array, database: jax.Array, n_bases, k: int):
     """Per-query top-k nearest database rows: [Q, W] x [D, W] ->
     (distances [Q, k], indices [Q, k]), each row ascending (ties by index).
@@ -198,6 +200,11 @@ def hdist_topk_batch(queries: jax.Array, database: jax.Array, n_bases, k: int):
     (src/utils/functions/hamming/multi.rs:122-160) applied per (query, row)
     pair with the caller looping. The sharded version with one collective
     merge lives in parallel/search.py::hdist_search_batch_sharded.
+
+    NOT itself jitted: the blocked-top-k dispatch needs a CONCRETE
+    n_bases to check the u32 packing bound (round-5 review: a jit here
+    traced n_bases and silently locked every caller onto the k-pass
+    iterative path). The pieces it composes are jitted.
     """
     d = hdist_many_to_many(queries, database, n_bases)
     return topk_batch_dispatch(d, k, n_bases)
@@ -207,7 +214,9 @@ def topk_batch_dispatch(d: jax.Array, k: int, n_bases):
     """Per-row top-k of a [Q, D] distance matrix: the blocked one-pass
     extractor when (value bits + index bits) fit a u32 key, else the
     iterative per-row loop. n_bases must be CONCRETE to qualify (inside
-    jit it traces, and the packing bound can't be checked — fall back)."""
+    jit it traces, and the packing bound can't be checked — fall back).
+    Values must be non-negative (Hamming distances are); see
+    topk_smallest_batch's contract."""
     D = d.shape[-1]
     Dp = -(-D // 512) * 512
     ib = max(1, (Dp - 1).bit_length())
