@@ -375,15 +375,40 @@ def _argsort_u64(keys: np.ndarray) -> np.ndarray:
 
 def _expand_both_strands(keys: np.ndarray, counts: np.ndarray, k: int):
     """Strand-symmetrize a (canonical) solid set: union in the reverse
-    complements, carrying each key's count to its rc twin."""
-    allk = np.concatenate([keys, _rc_keys(keys, k)])
-    allc = np.concatenate([counts, counts])
-    o = _argsort_u64(allk)
-    allk, allc = allk[o], allc[o]
-    keep = np.empty(allk.shape[0], dtype=bool)
-    if allk.shape[0]:
-        keep[0] = True
-        keep[1:] = allk[1:] != allk[:-1]  # palindromes collapse to one row
+    complements, carrying each key's count to its rc twin.
+
+    `keys` is sorted (the spectrum contract), so only the rc HALF needs
+    the radix sort; the union is a searchsorted merge (round 5: 0.88 ->
+    ~0.45 s of the 2MB-genome assembly's prepare stage). For ODD k there
+    are no palindromes (the middle base would have to equal its own
+    complement), so the A/rc(A) halves are provably disjoint — a
+    canonical y = rc(x) in A would force y <= rc(y) = x and x <= rc(x)
+    = y, i.e. x palindromic — and the dedup pass is skipped."""
+    n = keys.shape[0]
+    if n == 0:
+        return keys.astype(np.uint64), counts
+    rck = _rc_keys(keys, k)
+    o = _argsort_u64(rck)
+    rcs, rcc = rck[o], counts[o]
+    # stable two-list merge by rank arithmetic: A's element i lands at
+    # i + (#B strictly before it); B's at i + (#A at-or-before it)
+    pos_a = np.arange(n, dtype=np.int64) + np.searchsorted(
+        rcs, keys, side="left"
+    )
+    pos_b = np.arange(n, dtype=np.int64) + np.searchsorted(
+        keys, rcs, side="right"
+    )
+    allk = np.empty(2 * n, dtype=np.uint64)
+    allc = np.empty(2 * n, dtype=counts.dtype)
+    allk[pos_a] = keys
+    allc[pos_a] = counts
+    allk[pos_b] = rcs
+    allc[pos_b] = rcc
+    if k % 2 == 1:
+        return allk, allc
+    keep = np.empty(2 * n, dtype=bool)
+    keep[0] = True
+    keep[1:] = allk[1:] != allk[:-1]  # palindromes collapse to one row
     return allk[keep], allc[keep]
 
 

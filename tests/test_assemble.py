@@ -516,3 +516,34 @@ def test_assemble_engine_host_min_count():
     assert a == b
     want = min(genome.encode(), assemble.rc_ascii(genome.encode()))
     assert b[0] == [want]
+
+
+def test_expand_both_strands_even_k_palindromes():
+    """Even k admits palindromic k-mers (rc(x) == x): the searchsorted
+    merge must still collapse them to one row (round-5 regression
+    coverage for the sorted-half expansion)."""
+    from bitnuc_tpu import oracle
+
+    k = 4
+    seqs = [b"ACGTACGTAC", b"AATTGGCCAA", b"TTTTACGT"]
+    d = {}
+    for s in seqs:
+        for key, c in oracle.count_kmers(s, k).items():
+            rc = int(
+                assemble._rc_keys(np.array([key], np.uint64), k)[0]
+            )
+            canon = min(key, rc)
+            d[canon] = d.get(canon, 0) + c
+    keys = np.array(sorted(d), dtype=np.uint64)
+    cts = np.array([d[int(x)] for x in keys], dtype=np.int64)
+    ek, ec = assemble._expand_both_strands(keys, cts, k)
+    assert np.all(ek[1:] > ek[:-1])  # strictly ascending, deduped
+    # palindromes present exactly once with their original count; every
+    # non-palindrome present with its twin
+    rc = assemble._rc_keys(ek, k)
+    want = {}
+    for key, c in zip(keys.tolist(), cts.tolist()):
+        want[key] = c
+        want[int(assemble._rc_keys(np.array([key], np.uint64), k)[0])] = c
+    got = dict(zip(ek.tolist(), ec.tolist()))
+    assert got == want
