@@ -379,11 +379,12 @@ def _expand_both_strands(keys: np.ndarray, counts: np.ndarray, k: int):
 
     `keys` is sorted (the spectrum contract), so only the rc HALF needs
     the radix sort; the union is a searchsorted merge (round 5: 0.88 ->
-    ~0.45 s of the 2MB-genome assembly's prepare stage). For ODD k there
-    are no palindromes (the middle base would have to equal its own
-    complement), so the A/rc(A) halves are provably disjoint — a
-    canonical y = rc(x) in A would force y <= rc(y) = x and x <= rc(x)
-    = y, i.e. x palindromic — and the dedup pass is skipped."""
+    ~0.45 s of the 2MB-genome assembly's prepare stage). Duplicates
+    between the halves arise from palindromes (even k) or from a
+    NON-canonical input that already contains both strands of some k-mer
+    (legal: assemble_keys takes any sorted unique set) — one cheap
+    adjacent-equality scan decides whether the dedup gather runs at all,
+    so the canonical odd-k common case pays ~nothing."""
     n = keys.shape[0]
     if n == 0:
         return keys.astype(np.uint64), counts
@@ -404,11 +405,12 @@ def _expand_both_strands(keys: np.ndarray, counts: np.ndarray, k: int):
     allc[pos_a] = counts
     allk[pos_b] = rcs
     allc[pos_b] = rcc
-    if k % 2 == 1:
+    dup = allk[1:] == allk[:-1]
+    if not bool(dup.any()):
         return allk, allc
     keep = np.empty(2 * n, dtype=bool)
     keep[0] = True
-    keep[1:] = allk[1:] != allk[:-1]  # palindromes collapse to one row
+    keep[1:] = ~dup  # duplicate rows collapse to one (the A copy first)
     return allk[keep], allc[keep]
 
 

@@ -540,10 +540,32 @@ def test_expand_both_strands_even_k_palindromes():
     assert np.all(ek[1:] > ek[:-1])  # strictly ascending, deduped
     # palindromes present exactly once with their original count; every
     # non-palindrome present with its twin
-    rc = assemble._rc_keys(ek, k)
     want = {}
     for key, c in zip(keys.tolist(), cts.tolist()):
         want[key] = c
         want[int(assemble._rc_keys(np.array([key], np.uint64), k)[0])] = c
     got = dict(zip(ek.tolist(), ec.tolist()))
     assert got == want
+
+
+def test_expand_both_strands_noncanonical_odd_k():
+    """Round-5 review regression: a NON-canonical sorted-unique input that
+    already contains both strands of some k-mer (legal assemble_keys
+    input) must still dedup at odd k — the skip-dedup proof only holds
+    for canonical sets."""
+    k = 5
+    x = np.uint64(0b0110110001)  # arbitrary 5-mer
+    rc = assemble._rc_keys(np.array([x], np.uint64), k)[0]
+    assert rc != x
+    keys = np.unique(np.array([0, int(x), int(rc), 1023], np.uint64))
+    cts = np.arange(1, keys.shape[0] + 1, dtype=np.int64)
+    ek, ec = assemble._expand_both_strands(keys, cts, k)
+    assert np.all(ek[1:] > ek[:-1]), "duplicate keys leaked through"
+    # both strands of every input key present exactly once
+    want_keys = set(keys.tolist())
+    for key in keys.tolist():
+        want_keys.add(int(assemble._rc_keys(np.array([key], np.uint64), k)[0]))
+    assert set(ek.tolist()) == want_keys
+    # and the full assembly entry point accepts it
+    seqs, circ = assemble.assemble_keys(keys, k, both_strands=True)
+    assert seqs
