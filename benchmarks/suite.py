@@ -267,7 +267,12 @@ def _device_oracle_gate():
         for i, s in enumerate(seqs):
             f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
         fq = f.name
-    hist8 = pipeline.count_fastq(fq, 8, batch_size=16)
+    try:
+        hist8 = pipeline.count_fastq(fq, 8, batch_size=16)
+    finally:
+        import os as _os
+
+        _os.unlink(fq)
     wantp: dict = {}
     for s in seqs:
         for key, c in oracle.count_kmers(s, 8).items():

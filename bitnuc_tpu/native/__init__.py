@@ -148,6 +148,15 @@ def _load() -> Optional[ctypes.CDLL]:
                                    ctypes.c_size_t, ctypes.c_size_t,
                                    ctypes.c_int, i64p, i64p, i64p, i64p,
                                    ctypes.c_int]
+    if hasattr(lib, "bn_spectrum"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p_ = ctypes.POINTER(ctypes.c_uint32)
+        lib.bn_spectrum.restype = ctypes.c_int
+        lib.bn_spectrum.argtypes = [
+            u32p_, ctypes.c_size_t, ctypes.c_size_t, i32p,
+            ctypes.c_int, ctypes.c_int, u8p,
+            u64p, i32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -619,7 +628,9 @@ def spectrum(words, lens, k: int, canonical: bool = False, valid=None,
     reads are coverage/48 of the spectrum's D2H bytes). Falls back to a
     vectorized numpy twin when the .so is absent/stale."""
     words = np.ascontiguousarray(words, dtype=np.uint32)
-    lens = np.asarray(lens, dtype=np.int32)
+    # contiguity matters: ctypes hands the RAW buffer to C, and a strided
+    # lengths view read densely yields garbage window counts (OOB hazard)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
     lib = _load()
     if lib is None or not hasattr(lib, "bn_spectrum"):
         return _np_spectrum(words, lens, k, canonical, valid)

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 MODES = ("intersect_min", "subtract", "union_sum", "union_max")
 
 
-@partial(jax.jit, static_argnames=("mode", "compact"))
 def combine_counts(
     a_lo: jax.Array,
     a_hi: jax.Array,
@@ -45,8 +44,19 @@ def combine_counts(
     b_ct: jax.Array,
     mode: str = "intersect_min",
     compact: bool = True,
+    validate: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Combine two counted k-mer lists -> (lo, hi, ct, n_unique).
+    """Combine two counted SORTED k-mer lists -> (lo, hi, ct, n_unique).
+
+    CONTRACT: each input's live rows are ascending by (hi, lo) — the
+    layout every producer in this package emits (count_kmers_sorted,
+    count_kmers_runs, compact_runs, this function's own outputs). The
+    contract is LOAD-BEARING on the TPU/Pallas backend (round 5): the
+    combination runs as a bitonic MERGE of the two sorted halves, and an
+    unsorted input silently produces wrong counts there while the XLA
+    backend's full sort would have absorbed it. validate=True checks both
+    inputs host-side first (one pass + a device sync — for debugging, not
+    hot loops) and raises ValueError on a violation.
 
     The output has static length len(A) + len(B). compact=True (default):
     entries [0, n_unique) are the distinct result keys ascending by
@@ -59,6 +69,40 @@ def combine_counts(
     lax.sort, measured 132 -> 63 ms at 8M+8M rows on chip (round 5,
     docs/DESIGN.md 6b).
     """
+    if validate:
+        import numpy as np
+
+        for lo, hi, ct, nm in (
+            (a_lo, a_hi, a_ct, "A"),
+            (b_lo, b_hi, b_ct, "B"),
+        ):
+            key = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | (
+                np.asarray(lo).astype(np.uint64)
+            )
+            live = np.nonzero(np.asarray(ct) > 0)[0]
+            end = int(live[-1]) + 1 if live.size else 0
+            # sorted through the last live row (the all-dead suffix may
+            # carry arbitrary padding keys — it remaps to the sentinel)
+            if end > 1 and not bool(np.all(key[1:end] >= key[: end - 1])):
+                raise ValueError(
+                    f"combine_counts input {nm} is not sorted by (hi, lo) "
+                    "through its live rows — the sorted-input contract is "
+                    "load-bearing on the merge-engine backend"
+                )
+    return _combine_counts(a_lo, a_hi, a_ct, b_lo, b_hi, b_ct, mode, compact)
+
+
+@partial(jax.jit, static_argnames=("mode", "compact"))
+def _combine_counts(
+    a_lo: jax.Array,
+    a_hi: jax.Array,
+    a_ct: jax.Array,
+    b_lo: jax.Array,
+    b_hi: jax.Array,
+    b_ct: jax.Array,
+    mode: str = "intersect_min",
+    compact: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     assert mode in MODES, f"mode must be one of {MODES}"
     from .. import config
 
@@ -170,6 +214,11 @@ def combine_counts(
         -neg_c[:n_ab],
         jnp.sum((~out_dead).astype(jnp.int32)),
     )
+
+
+# tests toggle backends and re-trace: expose the impl's cache control on
+# the public wrapper (the wrapper itself is not jitted)
+combine_counts.clear_cache = _combine_counts.clear_cache
 
 
 def combine_dicts(a: dict, b: dict, mode: str = "intersect_min") -> dict:

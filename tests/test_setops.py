@@ -206,3 +206,20 @@ def test_setop_cli_chain(tmp_path, capsys):
         setops.combine_dicts(dicts[0], dicts[1], "union_sum"), dicts[2], "union_sum"
     )
     assert got == expect
+
+
+def test_combine_validate_rejects_unsorted(rng):
+    """validate=True must catch the load-bearing sorted-input contract
+    (round-5 review: an unsorted input silently miscounts on the
+    merge-engine backend)."""
+    import jax.numpy as jnp
+
+    lo = jnp.asarray(np.array([5, 3, 9], np.uint32))
+    hi = jnp.zeros(3, jnp.uint32)
+    ct = jnp.ones(3, jnp.int32)
+    with pytest.raises(ValueError, match="not sorted"):
+        setops.combine_counts(lo, hi, ct, lo, hi, ct, validate=True)
+    # sorted inputs (with a dead suffix of arbitrary keys) pass
+    slo = jnp.asarray(np.array([3, 5, 9, 7], np.uint32))
+    sct = jnp.asarray(np.array([1, 1, 1, 0], np.int32))
+    setops.combine_counts(slo, hi[:1].repeat(4), sct, slo, hi[:1].repeat(4), sct, validate=True)
