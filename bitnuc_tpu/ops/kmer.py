@@ -159,14 +159,15 @@ MAX_PALLAS_HIST_K = 9
 
 def auto_dense_max_k() -> int:
     """Largest k for which mode='auto_layout' yields the dense [4^k]
-    layout on the CURRENT backend: TPU hands k = 10..MAX_DENSE_K to the
-    runs engine (2.7-4.3x the scatter, probe_k1012), everything else
-    keeps the dense histogram up to MAX_DENSE_K. (mode='auto' is
-    backend-invariant: dense for every k <= MAX_DENSE_K.)"""
+    layout on the CURRENT backend: TPU hands k = 9..MAX_DENSE_K to the
+    runs engine (2.7-4.3x the scatter at 10..12, probe_k1012; 1.2-1.3x
+    the k=9 VMEM histogram, round-5 probe), everything else keeps the
+    dense histogram up to MAX_DENSE_K. (mode='auto' is backend-invariant:
+    dense for every k <= MAX_DENSE_K.)"""
     import jax
 
     if jax.default_backend() == "tpu":
-        return MAX_PALLAS_HIST_K
+        return MAX_MXU_K
     return MAX_DENSE_K
 
 
@@ -555,11 +556,13 @@ def count_kmers_reads(
     the backend: MXU/Pallas histogram on TPU up to MAX_PALLAS_HIST_K,
     scatter otherwise) and the runs 4-tuple beyond.
     mode='auto_layout' picks the fastest ENGINE and returns its native
-    layout, which may differ per backend: on TPU k = 10..12 goes to the
-    runs engine (2.7-4.3x over the dense scatter, 380 vs 90-140 Mkmers/s,
-    benchmarks/probe_k1012.py — the scatter serializes, the sort is
-    key-width-independent; densifying afterwards would cost the scatter
-    back). The managed pipeline uses this via auto_dense_max_k().
+    layout, which may differ per backend: on TPU k = 9..12 goes to the
+    runs engine (2.7-4.3x over the dense scatter at 10..12,
+    benchmarks/probe_k1012.py, and 1.2-1.3x over the extended Pallas
+    VMEM histogram at k=9 across long- and short-read shapes, round-5
+    probe — the sort is key-width-independent; densifying afterwards
+    would cost the scatter back). The managed pipeline uses this via
+    auto_dense_max_k().
     canonical=True counts min(kmer, revcomp(kmer)) — strand-insensitive.
     base_valid [B, L] bool (e.g. codec.validity_mask) drops every window
     containing an invalid/ambiguous base (N handling) instead of erroring.
@@ -569,17 +572,20 @@ def count_kmers_reads(
 
         if k > MAX_DENSE_K:
             mode = "runs"
+        elif (
+            mode == "auto_layout"
+            and jax.default_backend() == "tpu"
+            and k > MAX_MXU_K
+        ):
+            # k = 9..12: the runs engine beats BOTH dense kernels (the
+            # scatter by 2.7-4.3x at 10..12, the extended VMEM histogram
+            # by 1.2-1.3x at 9 — measured across read-length regimes)
+            mode = "runs"
         elif jax.default_backend() == "tpu" and (
             k <= MAX_MXU_K
             or (k <= MAX_PALLAS_HIST_K and config.use_pallas())
         ):
             mode = "mxu"  # scatter serializes on TPU; CPU scatter is fine
-        elif (
-            mode == "auto_layout"
-            and jax.default_backend() == "tpu"
-            and k > MAX_PALLAS_HIST_K
-        ):
-            mode = "runs"
         else:
             mode = "dense"
     if mode == "mxu":
