@@ -840,6 +840,11 @@ def main():
             ("kmers_counted_per_sec_chip_k9_mxu",
              lambda: bench_kmer(k=9, mode="mxu"), "kmers/s", 0.25,
              "compute", 64),
+            # round 5: auto_layout hands k=9 to the runs engine on TPU
+            # (1.2-1.3x the VMEM histogram row above, shape-independent)
+            ("kmers_counted_per_sec_chip_k9_auto",
+             lambda: bench_kmer(k=9, mode="auto_layout"), "kmers/s", 0.25,
+             "sort", 256),
             # auto hands k=10-12 to the runs engine on TPU (2.7-4.3x the
             # dense scatter, probe_k1012): the wall is the key sort
             # (~log passes over 16.8M keys ~ GB-class traffic)
