@@ -158,16 +158,22 @@ MAX_PALLAS_HIST_K = 9
 
 
 def auto_dense_max_k() -> int:
-    """Largest k for which mode='auto_layout' yields the dense [4^k]
-    layout on the CURRENT backend: TPU hands k = 9..MAX_DENSE_K to the
-    runs engine (2.7-4.3x the scatter at 10..12, probe_k1012; 1.2-1.3x
-    the k=9 VMEM histogram, round-5 probe), everything else keeps the
-    dense histogram up to MAX_DENSE_K. (mode='auto' is backend-invariant:
-    dense for every k <= MAX_DENSE_K.)"""
+    """Largest k for which the MANAGED PIPELINE uses the dense engine on
+    the current backend: TPU hands k = 10..MAX_DENSE_K to the sparse runs
+    engine (2.7-4.3x the scatter, probe_k1012), everything else keeps the
+    dense histogram up to MAX_DENSE_K.
+
+    Deliberately ONE LESS aggressive than mode='auto_layout' (which also
+    hands k=9 to runs, 1.2-1.3x the VMEM histogram per call,
+    benchmarks/probe_k9runs.py): the pipeline's sparse accumulator is
+    int32-window-bounded (~2.1e9 windows/job) while k=9's 262k-bin dense
+    histogram folds into an unbounded host int64 array — at genome scale
+    the k=9 capacity matters more than the 1.3x per batch (round-5 review
+    caught the regression of routing it sparse)."""
     import jax
 
     if jax.default_backend() == "tpu":
-        return MAX_MXU_K
+        return MAX_PALLAS_HIST_K
     return MAX_DENSE_K
 
 

@@ -334,7 +334,8 @@ def count_fasta(
         raise ValueError(f"on_invalid must be 'raise' or 'skip', got {on_invalid!r}")
     skip = on_invalid == "skip"
     dense_out = k <= kmer_ops.MAX_DENSE_K  # return contract
-    dense = k <= kmer_ops.auto_dense_max_k()  # engine (TPU: runs for 10-12)
+    dense = k <= kmer_ops.auto_dense_max_k()  # engine (TPU: runs for 10-12;
+    # k=9 stays dense for job-scale capacity — see auto_dense_max_k)
     seg = int(seg_bases)
     if seg < 16:
         raise ValueError(f"seg_bases must be >= 16, got {seg}")
@@ -509,7 +510,8 @@ def count_fastq(
 
         raise InvalidLength(k)
     dense_out = k <= kmer_ops.MAX_DENSE_K  # return contract
-    dense = k <= kmer_ops.auto_dense_max_k()  # engine (TPU: runs for 10-12)
+    dense = k <= kmer_ops.auto_dense_max_k()  # engine (TPU: runs for 10-12;
+    # k=9 stays dense for job-scale capacity — see auto_dense_max_k)
     if on_invalid not in ("raise", "skip"):
         raise ValueError(f"on_invalid must be 'raise' or 'skip', got {on_invalid!r}")
     skip = on_invalid == "skip"

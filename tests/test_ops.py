@@ -679,3 +679,42 @@ def test_minimizer_sketch64_rejects_k32():
     r = PackedReads.from_ascii([b"ACGT" * 20])
     with pytest.raises(AssertionError):
         kmer.minimizer_sketch64(r.words, r.lengths, 32, 4)
+
+
+def test_count_kmers_auto_dispatch_contract(monkeypatch):
+    """The auto/auto_layout dispatch table is pure python on (mode, k,
+    backend) — pin it so an elif reorder can't silently flip a branch
+    (round-5 review: exactly such a reorder shipped this round)."""
+    import jax as _jax
+
+    from bitnuc_tpu.ops import kmer as K
+
+    rng = np.random.default_rng(0)
+    reads_words = jnp.asarray(rng.integers(0, 2**32, (4, 4), dtype=np.uint32))
+    lens = jnp.full((4,), 60, jnp.int32)
+
+    def shapes(mode, k):
+        out = K.count_kmers_reads(reads_words, lens, k, mode=mode)
+        return "runs" if isinstance(out, tuple) else "dense"
+
+    # CPU backend: dense return AND dense engine through MAX_DENSE_K
+    for k in (8, 9, 12):
+        assert shapes("auto", k) == "dense"
+        assert shapes("auto_layout", k) == "dense"
+    assert shapes("auto", 13) == "runs"  # beyond MAX_DENSE_K: runs 4-tuple
+
+    # TPU dispatch decisions (pure python): fake the backend
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    from bitnuc_tpu import config
+
+    # auto stays dense-contract for k <= 12; auto_layout hands 9..12 to runs
+    with config.backend("xla"):  # keep kernels off the fake TPU
+        for k in (8,):
+            assert shapes("auto", k) == "dense"
+            assert shapes("auto_layout", k) == "dense"
+        for k in (9, 10, 12):
+            assert shapes("auto_layout", k) == "runs"
+    # the pipeline boundary: k=9 stays DENSE for job-scale capacity
+    assert K.auto_dense_max_k() == K.MAX_PALLAS_HIST_K
+    monkeypatch.undo()
+    assert K.auto_dense_max_k() == K.MAX_DENSE_K
