@@ -384,7 +384,10 @@ def _expand_both_strands(keys: np.ndarray, counts: np.ndarray, k: int):
     NON-canonical input that already contains both strands of some k-mer
     (legal: assemble_keys takes any sorted unique set) — one cheap
     adjacent-equality scan decides whether the dedup gather runs at all,
-    so the canonical odd-k common case pays ~nothing."""
+    so the canonical odd-k common case pays ~nothing. On a collision the
+    key keeps its OWN input count, not its rc-twin's (the A copy merges
+    first — the same semantics the original stable concat+sort had;
+    pinned by test + the round-5 soak oracle)."""
     n = keys.shape[0]
     if n == 0:
         return keys.astype(np.uint64), counts

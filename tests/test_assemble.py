@@ -569,3 +569,19 @@ def test_expand_both_strands_noncanonical_odd_k():
     # and the full assembly entry point accepts it
     seqs, circ = assemble.assemble_keys(keys, k, both_strands=True)
     assert seqs
+
+
+def test_expand_both_strands_collision_keeps_own_count():
+    """Both strands of a k-mer present with DIFFERENT counts: each key
+    keeps its OWN input count (A-copy-first merge — the historical stable
+    concat+sort semantics, pinned by the round-5 soak)."""
+    k = 5
+    x = np.uint64(0b0110110001)
+    rc = int(assemble._rc_keys(np.array([x], np.uint64), k)[0])
+    assert rc != int(x)
+    lo_key, hi_key = sorted([int(x), rc])
+    keys = np.array([lo_key, hi_key], np.uint64)
+    cts = np.array([7, 3], np.int64)
+    ek, ec = assemble._expand_both_strands(keys, cts, k)
+    got = dict(zip(ek.tolist(), ec.tolist()))
+    assert got == {lo_key: 7, hi_key: 3}
