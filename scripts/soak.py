@@ -4,6 +4,12 @@ Run: python scripts/soak.py [seed] [budget_seconds]  (CPU; clears jax caches
 periodically — fully random shapes grow the jit cache without bound).
 Last full run: 295 trials / 2406 s, zero failures (round 5, seed 3).
 """
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax, jax.numpy as jnp
 
